@@ -1,38 +1,865 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or an
+LLM-data-pipeline addition) expressed Spark-first over the driver's
+testdata tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+
+Cross-engine determinism rules used throughout (so value-hashes match):
+  - money/volume sums use CAST(ROUND(x*scale) AS BIGINT) then SUM —
+    integer arithmetic, bit-exact in any engine;
+  - timestamps are compared as epoch milliseconds (unix_millis /
+    epoch_ms), never as raw timestamp values;
+  - transcendental outputs (ln, trig, cosine) are ROUND(x, 6);
+  - every top-k orders by a unique tiebreaker.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from hogzilla_spark.functions import scalar as HF
+from hogzilla_spark.operators import aggregates as AGG
+from hogzilla_spark.operators import dedup as DD
+from hogzilla_spark.operators import histogram as H
+from hogzilla_spark.operators import joins as J
+from hogzilla_spark.operators import similarity as SIM
+from hogzilla_spark.operators import text as TXT
+from hogzilla_spark.operators import windows as W
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark has no nanos
+        # timestamp type; read it as a raw nanos long (TZ-free).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+def _ntz_ms(col) -> F.Column:
+    """TIMESTAMP_NTZ → epoch ms, timezone-independent (both engines treat
+    the naive value as UTC)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})") * 1000
+
+def _ev_ms() -> F.Column:
+    """events.ts nanos long → epoch ms; exact integer division (double
+    division would lose precision at 1.7e18)."""
+    return F.expr("ts div 1000000")
+
+def _cents(col, scale: int = 100):
+    """Exact cross-engine decimal: round(x*scale) as int64."""
+    return F.round(col * F.lit(scale), 0).cast("long")
+
+# ---------------------------------------------------------------------------
+# A-family: aggregations
+# ---------------------------------------------------------------------------
+
+def q_a1_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 canonical 8-aggregate rollup (shape of sflowSummary,
+    HogSFlow.scala:789-882) over lineitem: group keys + sum/sum/sum/avg/
+    min/max/count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_c"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("sum_disc_price_c"),
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax")),
+                    1000000,
+                )
+            ).alias("sum_charge_c"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.min(_ntz_ms("l_shipdate")).alias("min_ship_ms"),
+            F.max(_ntz_ms("l_shipdate")).alias("max_ship_ms"),
+            F.sum(_cents(F.col("l_discount"))).alias("sum_disc_c"),
+        )
+    )
+
+def q_a2_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 rollup variant over the events stream table: per event_type sums
+    + time bounds (min beginTime / max endTime semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(_cents(F.col("value"))).alias("sum_value_c"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(_ev_ms()).alias("begin_ms"),
+        F.max(_ev_ms()).alias("end_ms"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+def q_a3_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 two-level re-keyed aggregation (per-pair then per-host with pair
+    count, HogSFlow.scala:1162-1187): orders→per-customer→per-nation."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    lvl1 = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(_cents(F.col("o_totalprice"))).alias("cust_total_c"),
+            F.count(F.lit(1)).alias("cust_orders"),
+        )
+    )
+    return lvl1.groupBy("c_nationkey").agg(
+        F.sum("cust_total_c").alias("nation_total_c"),
+        F.sum("cust_orders").alias("nation_orders"),
+        F.count(F.lit(1)).alias("pairs"),
+    )
+
+def q_a5_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 distinct-count within group: distinct parts per supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    return AGG.distinct_count_per_group(li, ["l_suppkey"], "l_partkey", "n_parts")
+
+def q_a7_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 StatCounter equivalent over l_extendedprice.  Stdev via exact
+    integer Σx/Σx² (cents) so both engines do the identical final double
+    math (population stdev, like RDD.stats())."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = _cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    return agg.select(
+        "n",
+        F.round(s / n / 100.0, 6).alias("mean_price"),
+        F.round(
+            F.sqrt(ss / n - (s / n) * (s / n)) / 100.0, 6
+        ).alias("stdev_price"),
+    )
+
+def q_a9_freq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 signature-frequency count (HogSnort.scala:113-122 shape):
+    (user, event_type) → count."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+def q_a14_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/W3 inter-arrival regularity (DDoS test, HogSFlow.scala:2695-2722):
+    per user, adjacent event-time diffs ordered by time, drop the 4
+    largest gaps, mean of the rest (ms)."""
+    ev = _t(spark, sf_dir, "events")
+    ms = ev.select("user_id", _ev_ms().alias("t_ms"), "event_id")
+    stats = W.interarrival_stats(ms, ["user_id"], "t_ms", "event_id", drop_largest=4)
+    return stats.select(
+        "user_id", "n_gaps", F.round(F.col("mean_interarrival"), 4).alias("mean_gap_ms")
+    )
+
+# ---------------------------------------------------------------------------
+# W-family: window forms
+# ---------------------------------------------------------------------------
+
+def q_w1_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 per-group share (HogSFlow.scala:1420-1423): share of each
+    event_type within a user's activity."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    share = W.group_share(cnt, ["user_id"], "n")
+    return cnt.select("user_id", "event_type", "n", F.round(share, 6).alias("share"))
+
+def q_w2_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 top-N per group with deterministic tiebreak: top-3 orders per
+    customer by totalprice."""
+    orders = _t(spark, sf_dir, "orders")
+    top = W.top_n_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return top.select("o_custkey", "o_orderkey", _cents(F.col("o_totalprice")).alias("price_c"))
+
+# ---------------------------------------------------------------------------
+# J-family: joins
+# ---------------------------------------------------------------------------
+
+def q_j1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2/J6 broadcast anti-join: orders whose customer is NOT in the
+    negative-balance "talker" set."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    neg = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    out = J.anti_join(orders, neg, ["o_custkey"])
+    return out.select("o_orderkey", "o_custkey")
+
+def q_j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join keep-side: orders of BUILDING-segment customers."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return J.semi_join(orders, seg, ["o_custkey"]).select("o_orderkey", "o_custkey")
+
+def q_j3_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 prefix-match membership (C&C blacklist semantics,
+    HogSFlow.scala:2770-2781): customers whose name starts with any
+    blacklisted prefix."""
+    cust = _t(spark, sf_dir, "customer")
+    prefixes = ["Customer#00000001", "Customer#0000002", "Customer#00000030"]
+    return cust.filter(J.prefix_match_col("c_name", prefixes)).select(
+        "c_custkey", "c_name"
+    )
+
+def q_j5_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 broadcast lookup join chain customer→nation→region + rollup."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    enriched = J.lookup_join(
+        J.lookup_join(
+            cust,
+            nation.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                "n_name",
+                "n_regionkey",
+            ),
+            ["c_nationkey"],
+        ),
+        region.select(F.col("r_regionkey").alias("n_regionkey"), "r_name"),
+        ["n_regionkey"],
+    )
+    return enriched.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_cents(F.col("c_acctbal"))).alias("sum_acctbal_c"),
+    )
+
+# ---------------------------------------------------------------------------
+# O/U-family: top-k, set ops
+# ---------------------------------------------------------------------------
+
+def q_o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2 global top-k (TakeOrderedAndProject): top-100 orders by
+    totalprice, orderkey tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    from hogzilla_spark.operators.topk import top_k
+
+    top = top_k(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 100)
+    return top.select("o_orderkey", _cents(F.col("o_totalprice")).alias("price_c"))
+
+def q_u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U3 union of detector outputs + distinct: big-spender customers
+    ∪ deep-negative-balance customers."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = cust.filter(F.col("c_acctbal") < -900).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+# ---------------------------------------------------------------------------
+# P/S-family: scans, predicates, projections
+# ---------------------------------------------------------------------------
+
+def q_s6_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 predicate-pushdown scan (reputation-list equality filters):
+    two-column equality conjunction, pruned projection."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey", "o_custkey")
+
+def q_p2_null_defaulting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/F13 lenient parse with default: pull k out of the props JSON-ish
+    string by regex; unparsable → -1; histogram by k bucket."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).try_cast("long"), F.lit(-1)
+    )
+    return ev.select(k.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+# ---------------------------------------------------------------------------
+# F-family: scalar functions
+# ---------------------------------------------------------------------------
+
+def q_f5_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 log-scale binning (HogSFlow.scala:1791): order totals into
+    floor(ln(x+1)) buckets."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(HF.log_bin(F.col("o_totalprice")).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+def q_f6_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 haversine (HogGeograph.scala:35-58) on synthesized coordinates:
+    customer site vs nation site, km rounded to 1e-4."""
+    cust = _t(spark, sf_dir, "customer")
+    lat1 = (F.col("c_custkey") % 180 - 90).cast("double")
+    lon1 = (F.col("c_custkey") % 360 - 180).cast("double")
+    lat2 = (F.col("c_nationkey") * 7 % 180 - 90).cast("double")
+    lon2 = (F.col("c_nationkey") * 13 % 360 - 180).cast("double")
+    return cust.select(
+        "c_custkey",
+        F.round(HF.haversine_km(lat1, lon1, lat2, lon2), 4).alias("dist_km"),
+    )
+
+def q_f2_f3_ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 IP helpers over synthesized dotted-quads: significant
+    network (drop last octet) + 4-byte hex encoding, with the
+    reference's bogus-input sentinel."""
+    cust = _t(spark, sf_dir, "customer")
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (F.col("c_custkey") % 256).cast("string"),
+        ((F.col("c_custkey") / 256).cast("long") % 256).cast("string"),
+        (F.col("c_nationkey") % 256).cast("string"),
+    )
+    ipcol = F.when(F.col("c_custkey") % 97 == 0, F.lit("not-an-ip")).otherwise(ip)
+    return cust.select(
+        "c_custkey",
+        HF.ip_significant_network(ipcol).alias("net"),
+        F.lower(F.hex(HF.ip_to_bytes(ipcol))).alias("ip_hex"),
+    )
+
+# ---------------------------------------------------------------------------
+# H-family: histogram state operators over the events stream
+# ---------------------------------------------------------------------------
+
+_SPLIT_MS = 1705276800000  # 2024-01-15T00:00:00Z — old/new batch boundary
+
+def _user_hists(spark: SparkSession, sf_dir: str):
+    """Per-user event_type share histograms for two time halves
+    (old = learned state, new = current batch)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ev_ms().alias("t_ms")
+    )
+    old = H.build_histogram(
+        ev.filter(F.col("t_ms") < _SPLIT_MS), "user_id", "event_type"
+    ).withColumnsRenamed({"values": "old_values", "size": "old_size"})
+    new = H.build_histogram(
+        ev.filter(F.col("t_ms") >= _SPLIT_MS), "user_id", "event_type"
+    ).withColumnsRenamed({"values": "new_values", "size": "new_size"})
+    return old.join(new, "user_id", "inner")
+
+def q_h1_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 KL(new‖old) per user via map-expression fold (J7 state join +
+    Histograms.scala:18-36)."""
+    joined = _user_hists(spark, sf_dir)
+    return joined.select(
+        "user_id",
+        F.round(H.kl_divergence("new_values", "old_values"), 6).alias("kl"),
+    )
+
+def q_h2_atypical_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 atypical-key extraction (Histograms.scala:39-59): behaviors in
+    the new batch absent from learned state; exploded to rows."""
+    joined = _user_hists(spark, sf_dir)
+    return joined.select(
+        "user_id",
+        F.explode(H.atypical_keys("old_values", "new_values")).alias("event_type"),
+    )
+
+def q_h5_merge_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 weighted merge with decay (Histograms.scala:103-138,
+    decay_after=100 to exercise the halving on this data): merged
+    per-user histograms, exploded to (user, bucket, weight)."""
+    joined = _user_hists(spark, sf_dir)
+    merged = joined.select(
+        "user_id",
+        F.explode(
+            H.merge_histograms("old_values", "old_size", "new_values", "new_size", decay_after=100)
+        ).alias("bucket", "weight"),
+        H.merged_size("old_size", "new_size", decay_after=100).alias("new_size"),
+    )
+    return merged.select(
+        "user_id", "bucket", F.round("weight", 6).alias("weight"), "new_size"
+    )
+
+def q_h6_merge_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 pointwise-max merge (count-valued HIST07 semantics,
+    Histograms.scala:141-168) on per-user event counts."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ev_ms().alias("t_ms")
+    )
+    def counts(df):
+        per = df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
+        return per.groupBy("user_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "n"))
+            ).alias("m")
+        )
+    old = counts(ev.filter(F.col("t_ms") < _SPLIT_MS)).withColumnRenamed("m", "old_m")
+    new = counts(ev.filter(F.col("t_ms") >= _SPLIT_MS)).withColumnRenamed("m", "new_m")
+    joined = old.join(new, "user_id", "inner")
+    return joined.select(
+        "user_id", F.explode(H.merge_max("old_m", "new_m")).alias("bucket", "max_n")
+    )
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on normalized-text fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dup_groups(docs)
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (16 md5-minhashes, 4 bands×4 rows,
+    word-3-gram shingles), exact-Jaccard verified ≥ 0.3."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, min_jaccard=0.3)
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: token stats, punctuation/stopword
+    ratios, quality score, fingerprint, heuristic language ID."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = TXT.text_profile(docs)
+    return prof.select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "fp",
+        "lang_pred",
+    )
+
+def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10) —
+    the ANN correctness baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.knn_brute_force(emb, queries, k=5)
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4; the synthetic
+    embeddings are near-orthogonal, max pairwise cos ≈ 0.51)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_neardup_pairs(emb, min_cosine=0.4)
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
-
+    """Flagship: the A1 canonical rollup at sf0.001."""
+    return q_a1_lineitem_rollup(spark, SF_DEFAULT)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
-
+    return {
+        "a1_lineitem_rollup": q_a1_lineitem_rollup,
+        "a2_events_rollup": q_a2_events_rollup,
+        "a3_two_level_rollup": q_a3_two_level_rollup,
+        "a5_distinct_count": q_a5_distinct_count,
+        "a7_global_stats": q_a7_global_stats,
+        "a9_freq_count": q_a9_freq_count,
+        "a14_interarrival": q_a14_interarrival,
+        "w1_group_share": q_w1_group_share,
+        "w2_topn_per_group": q_w2_topn_per_group,
+        "j1_anti_join": q_j1_anti_join,
+        "j2_semi_join": q_j2_semi_join,
+        "j3_prefix_join": q_j3_prefix_join,
+        "j5_lookup_join": q_j5_lookup_join,
+        "o1_topk": q_o1_topk,
+        "u1_union_distinct": q_u1_union_distinct,
+        "s6_filtered_scan": q_s6_filtered_scan,
+        "p2_null_defaulting": q_p2_null_defaulting,
+        "f5_log_bins": q_f5_log_bins,
+        "f6_haversine": q_f6_haversine,
+        "f2_f3_ip_functions": q_f2_f3_ip_functions,
+        "h1_kl_divergence": q_h1_kl_divergence,
+        "h2_atypical_keys": q_h2_atypical_keys,
+        "h5_merge_decay": q_h5_merge_decay,
+        "h6_merge_max": q_h6_merge_max,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "text_profile": q_text_profile,
+        "knn_brute_force": q_knn_brute_force,
+        "embedding_neardup": q_embedding_neardup,
+    }
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    eps = 1e-7
+    sql: dict[str, str] = {}
+
+    sql["a1_lineitem_rollup"] = """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(ROUND(l_quantity*100) AS BIGINT))                        AS sum_qty_c,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))                   AS sum_price_c,
+               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))  AS sum_disc_price_c,
+               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS sum_charge_c,
+               COUNT(*)                                                          AS count_order,
+               MIN(epoch_ms(l_shipdate))                                         AS min_ship_ms,
+               MAX(epoch_ms(l_shipdate))                                         AS max_ship_ms,
+               SUM(CAST(ROUND(l_discount*100) AS BIGINT))                        AS sum_disc_c
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sql["a2_events_rollup"] = """
+        SELECT event_type,
+               SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c,
+               COUNT(*)                              AS n_events,
+               MIN(epoch_ms(ts))                     AS begin_ms,
+               MAX(epoch_ms(ts))                     AS end_ms,
+               COUNT(DISTINCT user_id)               AS n_users
+        FROM events GROUP BY event_type
+    """
+
+    sql["a3_two_level_rollup"] = """
+        WITH lvl1 AS (
+          SELECT c_nationkey, o_custkey,
+                 SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS cust_total_c,
+                 COUNT(*) AS cust_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_nationkey, o_custkey)
+        SELECT c_nationkey,
+               SUM(cust_total_c) AS nation_total_c,
+               SUM(cust_orders)  AS nation_orders,
+               COUNT(*)          AS pairs
+        FROM lvl1 GROUP BY c_nationkey
+    """
+
+    sql["a5_distinct_count"] = """
+        SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_suppkey
+    """
+
+    sql["a7_global_stats"] = """
+        WITH t AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS s,
+                 SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS ss
+          FROM lineitem)
+        SELECT n,
+               ROUND(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/100.0, 6) AS mean_price,
+               ROUND(SQRT(CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
+                     - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)))/100.0, 6) AS stdev_price
+        FROM t
+    """
+
+    sql["a9_freq_count"] = """
+        SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type
+    """
+
+    sql["a14_interarrival"] = """
+        WITH diffs AS (
+          SELECT user_id,
+                 epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+          FROM events),
+        ranked AS (
+          SELECT user_id, gap,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap DESC) AS rk
+          FROM diffs WHERE gap IS NOT NULL)
+        SELECT user_id, COUNT(*) AS n_gaps, ROUND(AVG(CAST(gap AS DOUBLE)), 4) AS mean_gap_ms
+        FROM ranked WHERE rk > 4 GROUP BY user_id
+    """
+
+    sql["w1_group_share"] = """
+        WITH cnt AS (
+          SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type)
+        SELECT user_id, event_type, n,
+               ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY user_id), 6) AS share
+        FROM cnt
+    """
+
+    sql["w2_topn_per_group"] = """
+        WITH r AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+        FROM r WHERE rn <= 3
+    """
+
+    sql["j1_anti_join"] = """
+        SELECT o_orderkey, o_custkey FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)
+    """
+
+    sql["j2_semi_join"] = """
+        SELECT o_orderkey, o_custkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
+    """
+
+    sql["j3_prefix_join"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE starts_with(c_name, 'Customer#00000001')
+           OR starts_with(c_name, 'Customer#0000002')
+           OR starts_with(c_name, 'Customer#00000030')
+    """
+
+    sql["j5_lookup_join"] = """
+        SELECT r_name, COUNT(*) AS n_customers,
+               SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sum_acctbal_c
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    sql["o1_topk"] = """
+        SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """
+
+    sql["u1_union_distinct"] = """
+        SELECT DISTINCT custkey FROM (
+          SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+          UNION ALL
+          SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < -900)
+    """
+
+    sql["s6_filtered_scan"] = """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+    """
+
+    sql["p2_null_defaulting"] = """
+        SELECT COALESCE(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT), -1) AS k,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    """
+
+    sql["f5_log_bins"] = """
+        SELECT CAST(FLOOR(LN(o_totalprice + 1.0)) AS BIGINT) AS bin, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    """
+
+    sql["f6_haversine"] = """
+        SELECT c_custkey,
+               ROUND(2.0*6371.0*ASIN(SQRT(
+                 SIN(RADIANS(CAST((c_nationkey*7)%180 - 90 AS DOUBLE) - CAST(c_custkey%180 - 90 AS DOUBLE))/2)
+                 * SIN(RADIANS(CAST((c_nationkey*7)%180 - 90 AS DOUBLE) - CAST(c_custkey%180 - 90 AS DOUBLE))/2)
+                 + COS(RADIANS(CAST(c_custkey%180 - 90 AS DOUBLE)))
+                 * COS(RADIANS(CAST((c_nationkey*7)%180 - 90 AS DOUBLE)))
+                 * SIN(RADIANS(CAST((c_nationkey*13)%360 - 180 AS DOUBLE) - CAST(c_custkey%360 - 180 AS DOUBLE))/2)
+                 * SIN(RADIANS(CAST((c_nationkey*13)%360 - 180 AS DOUBLE) - CAST(c_custkey%360 - 180 AS DOUBLE))/2)
+               )), 4) AS dist_km
+        FROM customer
+    """
+
+    sql["f2_f3_ip_functions"] = """
+        WITH base AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 97 = 0 THEN 'not-an-ip'
+                      ELSE '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+                           || CAST((c_custkey // 256) % 256 AS VARCHAR) || '.'
+                           || CAST(c_nationkey % 256 AS VARCHAR)
+                 END AS ip
+          FROM customer)
+        SELECT c_custkey,
+               CASE WHEN ip LIKE '%.%' THEN regexp_replace(ip, '[^.]*$', '')
+                    WHEN ip LIKE '%:%' THEN regexp_replace(ip, '[^:]*$', '')
+                    ELSE ip END AS net,
+               lower(CASE WHEN regexp_matches(ip, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
+                    THEN lpad(to_hex(CAST(string_split(ip,'.')[1] AS INTEGER)),2,'0')
+                      || lpad(to_hex(CAST(string_split(ip,'.')[2] AS INTEGER)),2,'0')
+                      || lpad(to_hex(CAST(string_split(ip,'.')[3] AS INTEGER)),2,'0')
+                      || lpad(to_hex(CAST(string_split(ip,'.')[4] AS INTEGER)),2,'0')
+                    WHEN contains(ip, ':') THEN 'ffff0606'
+                    ELSE 'ffff0101' END) AS ip_hex
+        FROM base
+    """
+
+    # --- H family: share-histogram state ops expressed relationally -------
+    hist_cte = """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS t_ms FROM events),
+        old_cnt AS (
+          SELECT user_id, event_type, COUNT(*)::DOUBLE AS n FROM ev
+          WHERE t_ms < 1705276800000 GROUP BY user_id, event_type),
+        new_cnt AS (
+          SELECT user_id, event_type, COUNT(*)::DOUBLE AS n FROM ev
+          WHERE t_ms >= 1705276800000 GROUP BY user_id, event_type),
+        old_tot AS (SELECT user_id, SUM(n) AS tot FROM old_cnt GROUP BY user_id),
+        new_tot AS (SELECT user_id, SUM(n) AS tot FROM new_cnt GROUP BY user_id),
+        old_sh AS (
+          SELECT o.user_id, o.event_type, o.n / t.tot AS p
+          FROM old_cnt o JOIN old_tot t ON o.user_id = t.user_id),
+        new_sh AS (
+          SELECT o.user_id, o.event_type, o.n / t.tot AS p
+          FROM new_cnt o JOIN new_tot t ON o.user_id = t.user_id),
+        both_users AS (
+          SELECT DISTINCT o.user_id FROM old_tot o JOIN new_tot n ON o.user_id = n.user_id)
+    """
+
+    sql["h1_kl_divergence"] = hist_cte + f"""
+        SELECT b.user_id,
+               ROUND(COALESCE(SUM(
+                 CASE WHEN n.p > 0 AND o.p > 0 THEN n.p * LN(n.p / o.p) ELSE 0 END), 0), 6) AS kl
+        FROM both_users b
+        LEFT JOIN new_sh n ON n.user_id = b.user_id
+        LEFT JOIN old_sh o ON o.user_id = n.user_id AND o.event_type = n.event_type
+        GROUP BY b.user_id
+    """
+
+    sql["h2_atypical_keys"] = hist_cte + f"""
+        SELECT n.user_id, n.event_type
+        FROM new_sh n
+        JOIN both_users b ON b.user_id = n.user_id
+        LEFT JOIN old_sh o ON o.user_id = n.user_id AND o.event_type = n.event_type
+        WHERE n.p > {eps} AND COALESCE(o.p, 0) <= {eps}
+    """
+
+    sql["h5_merge_decay"] = hist_cte + """
+        , sizes AS (
+          SELECT b.user_id,
+                 ot.tot AS old_size, nt.tot AS new_size,
+                 CASE WHEN ot.tot > 100 THEN ot.tot/2 ELSE ot.tot END AS n1_eff
+          FROM both_users b
+          JOIN old_tot ot ON ot.user_id = b.user_id
+          JOIN new_tot nt ON nt.user_id = b.user_id),
+        keys AS (
+          SELECT user_id, event_type FROM old_sh
+          UNION
+          SELECT user_id, event_type FROM new_sh)
+        SELECT k.user_id, k.event_type AS bucket,
+               ROUND((COALESCE(o.p,0)*s.n1_eff + COALESCE(n.p,0)*s.new_size)
+                     / (s.n1_eff + s.new_size), 6) AS weight,
+               CAST(CASE WHEN s.old_size > 100 THEN CAST(FLOOR(s.old_size/2) AS BIGINT) ELSE CAST(s.old_size AS BIGINT) END
+                    + CAST(s.new_size AS BIGINT) AS BIGINT) AS new_size
+        FROM keys k
+        JOIN sizes s ON s.user_id = k.user_id
+        LEFT JOIN old_sh o ON o.user_id = k.user_id AND o.event_type = k.event_type
+        LEFT JOIN new_sh n ON n.user_id = k.user_id AND n.event_type = k.event_type
+    """
+
+    sql["h6_merge_max"] = hist_cte + """
+        , keys AS (
+          SELECT user_id, event_type FROM old_cnt
+          UNION
+          SELECT user_id, event_type FROM new_cnt)
+        SELECT k.user_id, k.event_type AS bucket,
+               GREATEST(COALESCE(o.n,0), COALESCE(n.n,0)) AS max_n
+        FROM keys k
+        JOIN both_users b ON b.user_id = k.user_id
+        LEFT JOIN old_cnt o ON o.user_id = k.user_id AND o.event_type = k.event_type
+        LEFT JOIN new_cnt n ON n.user_id = k.user_id AND n.event_type = k.event_type
+    """
+
+    # --- dedup / text / similarity ----------------------------------------
+    sql["dedup_exact"] = """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    """
+
+    # MinHash+LSH reproduced relationally: same md5 minhashes, same bands.
+    sql["dedup_minhash_lsh"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w)-1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM toks WHERE len(w) >= 3),
+        sigs AS (
+          SELECT doc_id, shingles,
+                 [list_min(list_transform(shingles, s -> md5(CAST(h AS VARCHAR) || '|' || s)))
+                  FOR h IN range(16)] AS sig
+          FROM sh),
+        bands AS (
+          SELECT doc_id, shingles, b,
+                 md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
+          FROM sigs, unnest(range(4)) AS t(b)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 l.shingles AS sh_a, r.shingles AS sh_b
+          FROM bands l JOIN bands r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
+        SELECT id_a, id_b,
+               ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6) AS jaccard
+        FROM cand
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.3
+    """
+
+    stop = ",".join(f"'{s}'" for s in TXT.STOPWORDS_EN)
+    markers = {k: ",".join(f"'{m}'" for m in v) for k, v in TXT.LANG_MARKERS.items()}
+    sql["text_profile"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        feat AS (
+          SELECT doc_id, text, toks,
+                 len(toks) AS n_tokens,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/len(toks)
+                      ELSE 0.0 END AS atl,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)/length(text)
+                      ELSE 0.0 END AS pr,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, x -> list_contains([{stop}], lower(x)))) AS DOUBLE)/len(toks)
+                      ELSE 0.0 END AS sr,
+                 len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains([{markers['de']}], x))) AS s_de,
+                 len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains([{markers['en']}], x))) AS s_en,
+                 len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains([{markers['es']}], x))) AS s_es,
+                 len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains([{markers['fr']}], x))) AS s_fr,
+                 len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains([{markers['pt']}], x))) AS s_pt
+          FROM t)
+        SELECT doc_id, n_tokens,
+               ROUND(atl, 6) AS avg_token_len,
+               ROUND(pr, 6) AS punct_ratio,
+               ROUND(sr, 6) AS stopword_ratio,
+               ROUND((LEAST(CAST(n_tokens AS DOUBLE)/50.0, 1.0)
+                      + CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END
+                      + (1.0 - LEAST(pr*5.0, 1.0))) / 3.0, 6) AS quality,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_pt) = 0 THEN 'und'
+                    WHEN s_de >= GREATEST(s_en,s_es,s_fr,s_pt) THEN 'de'
+                    WHEN s_en >= GREATEST(s_es,s_fr,s_pt) THEN 'en'
+                    WHEN s_es >= GREATEST(s_fr,s_pt) THEN 'es'
+                    WHEN s_fr >= s_pt THEN 'fr'
+                    ELSE 'pt' END AS lang_pred
+        FROM feat
+    """
+
+    sql["knn_brute_force"] = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, v.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q.qv, v.e)
+                       / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(v.e, v.e))), 6) AS cosine
+          FROM q JOIN v ON v.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    sql["embedding_neardup"] = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               ROUND(list_dot_product(l.e, r.e)
+                     / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))), 6) AS cosine
+        FROM v l JOIN v r ON l.vec_id < r.vec_id
+        WHERE ROUND(list_dot_product(l.e, r.e)
+                    / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))), 6) >= 0.4
+    """
+
+    return sql

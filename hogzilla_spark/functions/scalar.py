@@ -1,0 +1,179 @@
+"""Scalar function library (SURVEY.md §2.8 F1-F15).
+
+All implemented as native Column expressions (JVM-side, codegen-able) —
+no Python UDFs in the hot path.  Semantics match the reference where it
+matters (sentinels, error defaults), with citations.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+# --- F1: humanBytes (HogSFlow.scala:744-752) --------------------------------
+
+_UNITS = ["b", "K", "M", "G", "T", "P"]
+
+def human_bytes(c: Column | str) -> Column:
+    """bytes → "1.5G"-style display string (presentation only).
+
+    Mirrors HogSFlow.humanBytes: log-1024 bucket, one decimal.
+    """
+    c = _col(c).cast("double")
+    exp = F.when(c < 1024, F.lit(0)).otherwise(
+        F.floor(F.log(c) / F.log(F.lit(1024.0)))
+    )
+    exp = F.least(exp, F.lit(len(_UNITS) - 1)).cast("int")
+    unit = F.element_at(F.array(*[F.lit(u) for u in _UNITS]), exp + 1)
+    scaled = c / F.pow(F.lit(1024.0), exp.cast("double"))
+    return F.concat(F.format_number(scaled, 1), unit)
+
+# --- F2: formatIPtoBytes (HogSFlow.scala:715-722, HogEvent.scala:44-58) -----
+
+def ip_to_bytes(c: Column | str) -> Column:
+    """Dotted-quad → 4-byte binary; IPv6 → 255.255.6.6; bogus → 255.255.1.1.
+
+    Keeps the reference's sentinel semantics exactly.
+    """
+    c = _col(c)
+    parts = F.split(c, r"\.")
+    is_v4 = c.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    is_v6 = c.contains(":")
+    def octets_to_bin(o1, o2, o3, o4):
+        # build via conv to hex then unhex for a pure-expression binary
+        hx = F.concat(
+            *[F.lpad(F.conv(o.cast("string"), 10, 16), 2, "0") for o in (o1, o2, o3, o4)]
+        )
+        return F.unhex(hx)
+    v4 = octets_to_bin(
+        # F.get: 0-indexed and null-tolerant under ANSI mode
+        F.get(parts, 0).try_cast("int"),
+        F.get(parts, 1).try_cast("int"),
+        F.get(parts, 2).try_cast("int"),
+        F.get(parts, 3).try_cast("int"),
+    )
+    v6_sentinel = F.unhex(F.lit("FFFF0606"))
+    bogus_sentinel = F.unhex(F.lit("FFFF0101"))
+    return F.when(is_v4, v4).when(is_v6, v6_sentinel).otherwise(bogus_sentinel)
+
+# --- F3: ipSignificantNetwork (HogSFlow.scala:733-742) ----------------------
+
+def ip_significant_network(c: Column | str) -> Column:
+    """Drop the last octet (IPv4) / last hextet (IPv6) → "/24-ish" prefix.
+
+    "10.1.2.3" → "10.1.2."; "a:b::c:d" → "a:b::c:"; other → unchanged.
+    """
+    c = _col(c)
+    v4 = F.regexp_replace(c, r"[^.]*$", "")  # strip text after last '.'
+    v6 = F.regexp_replace(c, r"[^:]*$", "")
+    return (
+        F.when(c.contains("."), v4).when(c.contains(":"), v6).otherwise(c)
+    )
+
+# --- F4/P6: isMyIP prefix test (HogSFlow.scala:725-731) ---------------------
+
+def is_my_ip(c: Column | str, my_nets: list[str]) -> Column:
+    """ip startsWith any(myNets).  For small operator-managed prefix lists
+    this folds to an OR chain of startswith — Catalyst keeps it codegen'd.
+    For large lists use operators.joins.prefix_match_join instead.
+    """
+    c = _col(c)
+    if not my_nets:
+        return F.lit(False)
+    return reduce(or_, [c.startswith(p) for p in my_nets])
+
+# --- F5: log-scale binning (HogSFlow.scala:1791,1898,2009) ------------------
+
+def log_bin(c: Column | str, scale: float = 1.0) -> Column:
+    """floor(ln(x*scale + 1)) — the reference's histogram bucketing."""
+    return F.floor(F.log(_col(c).cast("double") * F.lit(scale) + F.lit(1.0)))
+
+# --- F6: haversine (HogGeograph.scala:35-58) --------------------------------
+
+EARTH_RADIUS_KM = 6371.0
+HAVERSINE_ERROR_SENTINEL = 999999999.0
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km, native trig expressions."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+def haversine_from_coords(c1: Column | str, c2: Column | str) -> Column:
+    """Distance between two "lat,lon" strings; parse failure → 999999999
+    (reference error sentinel, HogGeograph.scala:55-57)."""
+    c1, c2 = _col(c1), _col(c2)
+    def latlon(c):
+        # F.get is null-tolerant (no ANSI out-of-bounds error on bad input)
+        parts = F.split(c, ",")
+        return (
+            F.get(parts, 0).try_cast("double"),
+            F.get(parts, 1).try_cast("double"),
+        )
+    lat1, lon1 = latlon(c1)
+    lat2, lon2 = latlon(c2)
+    d = haversine_km(lat1, lon1, lat2, lon2)
+    return F.coalesce(d, F.lit(HAVERSINE_ERROR_SENTINEL))
+
+# --- F7: MD5 hex (HogStringUtils.scala:32-35) -------------------------------
+
+def md5_hex(c: Column | str) -> Column:
+    return F.md5(_col(c).cast("string"))
+
+# --- F8: accent stripping (HogAuth.scala:299-303) ---------------------------
+
+_ACCENTED = "áàâãäéèêëíìîïóòôõöúùûüçñýÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑÝ"
+_PLAIN = "aaaaaeeeeiiiiooooouuuucnyAAAAAEEEEIIIIOOOOOUUUUCNY"
+
+def strip_accents(c: Column | str) -> Column:
+    """Latin-1-range accent folding via translate (covers the pt-BR data the
+    reference targets; full NFD folding would need a UDF)."""
+    return F.translate(_col(c), _ACCENTED, _PLAIN)
+
+# --- F10: date formatting (HogAuth.scala:236-237) ---------------------------
+
+def format_event_time(epoch_s: Column | str) -> Column:
+    """epoch seconds → "dd/MM/yyyy, HH'h'mm'm'" display format."""
+    t = F.from_unixtime(_col(epoch_s).try_cast("long"))
+    return F.date_format(t, "dd/MM/yyyy, HH'h'mm'm'")
+
+# --- F12: location label (HogAuth.scala:217-226) ----------------------------
+
+def location_label(city: Column | str, region: Column | str, country: Column | str) -> Column:
+    """"city/region/country" with N/A fallbacks for blank components."""
+    def or_na(c):
+        c = _col(c)
+        return F.when(F.trim(c) == "", F.lit("N/A")).otherwise(F.coalesce(c, F.lit("N/A")))
+    return F.concat_ws("/", or_na(city), or_na(region), or_na(country))
+
+# --- F13: numeric parsing with error default (HogSnort.scala:51-74) ---------
+
+def parse_long(c: Column | str, default: int = 0) -> Column:
+    """string → long; unparsable/missing → default (cast yields null →
+    coalesce), matching the reference's try/catch-default converters."""
+    return F.coalesce(_col(c).try_cast("long"), F.lit(default))
+
+def parse_double(c: Column | str, default: float = 0.0) -> Column:
+    return F.coalesce(_col(c).try_cast("double"), F.lit(default))
+
+# --- F14: hex tcpFlags equality (HogSFlow.scala:818-831) --------------------
+
+TCP_SYN = "0x02"
+TCP_SYNACK = "0x12"
+TCP_PSHACK = "0x18"
+TCP_ACK = "0x10"
+
+def tcp_flag_is(c: Column | str, flag: str) -> Column:
+    """Exact string match on the hex literal — the reference compares the
+    raw string, not a bitmask, so so do we."""
+    return _col(c) == F.lit(flag)

@@ -1,0 +1,250 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — all designed
+scale-first:
+
+  - exact: one hash-groupBy on a fingerprint (no full-text shuffle; the
+    md5 is computed map-side and only (hash, id) pairs move).
+  - MinHash+LSH: shingle → K minhashes → B bands; candidate pairs come
+    from a self-join on (band_id, band_hash) buckets, so the shuffle key
+    space is the bucket, never the O(n²) pair space.
+  - hash functions are md5-based and engine-portable: the DuckDB oracle
+    can reproduce every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hogzilla_spark.operators.text import fingerprint
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents:
+    (fp, n_dups, keep_id = min id).  Downstream keeps `keep_id` rows."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per normalized-text fingerprint."""
+    keep = exact_dup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+# --- shingling --------------------------------------------------------------
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams as array<string> ("a b c" style)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(k)]),
+    )
+    return F.array_distinct(sh)
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """K portable minhashes: min over shingles of md5(i || '|' || shingle).
+
+    String-min over hex md5 is a valid uniform minhash (md5 is uniform on
+    hex strings) and — crucially — reproducible in any engine with md5.
+    Returns array<string> of length K (null-free docs only).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+def minhash_bands(sig: Column, num_bands: int = 4, rows_per_band: int = 4) -> Column:
+    """Bands as array<struct<band:int, key:string>>; key = md5 of the
+    band's concatenated minhashes."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.get(sig, b * rows_per_band + r) for r in range(rows_per_band)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH, verified with exact Jaccard.
+
+    Plan shape (scale path): shingle+sign map-side → explode bands →
+    self-join on (band,key) bucket → distinct candidate pairs → exact
+    Jaccard via shingle-set intersect/union on just the candidates.
+    Shuffles are on band buckets and candidate ids — never all-pairs.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min_jaccard.
+    """
+    rows = num_hashes // num_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig = base.select(
+        "id", "sh", minhash_bands(minhash_signature("sh", num_hashes), num_bands, rows).alias("bands")
+    )
+    exploded = sig.select("id", "sh", F.explode("bands").alias("b")).select(
+        "id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[F.col("l.band") == F.col("r.band"), F.col("l.key") == F.col("r.key"),
+                F.col("l.id") < F.col("r.id")],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+# --- SimHash ----------------------------------------------------------------
+
+def simhash64(text: Column | str, bits: int = 32) -> Column:
+    """SimHash over word tokens (default 32-bit for portable arithmetic).
+
+    Per token: h = first 8 hex chars of md5(token) → 32-bit int; each bit
+    votes +1/−1; signature bit j set iff the vote sum > 0.  Pure
+    expressions — conv() for hex→int, bit ops on longs.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != "")
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    def bit_votes(j: int) -> Column:
+        # closure factory: Spark inspects lambda arity, so the bit index
+        # must be bound outside the (acc, h) merge lambda
+        mask = 1 << j
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) > 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(bit_votes(j) > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with block-based candidate generation:
+    split the signature into `blocks` chunks; by pigeonhole, any pair
+    within max_hamming (< blocks) shares at least one exact chunk, so the
+    self-join key is (block_idx, chunk) — never all pairs.
+
+    Returns (id_a, id_b, hamming <= max_hamming).
+    """
+    assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
+    chunk_bits = bits // blocks
+    mask = (1 << chunk_bits) - 1
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col, bits).alias("sig"))
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("sig", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sig", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(r, on=[F.col("l.blk") == F.col("r.blk"), F.col("l.chunk") == F.col("r.chunk"),
+                      F.col("l.id") < F.col("r.id")])
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+# --- embedding near-dup -----------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cos >= min_cosine).
+
+    This is the verification kernel; at 100 TB candidates come from
+    similarity.ann_lsh_buckets first, then this join runs per-bucket.
+    """
+    from hogzilla_spark.operators.similarity import cosine_expr
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    l, r = v.alias("l"), v.alias("r")
+    cos = cosine_expr(F.col("l.v"), F.col("r.v"))
+    return (
+        l.join(r, on=[F.col("l.id") < F.col("r.id")])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, no Python UDFs): at 100 TB these
+run inside whole-stage codegen over the parquet scan with full column
+pruning.  Designed to be oracle-checkable: every function has an exact
+ANSI-SQL equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small multilingual stopword table for the n-gram/stopword heuristics.
+STOPWORDS_EN = [
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty strings filtered (split on runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    c = F.col(text) if isinstance(text, str) else text
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(c) > 0, punct.cast("double") / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    tok = tokens(text)
+    hits = F.size(F.filter(tok, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(tok) > 0, hits.cast("double") / F.size(tok)).otherwise(
+        F.lit(0.0)
+    )
+
+def avg_token_len(text: Column | str) -> Column:
+    tok = tokens(text)
+    total = F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(tok) > 0, total.cast("double") / F.size(tok)).otherwise(
+        F.lit(0.0)
+    )
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0,1]:
+    rewards mid-length docs and normal word lengths, penalizes
+    punctuation soup.  Deterministic, oracle-expressible."""
+    n_tok = token_count(text).cast("double")
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    wl = avg_token_len(text)
+    wordlen_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    return F.round((length_score + wordlen_score + punct_score) / 3.0, 6)
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+# Marker-word tables for the language-ID heuristic: tiny per-language
+# stopword lists; the language with the most token hits wins.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "que", "dans", "pas"],
+    "es": ["el", "los", "las", "es", "una", "para", "que", "por", "con", "del"],
+    "pt": ["o", "os", "as", "e", "um", "uma", "para", "que", "com", "nao"],
+}
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (the scoring half of language ID)."""
+    tok = F.transform(tokens(text), lambda t: F.lower(t))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+    return out
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over lang_scores with deterministic alphabetical tiebreak;
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(text)
+    # build struct array (score, lang) and take max — tiebreak: when equal
+    # scores, the lexicographically LAST lang wins under struct max, so
+    # negate by comparing (score, reversed-rank) instead: use explicit fold.
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # alphabetical; strict > keeps first maximal
+        s = scores[lang]
+        improved = s > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, s).otherwise(best_score)
+    return best_lang
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document text profile (the engine's "documents
+    feature extractor")."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        F.round(avg_token_len(text_col), 6).alias("avg_token_len"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fp"),
+        lang_id(text_col).alias("lang_pred"),
+    )

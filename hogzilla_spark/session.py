@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the same config block is what we would
+ship to a 1000-executor cluster: AQE on (runtime coalescing, skew-join
+splitting, dynamic broadcast), sensible shuffle partitioning, Arrow for
+any pandas exchange.  Nothing here is local-mode-specific except the
+master URL, which callers override in production.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+def get_spark(
+    app_name: str = "hogzilla_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the engine.
+
+    Scale notes (100 TB design intent):
+      - AQE handles post-shuffle coalescing and skew-join splitting, so a
+        static ``shuffle.partitions`` only needs to be an upper bound.
+      - ``autoBroadcastJoinThreshold`` stays at default; dimension tables
+        (mynets, reputation, signatures) are explicitly ``broadcast()``-ed
+        at the call sites so plans do not depend on size estimation.
+      - ``files.maxPartitionBytes`` left at 128m: at 100 TB that is ~800k
+        input splits, which is what a 1000-executor cluster wants.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

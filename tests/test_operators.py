@@ -1,0 +1,112 @@
+"""Join / window / aggregate / dedup / similarity operator tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hogzilla_spark.operators import aggregates as AGG
+from hogzilla_spark.operators import dedup as DD
+from hogzilla_spark.operators import joins as J
+from hogzilla_spark.operators import similarity as SIM
+from hogzilla_spark.operators import text as TXT
+from hogzilla_spark.operators import windows as W
+
+def test_prefix_match_small_list(spark):
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("192.168.0.1",), ("10.20.0.1",)], "ip string"
+    )
+    got = df.filter(J.prefix_match_col("ip", ["10.1.", "192."])).count()
+    assert got == 2
+
+def test_prefix_match_large_list_bisect(spark):
+    # >64 prefixes → pandas-UDF bisect path
+    prefixes = [f"172.{i}." for i in range(100)] + ["10.1."]
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("172.50.1.1",), ("8.8.8.8",), (None,)], "ip string"
+    )
+    got = df.filter(J.prefix_match_col("ip", prefixes)).count()
+    assert got == 2
+
+def test_anti_and_semi_join(spark):
+    big = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k int, v string")
+    dim = spark.createDataFrame([(2,)], "k int")
+    assert J.anti_join(big, dim, ["k"]).count() == 2
+    assert J.semi_join(big, dim, ["k"]).count() == 1
+
+def test_interarrival_drop_largest(spark):
+    # times 0,10,20,30,1000 → gaps 10,10,10,970; drop 1 largest → mean 10
+    rows = [("u", t, i) for i, t in enumerate([0, 10, 20, 30, 1000])]
+    df = spark.createDataFrame(rows, "k string, t long, id long")
+    out = W.interarrival_stats(df, ["k"], "t", "id", drop_largest=1).collect()[0]
+    assert out.n_gaps == 3 and out.mean_interarrival == pytest.approx(10.0)
+
+def test_top_n_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 3, 3)], "g string, v int, id int"
+    )
+    got = W.top_n_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 2).collect()
+    assert [(r.v, r.id) for r in got] == [(5, 1), (5, 2)]
+
+def test_two_level_rollup_pair_count(spark):
+    df = spark.createDataFrame(
+        [("h1", "a", 10), ("h1", "a", 5), ("h1", "b", 1), ("h2", "c", 7)],
+        "myIP string, alienIP string, b long",
+    )
+    out = {
+        r.myIP: (r.bytes, r.pairs)
+        for r in AGG.two_level_rollup(
+            df, ["myIP", "alienIP"], ["myIP"], {"bytes": F.sum("b")}
+        ).collect()
+    }
+    assert out == {"h1": (16, 2), "h2": (7, 1)}
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in DD.dedup_exact(df).collect())
+    assert kept == [1, 3]  # 2 is a normalized dup of 1
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely unrelated text about spark query engines and shuffles here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = DD.minhash_lsh_pairs(df, min_jaccard=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.6
+
+def test_simhash_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely unrelated text about spark query engines and shuffles here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = DD.simhash_pairs(df, max_hamming=3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+def test_knn_self_consistency(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = SIM.knn_brute_force(df, df.filter(F.col("vec_id") == 1), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.collect()]
+    assert got[0] == (2, 1)  # nearest is the 0.9/0.1 vector
+
+def test_text_quality_and_lang(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it was that good for all of the")],
+        "doc_id long, text string",
+    )
+    r = TXT.text_profile(df).collect()[0]
+    assert r.n_tokens == 15
+    assert r.lang_pred == "en"
+    assert 0.0 <= r.quality <= 1.0
+    assert r.stopword_ratio > 0.4
