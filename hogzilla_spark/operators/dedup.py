@@ -108,36 +108,64 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min_jaccard.
     """
     rows = num_hashes // num_bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_k).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sig = base.select(
-        "id", "sh", minhash_bands(minhash_signature("sh", num_hashes), num_bands, rows).alias("bands")
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, shingle_k).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        # shingling feeds three consumers (signatures, and both sides of
+        # the verify join); persist so the scan+shingle work runs once
+        .persist()
     )
-    exploded = sig.select("id", "sh", F.explode("bands").alias("b")).select(
-        "id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    # Materialize each minhash as its own column so the band keys
+    # reference each signature expression exactly once.  (Inlining the
+    # whole array<sig> into every F.get() would make Catalyst evaluate
+    # num_hashes × num_bands transforms per row — a ~16× blowup.)
+    mh_cols = [
+        F.array_min(
+            F.transform("sh", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = base.select("id", "sh", *mh_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    # Buckets carry only (id, band, key): candidate generation shuffles
+    # ids, never shingle arrays — at 100 TB that is the difference
+    # between shuffling ~32 bytes/row and the whole document signature.
+    exploded = sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
     left = exploded.alias("l")
     right = exploded.alias("r")
     cand = (
-        left.join(
-            right,
-            on=[F.col("l.band") == F.col("r.band"), F.col("l.key") == F.col("r.key"),
-                F.col("l.id") < F.col("r.id")],
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        left.join(right, on=["band", "key"])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_sets = base.select("id", "sh")
+    pairs = cand.join(
+        shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.select(
+        pairs.select(
             "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= min_jaccard)
