@@ -275,6 +275,100 @@ def reputation_df(spark: SparkSession) -> DataFrame:
 def mynets_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([("10.1.", "lab net")], "prefix string, description string")
 
+FLOWS_TEST_SCHEMA = (
+    "flow_id string, lower_ip string, upper_ip string, lower_port string, "
+    "upper_port string, src_name string, dst_name string, "
+    "detected_protocol string, host_server_name string, "
+    "bytes long, packets long, avg_packet_size long, "
+    "packets_without_payload long, avg_inter_time long, flow_duration long, "
+    "max_packet_size long, min_packet_size long, "
+    "packet_size_0 long, packet_size_1 long, inter_time_0 long, "
+    "dns_num_queries int, dns_num_answers int, dns_ret_code int, "
+    "dns_bad_packet int, dns_query_type int, dns_rsp_type int, "
+    "ndpi_risk string, event_signature_id string, event_generator_id string, "
+    "event_priority_id string"
+)
+
+def flows_rows() -> list[tuple]:
+    """nDPI flows for the k-means / RF tests: 200 normal DNS flows plus a
+    small identical-feature anomalous group (10 rows, 5 Snort-tagged —
+    enough positives for the RF, still under the 5% taint cap) that the
+    taint selection must find (FIXTURES.md §2)."""
+    rows = []
+    for i in range(200):
+        rows.append((
+            f"1700000000000.{i}", "10.1.0.5", "8.8.8.8", "44000", "53",
+            "10.1.0.5", "8.8.8.8", "5/DNS", "example.com",
+            1000 + (i % 7), 4 + (i % 3), 120 + (i % 5), 1, 50 + (i % 9),
+            2000 + (i % 11), 300, 60, 100, 110, 40 + (i % 5),
+            1, 1, 0, 0, 1, 1,
+            "Safe", "", "", "",
+        ))
+    for i in range(10):
+        tagged = i < 5
+        rows.append((
+            f"1700000000000.{200 + i}", "10.1.0.66", "7.7.7.7", "44001", "53",
+            "10.1.0.66", "7.7.7.7", "5/DNS", "evil.example",
+            90000, 200, 450, 80, 9000, 500000, 1400, 40, 1400, 1400, 9000,
+            40, 0, 3, 5, 16, 0,
+            None, "1" if tagged else "", "1" if tagged else "",
+            "1" if tagged else "",
+        ))
+    return rows
+
+def flows_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(flows_rows(), FLOWS_TEST_SCHEMA)
+
+def auth_rows() -> list[tuple]:
+    """Login records for auth profiling (FIXTURES.md §3): alice has
+    mature state in auth_histograms_df; each scenario isolates one
+    atypicality."""
+    chrome = "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36"
+    base = {
+        "agent": "vpn1", "service": "ssh", "authMethod": "password",
+        "loginFailed": 0, "asn": "AS1",
+    }
+    def rec(user, coords, city, region, country, reverse="", ua=chrome,
+            agent="vpn1", service="ssh", t=1.7e9):
+        return (t, agent, service, reverse, "200.1.2.3", user,
+                base["authMethod"], base["loginFailed"], ua,
+                country, region, city, coords, base["asn"])
+    rows = [
+        # 1: far city (Rio, ~357 km) → cityEvent "C"
+        rec("alice", "-22.90,-43.20", "Rio de Janeiro", "RJ", "Brazil"),
+        # 2: new coords but < 300 km from a known location → no alert
+        rec("alice", "-23.50,-46.60", "Osasco", "SP", "Brazil"),
+        # 3: far city but whitelisted reverse domain → no alert
+        rec("alice", "40.71,-74.00", "New York", "NY", "USA",
+            reverse="mail.google.com"),
+        # 4: novel user-agent family → UAEvent "U"
+        rec("alice", "-23.55,-46.63", "Sao Paulo", "SP", "Brazil",
+            ua="curl/7.79.1"),
+        # 5: unknown user → learn only
+        rec("bob", "48.85,2.35", "Paris", "IDF", "France"),
+        # 6: novel agent/service → systemEvent "S"
+        rec("alice", "-23.55,-46.63", "Sao Paulo", "SP", "Brazil",
+            agent="vpn2", service="rdp"),
+    ]
+    return rows
+
+def auth_df(spark: SparkSession) -> DataFrame:
+    from hogzilla_spark.schemas import AUTHRECORDS
+
+    return spark.createDataFrame(auth_rows(), AUTHRECORDS)
+
+def auth_histograms_df(spark: SparkSession) -> DataFrame:
+    sp = "-23.55,-46.63"
+    rows = [
+        ("HIST20-alice", 20, {sp: 1.0}, {sp: "Sao_Paulo/Brazil"}),
+        ("HIST21-alice", 20, {"Windows/Chrome": 1.0}, {}),
+        ("HIST22-alice", 20, {"vpn1/ssh": 1.0}, {}),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "hist_name string, size long, values map<string,double>, labels map<string,string>",
+    )
+
 def histograms_df(spark: SparkSession) -> DataFrame:
     """Pre-seeded learned state pairing with the stateful scenarios:
     mature histograms for the planted TPs, gates/near-misses exercised

@@ -140,6 +140,42 @@ def strip_accents(c: Column | str) -> Column:
     reference targets; full NFD folding would need a UDF)."""
     return F.translate(_col(c), _ACCENTED, _PLAIN)
 
+# --- F9: user-agent family (HogAuth.scala:293-298) --------------------------
+
+_OS_PATTERNS = [
+    ("Windows", "Windows"),
+    ("Android", "Android"),
+    ("iPhone", "iOS"), ("iPad", "iOS"),
+    ("Mac OS X", "Mac OS X"), ("Macintosh", "Mac OS X"),
+    ("CrOS", "Chrome OS"),
+    ("Linux", "Linux"),
+]
+_BROWSER_PATTERNS = [
+    ("Edg", "Edge"), ("OPR", "Opera"), ("Opera", "Opera"),
+    ("Chrome", "Chrome"), ("Chromium", "Chromium"),
+    ("Firefox", "Firefox"), ("Safari", "Safari"),
+    ("MSIE", "IE"), ("Trident", "IE"), ("curl", "curl"), ("Wget", "Wget"),
+]
+
+def ua_family(c: Column | str) -> Column:
+    """Raw user-agent → "OS/Browser" family label.
+
+    The reference uses uap-scala over uap-core data; that library isn't
+    available here, so this is a deterministic token-match reduction of
+    the same idea (documented divergence — the histogram semantics only
+    need a stable family mapping).  Unknowns → "Other".
+    """
+    c = _col(c)
+    os_col = F.lit("Other")
+    for token, name in reversed(_OS_PATTERNS):
+        os_col = F.when(c.contains(token), F.lit(name)).otherwise(os_col)
+    br_col = F.lit("Other")
+    for token, name in reversed(_BROWSER_PATTERNS):
+        br_col = F.when(c.contains(token), F.lit(name)).otherwise(br_col)
+    return F.when(
+        c.isNull() | (c == ""), F.lit("")
+    ).otherwise(F.concat(os_col, F.lit("/"), br_col))
+
 # --- F10: date formatting (HogAuth.scala:236-237) ---------------------------
 
 def format_event_time(epoch_s: Column | str) -> Column:

@@ -1,0 +1,79 @@
+"""Continuous auth profiling as Structured Streaming (SURVEY.md S17).
+
+The reference polls HBase every 10 s and DELETES each consumed row
+(HogzillaContinuous.scala:53-58, HogAuth.scala:307-308) — destructive
+at-most-once reads.  The engine replaces that with a streaming source +
+checkpoint: exactly-once batch tracking, no destructive reads, same
+10-second micro-batch cadence via processingTime trigger.
+
+Each micro-batch runs the same auth_profile plan as the batch path and
+MERGEs state via foreachBatch — the Spark-idiomatic shape of the
+reference's read-score-merge loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from hogzilla_spark.config import DEFAULT, EngineConfig
+from hogzilla_spark.detectors.auth import auth_profile
+from hogzilla_spark.schemas import AUTHRECORDS
+from hogzilla_spark.state import store
+
+def start_auth_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    alerts_dir: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """File-source streaming: drop auth-record parquet/json files into
+    input_dir; each micro-batch scores against saved state, appends
+    alerts, and merges the per-user histograms.
+
+    trigger: e.g. {"processingTime": "10 seconds"} (reference cadence) or
+    {"availableNow": True} for drain-and-stop (tests).
+    """
+    stream = spark.readStream.schema(AUTHRECORDS).parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        saved = store.load(spark, state_path).persist()
+        alerts, updates = auth_profile(
+            batch_df, saved, cfg.auth, cfg.hist, batch_time=batch_id
+        )
+        alerts.write.mode("append").parquet(alerts_dir)
+        store.save(store.apply_updates(saved, updates), state_path)
+        saved.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "10 seconds"}))
+    return writer.start()
+
+def start_socket_wordcount(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """S18 parity: the reference's skeleton socket word-count
+    (HogzillaStream.scala:56-63) as Structured Streaming; returns the
+    streaming DataFrame for the caller to sink."""
+    from pyspark.sql import functions as F
+
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return (
+        lines.select(F.explode(F.split("value", r"\s+")).alias("word"))
+        .groupBy("word")
+        .count()
+    )

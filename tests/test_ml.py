@@ -1,0 +1,80 @@
+"""ML module tests (M1-M8): z-score recipe, k-means taint selection,
+histogram clustering, RF train/score."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hogzilla_spark import datagen
+from hogzilla_spark.config import DEFAULT
+from hogzilla_spark.ml import kmeans as KM
+from hogzilla_spark.ml import rf as RF
+
+CFG = DEFAULT.ml
+
+def test_zscore_reference_recipe(spark):
+    df = spark.createDataFrame([(0.0,), (10.0,), (20.0,)], "x double")
+    out = KM.zscore_normalize(df, ["x"]).select("z_x").collect()
+    vals = sorted(r.z_x for r in out)
+    # population stdev: sqrt(3*500 - 900)/3 = sqrt(600)/3 ≈ 8.1649
+    assert vals[1] == pytest.approx(0.0)
+    assert vals[2] == pytest.approx(10 / 8.16496580927726)
+
+def test_zscore_constant_column_fallback(spark):
+    # σ≤0 → value−mean (HogDNS.scala:186-189)
+    df = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    out = KM.zscore_normalize(df, ["x"]).select("z_x").collect()
+    assert [r.z_x for r in out] == [0.0, 0.0]
+
+def test_dns_kmeans_finds_planted_cluster(spark):
+    flows = datagen.flows_df(spark)
+    members, cells = KM.dns_kmeans(flows, CFG)
+    got = sorted(r.lower_ip for r in members.select("lower_ip").collect())
+    # only untagged members of the anomalous group; the Snort-tagged one
+    # (dirty=1) is excluded by design
+    assert got and set(got) == {"10.1.0.66"}
+    assert members.count() == 5  # 10 − 5 tagged
+
+def test_histogram_clustering(spark):
+    # two well-separated profiles: web servers (80/443) and ssh servers
+    rows = []
+    for i in range(6):
+        rows.append((f"HIST01-10.1.9.{i}", 100, {"80": 0.6, "443": 0.4}, {}))
+    for i in range(6):
+        rows.append((f"HIST01-10.1.8.{i}", 100, {"22": 1.0}, {}))
+    hists = spark.createDataFrame(
+        rows,
+        "hist_name string, size long, values map<string,double>, labels map<string,string>",
+    )
+    clusters, members = KM.histogram_clustering(hists, ["10.1."], CFG)
+    cl = clusters.collect()
+    # both profile clusters survive the >4-member, >10%-bucket gates
+    assert len(cl) == 2
+    assert sorted(c.size for c in cl) == [6, 6]
+    assert members.count() == 12
+    # members of one cluster sit on their centroid → distance 0
+    assert members.agg(F.max("distance")).collect()[0][0] == pytest.approx(0.0)
+
+def test_rf_label_semantics(spark):
+    flows = datagen.flows_df(spark)
+    lab = RF.label_flows(flows)
+    counts = {r.label: r.cnt for r in lab.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
+    assert counts[0] == 200  # Safe
+    assert counts[1] == 5  # Snort-tagged
+    assert counts[-1] == 5  # unlabeled
+    freq = RF.signature_frequencies(flows).collect()
+    assert [(r.event_generator_id, r.event_signature_id, r.n) for r in freq] == [("1", "1", 5)]
+
+def test_rf_flags_similar_unlabeled(spark):
+    # trainable volume: clone the planted rows into a labeled corpus
+    flows = datagen.flows_df(spark)
+    big = flows  # 200 Safe + 5 snort + 5 unlabeled with identical features
+    flagged = RF.rf_train_score(
+        big,
+        numeric_cols=["bytes", "packets", "flow_duration"],
+        char_cols=["detected_protocol"],
+        cfg=CFG,
+    )
+    got = flagged.select("lower_ip").distinct().collect()
+    # the 5 unlabeled anomalies share features with the Snort-tagged row
+    assert [r.lower_ip for r in got] == ["10.1.0.66"]
+    assert flagged.count() == 5
