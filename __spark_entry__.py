@@ -448,6 +448,65 @@ def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.knn_brute_force(emb, queries, k=5)
 
+def q_u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 set-difference: customers with orders but no urgent ones."""
+    orders = _t(spark, sf_dir, "orders")
+    all_cust = orders.select(F.col("o_custkey").alias("custkey"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # set EXCEPT (subtract), not EXCEPT ALL: a customer with any urgent
+    # order is removed entirely
+    return all_cust.distinct().subtract(urgent.distinct())
+
+def q_u5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (free via Spark SQL, SURVEY §2.7): customers who
+    are both big spenders and BUILDING segment."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (32-bit, pigeonhole-blocked candidates).
+    Non-SQL-expressible hash arithmetic → rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=3)
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets (the 100 TB scale
+    path next to knn_brute_force).  Deterministic planes; rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # fixed pseudo-random hyperplanes (seeded offline, 64-dim)
+    planes = [
+        [(((i * 2654435761 + j * 40503) % 1000) / 500.0 - 1.0) for j in range(64)]
+        for i in range(4)
+    ]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ann_lsh_topk(emb, queries, planes, k=5)
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: synthetic media → Arrow-batched
+    decode/featurize (stubbed codec) → metadata rollup.  Rows-only."""
+    from hogzilla_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, 32)
+    feats = MM.decode_and_featurize(media)
+    return (
+        feats.join(media.select("media_id", "modality"), "media_id")
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+        )
+    )
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4; the synthetic
     embeddings are near-orthogonal, max pairwise cos ≈ 0.51)."""
@@ -488,11 +547,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h2_atypical_keys": q_h2_atypical_keys,
         "h5_merge_decay": q_h5_merge_decay,
         "h6_merge_max": q_h6_merge_max,
+        "u4_except": q_u4_except,
+        "u5_intersect": q_u5_intersect,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "text_profile": q_text_profile,
+        "dedup_simhash": q_simhash_pairs,
         "knn_brute_force": q_knn_brute_force,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
+        "multimodal_features": q_multimodal_features,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -624,6 +688,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
           UNION ALL
           SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < -900)
+    """
+
+    sql["u4_except"] = """
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """
+
+    sql["u5_intersect"] = """
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        INTERSECT
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     """
 
     sql["s6_filtered_scan"] = """

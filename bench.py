@@ -27,6 +27,10 @@ def main() -> None:
     spark = get_spark(app_name="hogzilla_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warm-up outside the timed loop: a tiny action so the
+    # first real query doesn't pay session start + first-job costs
+    spark.range(1).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in E.queries().items():

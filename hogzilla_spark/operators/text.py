@@ -105,16 +105,63 @@ def lang_id(text: Column | str) -> Column:
         best_score = F.when(improved, s).otherwise(best_score)
     return best_lang
 
+def _profile_from_tokens(tok: Column, text: Column) -> list[Column]:
+    """Feature expressions over a PRE-MATERIALIZED token array — the
+    regex tokenization runs once per row instead of once per feature."""
+    n = F.size(tok)
+    nz = n > 0
+    total_len = F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t))
+    atl = F.when(nz, total_len.cast("double") / n).otherwise(F.lit(0.0))
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
+    pr = F.when(F.length(text) > 0, punct.cast("double") / F.length(text)).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    hits = F.size(F.filter(tok, lambda t: F.array_contains(sw, F.lower(t))))
+    sr = F.when(nz, hits.cast("double") / n).otherwise(F.lit(0.0))
+    length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    wordlen_score = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_score = F.lit(1.0) - F.least(pr * 5.0, F.lit(1.0))
+    lower_tok = F.transform(tok, lambda t: F.lower(t))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        s = F.size(F.filter(lower_tok, lambda t: F.array_contains(arr, t)))
+        improved = s > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, s).otherwise(best_score)
+    return [
+        n.alias("n_tokens"),
+        F.round(atl, 6).alias("avg_token_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio"),
+        F.round((length_score + wordlen_score + punct_score) / 3.0, 6).alias("quality"),
+        F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")).alias("fp"),
+        best_lang.alias("lang_pred"),
+    ]
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass per-document text profile (the engine's "documents
-    feature extractor")."""
-    return df.select(
-        "*",
-        token_count(text_col).alias("n_tokens"),
-        F.round(avg_token_len(text_col), 6).alias("avg_token_len"),
-        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"),
-        fingerprint(text_col).alias("fp"),
-        lang_id(text_col).alias("lang_pred"),
+    """Per-document text profile.
+
+    All features are computed inside ONE bound-lambda struct so the
+    tokenization runs exactly once per row — higher-order functions are
+    interpreted, and a plain projection would re-run the regex split per
+    feature (see word_shingles for the same pattern).
+    """
+    text = F.col(text_col)
+    prof = F.get(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda tk: F.struct(
+                *[c for c in _profile_from_tokens(tk, text)]
+            ),
+        ),
+        0,
+    )
+    out = df.withColumn("__prof", prof)
+    fields = [
+        "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio",
+        "quality", "fp", "lang_pred",
+    ]
+    return out.select("*", *[F.col(f"__prof.{f}").alias(f) for f in fields]).drop(
+        "__prof"
     )
