@@ -448,6 +448,34 @@ def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.knn_brute_force(emb, queries, k=5)
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+def q_x1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (free via Spark SQL, SURVEY §2.4 note): per-user event-type
+    matrix with fixed columns."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+def q_x2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over orders (free via Spark SQL): subtotals
+    by (status, priority), by status, and grand total."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_c"),
+    )
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (KMeans coarse quantizer, nprobe=2) — the
+    clustered scale path beside LSH.  Rows-only (iterative ML fit)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ann_ivf_topk(emb, queries, n_lists=8, nprobe=2, k=5)
+
 def q_u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 set-difference: customers with orders but no urgent ones."""
     orders = _t(spark, sf_dir, "orders")
@@ -547,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h2_atypical_keys": q_h2_atypical_keys,
         "h5_merge_decay": q_h5_merge_decay,
         "h6_merge_max": q_h6_merge_max,
+        "x1_pivot": q_x1_pivot,
+        "x2_rollup": q_x2_rollup,
         "u4_except": q_u4_except,
         "u5_intersect": q_u5_intersect,
         "dedup_exact": q_dedup_exact,
@@ -555,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash_pairs,
         "knn_brute_force": q_knn_brute_force,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
     }
@@ -688,6 +719,50 @@ def oracle_sql() -> dict[str, str]:
           SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
           UNION ALL
           SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < -900)
+    """
+
+    sql["x1_pivot"] = """
+        SELECT user_id,
+               SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
+               SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error,
+               SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
+               SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view
+        FROM events GROUP BY user_id
+    """
+
+    sql["x2_rollup"] = """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_c
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """
+
+    # SimHash replicated bit-for-bit: same md5-derived 32-bit token
+    # hashes, same vote rule, same pigeonhole blocks.
+    _sig_terms = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(hs, h -> (h & {1 << j}) > 0)) - len(hs) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(32)
+    )
+    sql["dedup_simhash"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS w
+          FROM documents),
+        hashes AS (
+          SELECT doc_id,
+                 list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+          FROM toks),
+        sigs AS (
+          SELECT doc_id, {_sig_terms} AS sig FROM hashes),
+        chunks AS (
+          SELECT doc_id, sig, b, (sig >> (b*8)) & 255 AS chunk
+          FROM sigs, unnest([0,1,2,3]) AS t(b)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+          FROM chunks l JOIN chunks r ON l.b = r.b AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
+        SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+        FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
     """
 
     sql["u4_except"] = """

@@ -169,7 +169,8 @@ def histogram_clustering(
         .filter(F.col("size") > min_size)
         .filter(is_my_ip("ip", my_nets))
     )
-    if base.isEmpty():
+    n_hosts = base.count()
+    if n_hosts < 2:  # KMeans needs k ≥ 2; nothing to cluster anyway
         empty = base.sparkSession.createDataFrame(
             [], "cluster int, size long, centroid array<double>"
         )
@@ -198,7 +199,7 @@ def histogram_clustering(
     )
     feat = base.select("ip", array_to_vector(vec).alias("features"), vec.alias("arr"))
     model = KMeans(
-        k=min(cfg.hist_k, feat.count()), seed=cfg.seed,
+        k=min(cfg.hist_k, n_hosts), seed=cfg.seed,
         featuresCol="features", predictionCol="cluster",
     ).fit(feat)
     pred = model.transform(feat)

@@ -118,6 +118,58 @@ def ann_lsh_topk(
         .select(query_id_col, "neighbor_id", "cosine", F.col("rk").alias("rank"))
     )
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer buckets the corpus;
+    each query probes its `nprobe` nearest lists and ranks exactly inside
+    them.  At 100 TB the assigned table is persisted partitioned by
+    list_id, so a query touches nprobe partitions instead of the corpus.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    model, assigned = ivf_index(corpus, n_lists, id_col, vec_col, seed)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for lid in np.argsort(d)[:nprobe]:
+            probe_pairs.append((r[0], int(lid)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_pairs, f"{query_id_col} long, list_id int")
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("qv")
+    ).join(F.broadcast(probes), query_id_col)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"), "list_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", F.col("rk").alias("rank"))
+    )
+
 def ivf_index(
     corpus: DataFrame,
     n_lists: int = 16,

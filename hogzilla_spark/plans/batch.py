@@ -198,6 +198,80 @@ def run_and_persist(
     histograms.unpersist()
     return result
 
+def run_full_batch(
+    spark: SparkSession,
+    sflows: DataFrame,
+    mynets: DataFrame,
+    reputation: DataFrame,
+    histograms: DataFrame,
+    flows: DataFrame | None = None,
+    cfg: EngineConfig = DEFAULT,
+    batch_time: int = 0,
+    rf_numeric_cols: list[str] | None = None,
+    rf_char_cols: list[str] | None = None,
+) -> BatchResult:
+    """Complete analytics pass — the engine's Hogzilla.main
+    (src/Hogzilla.scala:39-92): Snort RF → DNS k-means → HTTP k-means →
+    sFlow detectors → HIST01 server-profile clustering.
+
+    `flows` is the nDPI-enriched table (None skips the ML modules, e.g.
+    sFlow-only deployments)."""
+    from hogzilla_spark.detectors.base import SIGNATURES, mk_alert
+    from hogzilla_spark.ml.kmeans import dns_kmeans, http_kmeans, histogram_clustering
+    from hogzilla_spark.ml.rf import rf_train_score
+
+    result = run_sflow_batch(
+        spark, sflows, mynets, reputation, histograms, cfg, batch_time
+    )
+    my_nets = [r.prefix for r in mynets.select("prefix").collect()]
+
+    if flows is not None and not flows.isEmpty():
+        def kmeans_alert(members: DataFrame, sig_key: str) -> DataFrame:
+            return mk_alert(
+                members,
+                SIGNATURES[sig_key],
+                F.col("lower_ip"),
+                F.col("upper_ip"),
+                F.lit(SIGNATURES[sig_key].name),
+                {
+                    "hostname": F.col("host_server_name"),
+                    "clusterLabel": F.concat(
+                        F.lit("("), F.col("cluster"), F.lit(","),
+                        F.col("detected_protocol"), F.lit(")"),
+                    ),
+                },
+                batch_time,
+            )
+
+        dns_members, _ = dns_kmeans(flows, cfg.ml)
+        if not dns_members.isEmpty():
+            result.per_detector["dns_kmeans"] = kmeans_alert(dns_members, "dns_kmeans")
+        http_members, _ = http_kmeans(flows, cfg.ml)
+        if not http_members.isEmpty():
+            result.per_detector["http_kmeans"] = kmeans_alert(http_members, "http_kmeans")
+        if rf_numeric_cols:
+            flagged = rf_train_score(
+                flows, rf_numeric_cols, rf_char_cols or [], cfg.ml
+            )
+            result.per_detector["snort_rf"] = mk_alert(
+                flagged,
+                SIGNATURES["dns_kmeans"],  # id 826000001 (reference collision kept)
+                F.col("lower_ip"),
+                F.col("upper_ip"),
+                F.lit("HZ: Suspicious flow detected by similarity with Snort alerts"),
+                {"src": F.col("src_name"), "dst": F.col("dst_name")},
+                batch_time,
+            )
+        for name in ("dns_kmeans", "http_kmeans", "snort_rf"):
+            if name in result.per_detector:
+                result.alerts = result.alerts.unionByName(result.per_detector[name])
+
+    # M4/M6: server-profile clustering over the saved HIST01 state
+    clusters, members = histogram_clustering(histograms, my_nets, cfg.ml)
+    result.per_detector["hist_clusters"] = clusters
+    result.per_detector["hist_cluster_members"] = members
+    return result
+
 def main() -> None:
     """CLI: run one full batch over the built-in fixtures (or a parquet
     dir via --sflows) and print per-detector alert counts.
