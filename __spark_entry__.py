@@ -542,6 +542,121 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_neardup_pairs(emb, min_cosine=0.4)
 
 # ---------------------------------------------------------------------------
+# hz-core: the engine's own rollup/detector pipeline, oracle-checked by
+# synthesizing deterministic sflow packets from the events table
+# ---------------------------------------------------------------------------
+
+def _synth_sflows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → sflow-shaped packets (pure deterministic mapping): each
+    event is one sampled packet between a per-user internal host and a
+    per-type alien service; direction alternates on event_id parity."""
+    ev = _t(spark, sf_dir, "events")
+    internal = F.concat(F.lit("10.1.0."), (F.col("user_id") % 250).cast("string"))
+    external = F.concat(F.lit("8.8.8."), (F.col("user_id") % 250).cast("string"))
+    outbound = F.col("event_id") % 2 == 0
+    svc_port = (
+        F.when(F.col("event_type") == "click", "53")
+        .when(F.col("event_type") == "view", "80")
+        .when(F.col("event_type") == "error", "25")
+        .when(F.col("event_type") == "purchase", "443")
+        .otherwise("9999")
+    )
+    flags = (
+        F.when(F.col("event_type") == "error", "0x02")
+        .when(F.col("event_type") == "purchase", "0x12")
+        .when(F.col("event_type") == "view", "0x18")
+        .otherwise("0x00")
+    )
+    return ev.select(
+        F.when(outbound, internal).otherwise(external).alias("srcIP"),
+        F.when(outbound, F.lit("40000")).otherwise(svc_port).alias("srcPort"),
+        F.when(outbound, external).otherwise(internal).alias("dstIP"),
+        F.when(outbound, svc_port).otherwise(F.lit("40000")).alias("dstPort"),
+        F.when(F.col("event_type") == "click", "17").otherwise("6").alias("IPprotocol"),
+        _cents(F.col("value")).alias("packetSize"),
+        F.lit(1024).cast("long").alias("samplingRate"),
+        flags.alias("tcpFlags"),
+        F.expr("ts div 1000000000").alias("timestamp"),
+    )
+
+_SYNTH_SQL = """
+        packets AS (
+          SELECT CASE WHEN event_id % 2 = 0 THEN '10.1.0.' || CAST(user_id % 250 AS VARCHAR)
+                      ELSE '8.8.8.' || CAST(user_id % 250 AS VARCHAR) END AS srcIP,
+                 CASE WHEN event_id % 2 = 0 THEN '40000' ELSE
+                      CASE event_type WHEN 'click' THEN '53' WHEN 'view' THEN '80'
+                           WHEN 'error' THEN '25' WHEN 'purchase' THEN '443' ELSE '9999' END END AS srcPort,
+                 CASE WHEN event_id % 2 = 0 THEN '8.8.8.' || CAST(user_id % 250 AS VARCHAR)
+                      ELSE '10.1.0.' || CAST(user_id % 250 AS VARCHAR) END AS dstIP,
+                 CASE WHEN event_id % 2 = 0 THEN
+                      CASE event_type WHEN 'click' THEN '53' WHEN 'view' THEN '80'
+                           WHEN 'error' THEN '25' WHEN 'purchase' THEN '443' ELSE '9999' END
+                      ELSE '40000' END AS dstPort,
+                 CASE WHEN event_type = 'click' THEN '17' ELSE '6' END AS IPprotocol,
+                 CAST(ROUND(value*100) AS BIGINT) AS packetSize,
+                 1024 AS samplingRate,
+                 CASE event_type WHEN 'error' THEN '0x02' WHEN 'purchase' THEN '0x12'
+                      WHEN 'view' THEN '0x18' ELSE '0x00' END AS tcpFlags,
+                 epoch_ms(ts) // 1000 AS ts_s
+          FROM events),
+        oriented AS (
+          SELECT CASE WHEN starts_with(srcIP,'10.1.') THEN srcIP ELSE dstIP END AS myIP,
+                 CASE WHEN starts_with(srcIP,'10.1.') THEN srcPort ELSE dstPort END AS myPort,
+                 CASE WHEN starts_with(srcIP,'10.1.') THEN dstIP ELSE srcIP END AS alienIP,
+                 CASE WHEN starts_with(srcIP,'10.1.') THEN dstPort ELSE srcPort END AS alienPort,
+                 CASE WHEN IPprotocol='6' THEN 'TCP' ELSE 'UDP' END AS proto,
+                 CASE WHEN starts_with(srcIP,'10.1.') THEN packetSize ELSE 0 END AS bytesUp,
+                 CASE WHEN starts_with(srcIP,'10.1.') THEN 0 ELSE packetSize END AS bytesDown,
+                 (CASE WHEN starts_with(srcIP,'10.1.') THEN 1 ELSE -1 END) *
+                 (CASE WHEN IPprotocol='6' THEN
+                     CASE WHEN tcpFlags='0x02' THEN 1 WHEN tcpFlags='0x12' THEN -1
+                          ELSE CASE WHEN TRY_CAST(dstPort AS INTEGER) < 1024 THEN 1
+                                    WHEN TRY_CAST(srcPort AS INTEGER) < 1024 THEN -1
+                                    ELSE 0 END END
+                   ELSE 0 END) AS dirvote,
+                 CASE WHEN IPprotocol='6' AND (tcpFlags='0x12' OR tcpFlags='0x18'
+                      OR (tcpFlags='0x10' AND starts_with(srcIP,'10.1.'))) THEN 1 ELSE 0 END AS status,
+                 ts_s, IPprotocol, samplingRate
+          FROM packets),
+        summary AS (
+          SELECT myIP, myPort, alienIP, alienPort, proto,
+                 SUM(bytesUp) AS bytesUp, SUM(bytesDown) AS bytesDown,
+                 COUNT(*) AS numberPkts, SUM(dirvote) AS direction,
+                 MIN(ts_s) AS beginTime, MAX(ts_s) AS endTime,
+                 AVG(CAST(samplingRate AS DOUBLE)) AS sampleRate,
+                 SUM(status) AS status
+          FROM oriented WHERE IPprotocol IN ('6','17')
+          GROUP BY myIP, myPort, alienIP, alienPort, proto)
+"""
+
+def q_hz_sflow_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's A1 canonical rollup + P7 orientation when-chain run
+    end-to-end (operators/rollup.py) against a full SQL replication —
+    direct correctness evidence for the detector core."""
+    from hogzilla_spark.operators.rollup import sflow_summary
+
+    return sflow_summary(_synth_sflows(spark, sf_dir), ["10.1."])
+
+def q_hz_dns_tunnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL detector (826001012, detectors/sflow.dns_tunnel) scored
+    against a SQL oracle: per-flow double-sided volume filter, per-host
+    rollup, deterministic top-30."""
+    from hogzilla_spark.config import SFlowConfig
+    from hogzilla_spark.detectors.sflow import dns_tunnel
+    from hogzilla_spark.operators.rollup import sflow_summary
+
+    cfg = SFlowConfig(dns_tunnel_min_bytes=1_000_000)
+    summary = sflow_summary(_synth_sflows(spark, sf_dir), ["10.1."])
+    alerts = dns_tunnel(summary, ["10.1."], cfg)
+    return alerts.select(
+        F.col("lower_ip_str").alias("hostname"),
+        F.element_at("data", "bytesUp").try_cast("long").alias("bytes_up"),
+        F.element_at("data", "bytesDown").try_cast("long").alias("bytes_down"),
+        F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
+        F.element_at("data", "connections").try_cast("long").alias("connections"),
+    )
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -588,6 +703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
+        "hz_sflow_summary": q_hz_sflow_summary,
+        "hz_dns_tunnel": q_hz_dns_tunnel,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1011,6 +1128,30 @@ def oracle_sql() -> dict[str, str]:
         FROM v l JOIN v r ON l.vec_id < r.vec_id
         WHERE ROUND(list_dot_product(l.e, r.e)
                     / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))), 6) >= 0.4
+    """
+
+    sql["hz_sflow_summary"] = "WITH " + _SYNTH_SQL + """
+        SELECT * FROM summary
+    """
+
+    sql["hz_dns_tunnel"] = "WITH " + _SYNTH_SQL + """
+        , hits AS (
+          SELECT * FROM summary
+          WHERE alienPort = '53' AND proto = 'UDP'
+            AND bytesUp * sampleRate > 1000000
+            AND bytesDown * sampleRate > 1000000
+            AND NOT starts_with(alienIP, '10.1.')),
+        hosts AS (
+          SELECT myIP, SUM(bytesUp) AS bytesUp, SUM(bytesDown) AS bytesDown,
+                 SUM(numberPkts) AS number_pkts, COUNT(*) AS connections,
+                 AVG(sampleRate) AS rate
+          FROM hits GROUP BY myIP
+          ORDER BY SUM(bytesUp) + SUM(bytesDown) DESC, myIP LIMIT 30)
+        SELECT myIP AS hostname,
+               CAST(bytesUp * rate AS BIGINT) AS bytes_up,
+               CAST(bytesDown * rate AS BIGINT) AS bytes_down,
+               number_pkts, connections
+        FROM hosts
     """
 
     return sql

@@ -1,0 +1,150 @@
+"""Property tests (SURVEY.md §5 item 4): histogram-merge invariants,
+orientation involution, purge boundary conditions.
+
+One Spark job evaluates a whole hypothesis batch (row-per-example), so
+examples are cheap.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from hogzilla_spark.operators import histogram as H
+from hogzilla_spark.plans.prepare import TIME_UNIT_MS, flows_keep_predicate
+
+weights = st.dictionaries(
+    st.sampled_from([str(p) for p in (22, 25, 53, 80, 443, 8080)]),
+    st.floats(min_value=1e-6, max_value=1.0, allow_nan=False),
+    min_size=1,
+    max_size=4,
+).map(lambda d: {k: v / sum(d.values()) for k, v in d.items()})  # normalize
+
+@st.composite
+def hist_pairs(draw):
+    return (
+        draw(weights),
+        draw(st.integers(min_value=1, max_value=5000)),
+        draw(weights),
+        draw(st.integers(min_value=1, max_value=5000)),
+    )
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(hist_pairs(), min_size=1, max_size=8))
+def test_merge_preserves_distribution(spark, cases):
+    """Merged share-normalized histograms stay distributions: weights in
+    [0,1], total ≈ 1 (Histograms.merge is a convex combination)."""
+    df = spark.createDataFrame(
+        cases,
+        "old map<string,double>, n1 long, new map<string,double>, n2 long",
+    )
+    rows = df.select(
+        H.merge_histograms("old", "n1", "new", "n2").alias("m"),
+        H.merged_size("n1", "n2").alias("s"),
+        "n1", "n2",
+    ).collect()
+    for r in rows:
+        total = sum(r.m.values())
+        assert all(0.0 <= v <= 1.0 + 1e-9 for v in r.m.values())
+        assert math.isclose(total, 1.0, rel_tol=1e-9)
+        # size arithmetic: decay halves old size past 1000
+        n1_eff = r.n1 // 2 if r.n1 > 1000 else r.n1
+        assert r.s == n1_eff + r.n2
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(hist_pairs(), min_size=1, max_size=8))
+def test_merge_max_pointwise_bound(spark, cases):
+    """mergeMax dominates both inputs pointwise and introduces no keys."""
+    df = spark.createDataFrame(
+        cases,
+        "old map<string,double>, n1 long, new map<string,double>, n2 long",
+    )
+    rows = df.select("old", "new", H.merge_max("old", "new").alias("m")).collect()
+    for r in rows:
+        keys = set(r.old) | set(r.new)
+        assert set(r.m) == keys
+        for k in keys:
+            assert math.isclose(
+                r.m[k], max(r.old.get(k, 0.0), r.new.get(k, 0.0)), rel_tol=1e-12
+            )
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(hist_pairs(), min_size=1, max_size=8))
+def test_atypical_typical_partition_new_keys(spark, cases):
+    """atypical(old,new) ∪ typical(old,new) = keys(new) with weight>ε,
+    and the two sets are disjoint (Histograms.scala:39-82)."""
+    df = spark.createDataFrame(
+        cases,
+        "old map<string,double>, n1 long, new map<string,double>, n2 long",
+    )
+    rows = df.select(
+        "old", "new",
+        H.atypical_keys("old", "new").alias("a"),
+        H.typical_keys("old", "new").alias("t"),
+    ).collect()
+    for r in rows:
+        a, t = set(r.a), set(r.t)
+        expect = {k for k, v in r.new.items() if v > H.EPSILON}
+        assert a | t == expect
+        assert not (a & t)
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["10.1.0.5", "10.1.9.9"]),  # internal side
+            st.sampled_from(["80", "443", "12345", "53"]),
+            st.sampled_from(["8.8.8.8", "7.7.7.7"]),  # external side
+            st.sampled_from(["40000", "25", "9999"]),
+            st.sampled_from(["6", "17"]),
+            st.integers(min_value=1, max_value=10000),
+            st.sampled_from(["0x00", "0x02", "0x12", "0x18", "0x10"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_orientation_packet_reversal_merges(spark, pkts):
+    """Sending every internal↔external packet twice — once as-is and once
+    with src/dst swapped — lands both copies in the SAME oriented
+    5-tuple (orientation involution).  Only holds when exactly one side
+    is internal: internal↔internal traffic keys per-direction, by design
+    (matching the reference, HogSFlow.scala:847-866 — hypothesis found
+    that edge on the unconstrained strategy)."""
+    from hogzilla_spark.operators.rollup import sflow_summary
+
+    rows = []
+    for src, sp, dst, dp, proto, size, flags in pkts:
+        rows.append((src, sp, dst, dp, proto, size, 1, flags, 1000))
+        rows.append((dst, dp, src, sp, proto, size, 1, flags, 1000))
+    df = spark.createDataFrame(
+        rows,
+        "srcIP string, srcPort string, dstIP string, dstPort string, "
+        "IPprotocol string, packetSize long, samplingRate long, "
+        "tcpFlags string, timestamp long",
+    )
+    out = sflow_summary(df, ["10.1."]).collect()
+    for r in out:
+        # each tuple's byte total equals its packet-size sum, split
+        # across up/down; no packet can vanish or double-count
+        assert r.bytesUp + r.bytesDown > 0
+        assert r.numberPkts >= 2
+    total_bytes = sum(r.bytesUp + r.bytesDown for r in out)
+    assert total_bytes == 2 * sum(p[5] for p in pkts)
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=120 * TIME_UNIT_MS),
+    st.sampled_from(["", "1", "2"]),
+)
+def test_purge_boundaries(spark, age_ms, prio):
+    """flows keep-predicate matches the reference's three retention
+    zones at every age, including exact boundaries."""
+    now = 200 * TIME_UNIT_MS
+    ts = now - age_ms
+    df = spark.createDataFrame(
+        [("x", ts, prio)], "flow_id string, first_seen long, event_priority_id string"
+    )
+    kept = df.filter(flows_keep_predicate(now)).count() == 1
+    expect = (age_ms <= TIME_UNIT_MS) or (age_ms <= 100 * TIME_UNIT_MS and prio == "1")
+    assert kept == expect
