@@ -36,3 +36,12 @@ def test_sflows_purge_one_unit(spark):
     )
     kept = [r.k for r in purge_sflows(df, now_s).collect()]
     assert kept == ["new"]
+
+def test_initiate_sensor_upsert(spark):
+    from hogzilla_spark.plans.initiate import sensor_upsert
+
+    t1 = sensor_upsert(spark, None, 1, "edge sensor", "probe-a")
+    t2 = sensor_upsert(spark, t1, 2, "core sensor", "probe-b")
+    t3 = sensor_upsert(spark, t2, 1, "edge sensor v2", "probe-a2")  # replace
+    rows = {r.sensor_id: (r.description, r.hostname) for r in t3.collect()}
+    assert rows == {1: ("edge sensor v2", "probe-a2"), 2: ("core sensor", "probe-b")}
