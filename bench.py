@@ -27,9 +27,13 @@ def main() -> None:
     spark = get_spark(app_name="hogzilla_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up outside the timed loop: a tiny action so the
-    # first real query doesn't pay session start + first-job costs
+    # JVM/codegen/parquet-reader warm-up outside the timed loop so the
+    # first real query doesn't pay one-time class-loading costs
     spark.range(1).count()
+    try:
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -45,6 +45,13 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     if len(sdf) != len(odf):
         problems.append(f"rowcount: spark={len(sdf)} oracle={len(odf)}")
+    # dtype-family mismatches (int vs float) would change the driver's
+    # value hashes even when numerically equal — flag them
+    for c in sorted(sdf.columns):
+        skind = sdf[c].dtype.kind if hasattr(sdf[c].dtype, "kind") else "O"
+        okind = odf[c].dtype.kind if hasattr(odf[c].dtype, "kind") else "O"
+        if {skind, okind} == {"i", "f"}:
+            problems.append(f"dtype family: col {c} spark={sdf[c].dtype} oracle={odf[c].dtype}")
     s, o = canon(sdf), canon(odf)
     if len(s) == len(o):
         for c in s.columns:
