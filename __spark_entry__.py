@@ -372,11 +372,27 @@ def q_h1_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_h2_atypical_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2 atypical-key extraction (Histograms.scala:39-59): behaviors in
-    the new batch absent from learned state; exploded to rows."""
-    joined = _user_hists(spark, sf_dir)
+    the new batch absent from learned state.  Buckets are
+    (event_type : value-band) so the new half genuinely contains novel
+    keys (~2.4k at sf0.01) — event_type alone never changes per user."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.concat(
+            F.col("event_type"), F.lit(":"),
+            F.floor(F.col("value") / 10).cast("long").cast("string"),
+        ).alias("bucket"),
+        _ev_ms().alias("t_ms"),
+    )
+    old = H.build_histogram(
+        ev.filter(F.col("t_ms") < _SPLIT_MS), "user_id", "bucket"
+    ).withColumnsRenamed({"values": "old_values", "size": "old_size"})
+    new = H.build_histogram(
+        ev.filter(F.col("t_ms") >= _SPLIT_MS), "user_id", "bucket"
+    ).withColumnsRenamed({"values": "new_values", "size": "new_size"})
+    joined = old.join(new, "user_id", "inner")
     return joined.select(
         "user_id",
-        F.explode(H.atypical_keys("old_values", "new_values")).alias("event_type"),
+        F.explode(H.atypical_keys("old_values", "new_values")).alias("bucket"),
     )
 
 def q_h5_merge_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,11 +1003,31 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY b.user_id
     """
 
-    sql["h2_atypical_keys"] = hist_cte + f"""
-        SELECT n.user_id, n.event_type
+    sql["h2_atypical_keys"] = f"""
+        WITH ev AS (
+          SELECT user_id,
+                 event_type || ':' || CAST(CAST(FLOOR(value/10) AS BIGINT) AS VARCHAR) AS bucket,
+                 epoch_ms(ts) AS t_ms FROM events),
+        old_cnt AS (
+          SELECT user_id, bucket, COUNT(*)::DOUBLE AS n FROM ev
+          WHERE t_ms < 1705276800000 GROUP BY user_id, bucket),
+        new_cnt AS (
+          SELECT user_id, bucket, COUNT(*)::DOUBLE AS n FROM ev
+          WHERE t_ms >= 1705276800000 GROUP BY user_id, bucket),
+        old_tot AS (SELECT user_id, SUM(n) AS tot FROM old_cnt GROUP BY user_id),
+        new_tot AS (SELECT user_id, SUM(n) AS tot FROM new_cnt GROUP BY user_id),
+        old_sh AS (
+          SELECT o.user_id, o.bucket, o.n / t.tot AS p
+          FROM old_cnt o JOIN old_tot t ON o.user_id = t.user_id),
+        new_sh AS (
+          SELECT o.user_id, o.bucket, o.n / t.tot AS p
+          FROM new_cnt o JOIN new_tot t ON o.user_id = t.user_id),
+        both_users AS (
+          SELECT DISTINCT o.user_id FROM old_tot o JOIN new_tot n ON o.user_id = n.user_id)
+        SELECT n.user_id, n.bucket
         FROM new_sh n
         JOIN both_users b ON b.user_id = n.user_id
-        LEFT JOIN old_sh o ON o.user_id = n.user_id AND o.event_type = n.event_type
+        LEFT JOIN old_sh o ON o.user_id = n.user_id AND o.bucket = n.bucket
         WHERE n.p > {eps} AND COALESCE(o.p, 0) <= {eps}
     """
 
