@@ -75,6 +75,11 @@ class SFlowConfig:
     top_talkers_min_bytes: int = 20 * 1024 * 1024 * 1024
     # per-detector excluded IPs (general.excludeIPs ++ <detector>.excludeIPs)
     excluded_ips: frozenset[str] = frozenset()
+    # <detector>.disabled flags (HogSFlow.scala:155-172): a disabled
+    # detector is skipped entirely by the batch DAG (the reference's
+    # disabled=1 "train-only" mode maps to state-only detectors keeping
+    # their updates; stateless ones simply skip)
+    disabled: frozenset[str] = frozenset()
 
 @dataclass(frozen=True)
 class AuthConfig:

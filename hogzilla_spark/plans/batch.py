@@ -75,10 +75,14 @@ def run_sflow_batch(
         r.prefix for r in rep_list("BigProvider", "whitelist").collect()
     ]
 
+    def enabled(name: str) -> bool:
+        return name not in scfg.disabled
+
     per: dict[str, DataFrame] = {}
-    per["smtp_talkers"] = D.smtp_talkers(
-        summary, my_nets, scfg, histograms, batch_time
-    )
+    if enabled("smtp_talkers"):
+        per["smtp_talkers"] = D.smtp_talkers(
+            summary, my_nets, scfg, histograms, batch_time
+        )
     p2p_alerts, p2p_ips = D.p2p_talkers(
         summary, my_nets, scfg, ftp_pairs, ftp_ips, batch_time
     )
@@ -87,18 +91,26 @@ def run_sflow_batch(
         summary, my_nets, scfg, p2p_ips, batch_time
     )
     per["media_client"] = media_alerts
-    per["dns_tunnel"] = D.dns_tunnel(summary, my_nets, scfg, batch_time)
-    per["icmp_tunnel"] = D.icmp_tunnel(icmp, scfg, batch_time)
-    per["udp_amplifier"] = D.udp_amplifier(summary, my_nets, scfg, batch_time)
-    per["abused_smtp"] = D.abused_smtp(summary, my_nets, scfg, batch_time)
-    per["alien_many_hosts"] = D.alien_accessing_many_hosts(
-        summary, my_nets, scfg, batch_time
-    )
-    per["cc_botnet"] = D.cc_botnet(
-        summary, rep_list("CCBotNet", "blacklist"), scfg, batch_time
-    )
-    per["ddos"] = D.ddos_attack(summary, my_nets, scfg, p2p_ips, batch_time)
-    per["top_talkers"] = D.top_talkers(summary, my_nets, scfg, batch_time)
+    if enabled("dns_tunnel"):
+        per["dns_tunnel"] = D.dns_tunnel(summary, my_nets, scfg, batch_time)
+    if enabled("icmp_tunnel"):
+        per["icmp_tunnel"] = D.icmp_tunnel(icmp, scfg, batch_time)
+    if enabled("udp_amplifier"):
+        per["udp_amplifier"] = D.udp_amplifier(summary, my_nets, scfg, batch_time)
+    if enabled("abused_smtp"):
+        per["abused_smtp"] = D.abused_smtp(summary, my_nets, scfg, batch_time)
+    if enabled("alien_many_hosts"):
+        per["alien_many_hosts"] = D.alien_accessing_many_hosts(
+            summary, my_nets, scfg, batch_time
+        )
+    if enabled("cc_botnet"):
+        per["cc_botnet"] = D.cc_botnet(
+            summary, rep_list("CCBotNet", "blacklist"), scfg, batch_time
+        )
+    if enabled("ddos"):
+        per["ddos"] = D.ddos_attack(summary, my_nets, scfg, p2p_ips, batch_time)
+    if enabled("top_talkers"):
+        per["top_talkers"] = D.top_talkers(summary, my_nets, scfg, batch_time)
 
     # stateful suite
     at_alerts, at_updates, new_proxies = S.atypical_tcp_port(
