@@ -564,6 +564,29 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return DD.embedding_neardup_pairs(emb, min_cosine=0.4)
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py — the time-series enrichment join
+    Spark lacks natively): each click event enriched with the user's
+    most recent purchase at-or-before it, checked against DuckDB's
+    native ASOF JOIN."""
+    from hogzilla_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", _ev_ms().alias("t_ms")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", _ev_ms().alias("t_ms"), "value"
+    )
+    out = asof_join(clicks, purchases, ["user_id"], "t_ms", "t_ms", ["value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        "t_ms",
+        F.col("t_ms_asof"),
+        _cents(F.col("value_asof")).alias("purchase_c"),
+    )
+
 # ---------------------------------------------------------------------------
 # hz-core: the engine's own rollup/detector pipeline, oracle-checked by
 # synthesizing deterministic sflow packets from the events table
@@ -728,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
+        "asof_join": q_asof_join,
         "hz_sflow_summary": q_hz_sflow_summary,
         "hz_dns_tunnel": q_hz_dns_tunnel,
     }
@@ -1173,6 +1197,20 @@ def oracle_sql() -> dict[str, str]:
         FROM v l JOIN v r ON l.vec_id < r.vec_id
         WHERE ROUND(list_dot_product(l.e, r.e)
                     / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))), 6) >= 0.4
+    """
+
+    sql["asof_join"] = """
+        WITH clicks AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS t_ms FROM events
+          WHERE event_type = 'click'),
+        purchases AS (
+          SELECT user_id, epoch_ms(ts) AS t_ms, value FROM events
+          WHERE event_type = 'purchase')
+        SELECT c.user_id, c.event_id, c.t_ms,
+               p.t_ms AS t_ms_asof,
+               CAST(ROUND(p.value*100) AS BIGINT) AS purchase_c
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.t_ms >= p.t_ms
     """
 
     sql["hz_sflow_summary"] = "WITH " + _SYNTH_SQL + """

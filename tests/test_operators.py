@@ -110,3 +110,30 @@ def test_text_quality_and_lang(spark):
     assert r.lang_pred == "en"
     assert 0.0 <= r.quality <= 1.0
     assert r.stopword_ratio > 0.4
+
+def test_asof_join_semantics(spark):
+    from hogzilla_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10), ("u1", 25), ("u1", 5), ("u2", 50)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, 1.0), ("u1", 20, 2.0), ("u1", 10, 1.5), ("u2", 60, 9.9)],
+        "k string, t long, price double",
+    )
+    out = {(r.k, r.t): (r.t_asof, r.price_asof)
+           for r in asof_join(left, right, ["k"], "t", "t", ["price"]).collect()}
+    assert out[("u1", 5)] == (None, None)      # nothing before
+    assert out[("u1", 10)] == (10, 1.5)        # equal ts is eligible (<=)
+    assert out[("u1", 25)] == (20, 2.0)        # latest prior wins
+    assert out[("u2", 50)] == (None, None)     # right row is in the future
+
+def test_asof_join_tolerance(spark):
+    from hogzilla_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u1", 100)], "k string, t long")
+    right = spark.createDataFrame([("u1", 10, 7.0)], "k string, t long, price double")
+    near = asof_join(left, right, ["k"], "t", "t", ["price"], tolerance=100).collect()[0]
+    far = asof_join(left, right, ["k"], "t", "t", ["price"], tolerance=50).collect()[0]
+    assert near.price_asof == 7.0
+    assert far.price_asof is None  # 90 > 50 lookback
