@@ -564,6 +564,47 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return DD.embedding_neardup_pairs(emb, min_cosine=0.4)
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed range join (operators/rangejoin.py): orders matched
+    to price bands — equi-join on (key, bin) + residual instead of a
+    nested-loop inequality join."""
+    from hogzilla_spark.operators.rangejoin import range_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.lit("all").alias("seg"), F.col("o_totalprice").alias("price")
+    )
+    bands = spark.createDataFrame(
+        [("all", 0.0, 50_000.0, "small"),
+         ("all", 50_000.0, 200_000.0, "mid"),
+         ("all", 200_000.0, 1_000_000.0, "large")],
+        "seg string, lo double, hi double, band string",
+    )
+    out = range_join(orders, bands, ["seg"], "price", "lo", "hi", bin_width=25_000)
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("price"))).alias("total_c"),
+    )
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed continuous aggregate (TimescaleDB time_bucket
+    semantics): daily per-event-type rollup of the events stream."""
+    from hogzilla_spark.operators.rangejoin import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _ev_ms().alias("t_ms"), "value"
+    )
+    return hypertable_rollup(
+        ev,
+        "t_ms",
+        width_s=86400,
+        dims=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_value_c": F.sum(_cents(F.col("value"))),
+        },
+        epoch_unit="ms",
+    )
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — the time-series enrichment join
     Spark lacks natively): each click event enriched with the user's
@@ -751,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
+        "range_join": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
         "asof_join": q_asof_join,
         "hz_sflow_summary": q_hz_sflow_summary,
         "hz_dns_tunnel": q_hz_dns_tunnel,
@@ -1197,6 +1240,25 @@ def oracle_sql() -> dict[str, str]:
         FROM v l JOIN v r ON l.vec_id < r.vec_id
         WHERE ROUND(list_dot_product(l.e, r.e)
                     / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))), 6) >= 0.4
+    """
+
+    sql["range_join"] = """
+        SELECT band, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        FROM orders
+        JOIN (VALUES (0.0, 50000.0, 'small'),
+                     (50000.0, 200000.0, 'mid'),
+                     (200000.0, 1000000.0, 'large')) b(lo, hi, band)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """
+
+    sql["hypertable_rollup"] = """
+        SELECT (epoch_ms(ts) // 1000) - ((epoch_ms(ts) // 1000) % 86400) AS bucket_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM events GROUP BY 1, 2
     """
 
     sql["asof_join"] = """

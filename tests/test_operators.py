@@ -137,3 +137,31 @@ def test_asof_join_tolerance(spark):
     far = asof_join(left, right, ["k"], "t", "t", ["price"], tolerance=50).collect()[0]
     assert near.price_asof == 7.0
     assert far.price_asof is None  # 90 > 50 lookback
+
+def test_range_join_binning(spark):
+    from hogzilla_spark.operators.rangejoin import range_join
+
+    probe = spark.createDataFrame(
+        [("k", 5.0, 1), ("k", 15.0, 2), ("k", 25.0, 3), ("k", 99.0, 4)],
+        "seg string, x double, id int",
+    )
+    intervals = spark.createDataFrame(
+        [("k", 0.0, 10.0, "a"), ("k", 10.0, 30.0, "b")],
+        "seg string, lo double, hi double, label string",
+    )
+    out = {r.id: r.label for r in range_join(
+        probe, intervals, ["seg"], "x", "lo", "hi", bin_width=7
+    ).collect()}
+    assert out == {1: "a", 2: "b", 3: "b"}  # 99.0 matches nothing; hi exclusive
+
+def test_hypertable_rollup_buckets(spark):
+    import pyspark.sql.functions as F
+    from hogzilla_spark.operators.rangejoin import hypertable_rollup
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 59), ("a", 61), ("b", 10)], "k string, t long"
+    )
+    out = {(r.bucket_start, r.k): r.n for r in hypertable_rollup(
+        df, "t", width_s=60, dims=["k"], aggs={"n": F.count(F.lit(1))}
+    ).collect()}
+    assert out == {(0, "a"): 2, (60, "a"): 1, (0, "b"): 1}
