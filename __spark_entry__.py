@@ -564,6 +564,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return DD.embedding_neardup_pairs(emb, min_cosine=0.4)
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish LLM-token budget estimate per document (text.token_count_bpe)
+    — identical \\p{L}/\\p{N} regex classes in Java regex and RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.token_count_bpe("text").alias("n_bpe_tokens"))
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-bucketed range join (operators/rangejoin.py): orders matched
     to price bands — equi-join on (key, bin) + residual instead of a
@@ -792,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
+        "token_count_bpe": q_token_count_bpe,
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "asof_join": q_asof_join,
@@ -1240,6 +1247,12 @@ def oracle_sql() -> dict[str, str]:
         FROM v l JOIN v r ON l.vec_id < r.vec_id
         WHERE ROUND(list_dot_product(l.e, r.e)
                     / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))), 6) >= 0.4
+    """
+
+    sql["token_count_bpe"] = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens
+        FROM documents
     """
 
     sql["range_join"] = """

@@ -139,6 +139,49 @@ def _profile_from_tokens(tok: Column, text: Column) -> list[Column]:
         best_lang.alias("lang_pred"),
     ]
 
+# A BPE-ish pre-tokenization regex (GPT-2 style simplification): words,
+# numbers, punctuation runs, each with optional leading space.  Both the
+# Java regex engine and RE2 (DuckDB) support these classes identically.
+BPE_TOKEN_REGEX = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+def token_count_bpe(text: Column | str) -> Column:
+    """Approximate LLM-token count via BPE-ish pre-tokenization — the
+    per-document budget estimator a training pipeline runs at ingest."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_REGEX), 0))
+
+# Character-trigram profiles per language (top trigrams of each
+# language's usual text, space-padded) — the classic n-gram language-ID
+# signal, usable when marker WORDS are absent (code, short strings).
+LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of", "of "],
+    "de": ["er ", " de", "der", "ie ", "ch ", "ein", "sch", " di", "die", "en "],
+    "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"],
+    "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ent", "que"],
+    "pt": [" de", "de ", " qu", "que", " co", "ão ", "os ", "ar ", "ent", " pa"],
+}
+
+def lang_id_ngram(text: Column | str) -> Column:
+    """Language ID by character-trigram profile hits (argmax, alphabetical
+    first-wins tiebreak, 'und' when nothing matches) — the n-gram
+    companion to the stopword-marker lang_id."""
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_TRIGRAM_PROFILES):
+        score = F.lit(0)
+        for tri in LANG_TRIGRAM_PROFILES[lang]:
+            # count occurrences of the trigram: (len - len(removed)) / 3
+            score = score + (
+                (F.length(padded) - F.length(F.replace(padded, F.lit(tri), F.lit(""))))
+                / 3
+            ).cast("int")
+        improved = score > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, score).otherwise(best_score)
+    return best_lang
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document text profile.
 

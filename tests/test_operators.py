@@ -165,3 +165,19 @@ def test_hypertable_rollup_buckets(spark):
         df, "t", width_s=60, dims=["k"], aggs={"n": F.count(F.lit(1))}
     ).collect()}
     assert out == {(0, "a"): 2, (60, "a"): 1, (0, "b"): 1}
+
+def test_bpe_tokens_and_ngram_lang(spark):
+    from hogzilla_spark.operators.text import lang_id_ngram, token_count_bpe
+
+    df = spark.createDataFrame(
+        [
+            ("The quick brown fox, it's 42 miles away and the dog ran off!",),
+            ("Der schnelle braune Fuchs springt über die Mauer und die Hecke",),
+            ("xyzzy qqq",),
+        ],
+        "text string",
+    )
+    out = df.select(
+        token_count_bpe("text").alias("n"), lang_id_ngram("text").alias("lang")
+    ).collect()
+    assert [(r.n, r.lang) for r in out] == [(17, "en"), (11, "de"), (2, "und")]
