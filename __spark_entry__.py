@@ -953,13 +953,15 @@ def oracle_sql() -> dict[str, str]:
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """
 
-    # SimHash replicated bit-for-bit: same md5-derived 32-bit token
-    # hashes, same vote rule, same pigeonhole blocks.
-    _sig_terms = " + ".join(
-        f"(CASE WHEN 2*len(list_filter(hs, h -> (h & {1 << j}) > 0)) - len(hs) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j in range(32)
-    )
+    # SimHash replicated bit-for-bit: 64-bit signature as two 32-bit
+    # halves (same md5-derived token hashes, same vote rule, same
+    # 8-chunk pigeonhole blocks).
+    def _sig_terms(col):
+        return " + ".join(
+            f"(CASE WHEN 2*len(list_filter({col}, h -> (h & {1 << j}) > 0)) - len({col}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(32)
+        )
     sql["dedup_simhash"] = f"""
         WITH toks AS (
           SELECT doc_id,
@@ -967,18 +969,24 @@ def oracle_sql() -> dict[str, str]:
           FROM documents),
         hashes AS (
           SELECT doc_id,
-                 list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+                 list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs_hi,
+                 list_transform(w, t -> CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT)) AS hs_lo
           FROM toks),
         sigs AS (
-          SELECT doc_id, {_sig_terms} AS sig FROM hashes),
+          SELECT doc_id, {_sig_terms("hs_hi")} AS hi, {_sig_terms("hs_lo")} AS lo FROM hashes),
         chunks AS (
-          SELECT doc_id, sig, b, (sig >> (b*8)) & 255 AS chunk
-          FROM sigs, unnest([0,1,2,3]) AS t(b)),
+          SELECT doc_id, hi, lo, b,
+                 CASE WHEN b < 4 THEN (hi >> (b*8)) & 255
+                      ELSE (lo >> ((b-4)*8)) & 255 END AS chunk
+          FROM sigs, unnest([0,1,2,3,4,5,6,7]) AS t(b)),
         cand AS (
-          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 l.hi AS hi_a, l.lo AS lo_a, r.hi AS hi_b, r.lo AS lo_b
           FROM chunks l JOIN chunks r ON l.b = r.b AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
-        SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
-        FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        SELECT id_a, id_b,
+               bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
     """
 
     sql["u4_except"] = """

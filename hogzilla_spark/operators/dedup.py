@@ -185,86 +185,100 @@ def minhash_lsh_pairs(
 
 # --- SimHash ----------------------------------------------------------------
 
-def simhash64(text: Column | str, bits: int = 32) -> Column:
-    """SimHash over word tokens (default 32-bit for portable arithmetic).
+def simhash_sig(text: Column | str) -> Column:
+    """64-bit SimHash over word tokens as struct(hi, lo) — two 32-bit
+    halves so every arithmetic step stays inside portable signed-64
+    ranges (1<<63 overflows BIGINT in SQL engines).
 
-    Per token: h = first 8 hex chars of md5(token) → 32-bit int; each bit
-    votes +1/−1; signature bit j set iff the vote sum > 0.  Pure
-    expressions — conv() for hex→int, bit ops on longs.
+    Per token: md5 hex chars [1,8] → hi-half hash, [9,16] → lo-half;
+    each of the 64 bits votes +1/−1; signature bit set iff votes > 0.
+    The hash arrays are BOUND once per row (no codegen subexpression
+    elimination in HOFs — see word_shingles).
     """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != "")
-    hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-    )
 
-    def sig_of(hs: Column) -> Column:
-        # hs is a BOUND lambda variable: the md5 hash array evaluates
-        # once, not once per bit (HOFs have no codegen subexpression
-        # elimination — see word_shingles for the same trap)
-        def bit_votes(j: int) -> Column:
-            mask = 1 << j
-            return F.aggregate(
-                hs,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(mask)) > 0, F.lit(1)).otherwise(F.lit(-1)),
-            )
+    def half(offset: int) -> Column:
+        hashes = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), offset, 8), 16, 10).cast("long"),
+        )
 
-        sig = F.lit(0).cast("long")
-        for j in range(bits):
-            sig = sig + F.when(bit_votes(j) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            ).cast("long")
-        return sig
+        def sig_of(hs: Column) -> Column:
+            def bit_votes(j: int) -> Column:
+                mask = 1 << j
+                return F.aggregate(
+                    hs,
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + F.when(h.bitwiseAND(F.lit(mask)) > 0, F.lit(1)).otherwise(F.lit(-1)),
+                )
 
-    return F.get(F.transform(F.array(hashes), sig_of), 0)
+            sig = F.lit(0).cast("long")
+            for j in range(32):
+                sig = sig + F.when(bit_votes(j) > 0, F.lit(1 << j)).otherwise(
+                    F.lit(0)
+                ).cast("long")
+            return sig
+
+        return F.get(F.transform(F.array(hashes), sig_of), 0)
+
+    return F.struct(half(1).alias("hi"), half(9).alias("lo"))
+
+def simhash64(text: Column | str, bits: int = 32) -> Column:
+    """Backward-compatible single-half signature (`bits` ≤ 32); prefer
+    simhash_sig for the full 64-bit version."""
+    return simhash_sig(text)["hi"]
 
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bits: int = 32,
-    blocks: int = 4,
+    blocks: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash with block-based candidate generation:
-    split the signature into `blocks` chunks; by pigeonhole, any pair
-    within max_hamming (< blocks) shares at least one exact chunk, so the
-    self-join key is (block_idx, chunk) — never all pairs.
+    """Near-dup pairs by 64-bit SimHash with block-based candidates:
+    the signature splits into `blocks` 8-bit chunks (4 per half); by
+    pigeonhole any pair within max_hamming (< blocks) shares a chunk,
+    so the self-join key is (block_idx, chunk) — never all pairs.
 
     Returns (id_a, id_b, hamming <= max_hamming).
     """
     assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
-    chunk_bits = bits // blocks
-    mask = (1 << chunk_bits) - 1
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col, bits).alias("sig"))
-    chunks = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright("sig", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
-                    )
-                    for i in range(blocks)
-                ]
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash_sig(text_col).alias("s")
+    ).select("id", F.col("s.hi").alias("hi"), F.col("s.lo").alias("lo"))
+    chunk_cols = []
+    for i in range(blocks // 2):
+        chunk_cols.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("hi", i * 8).bitwiseAND(F.lit(255)).alias("chunk"),
             )
-        ).alias("c"),
-    ).select("id", "sig", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"))
+        )
+        chunk_cols.append(
+            F.struct(
+                F.lit(i + blocks // 2).alias("blk"),
+                F.shiftright("lo", i * 8).bitwiseAND(F.lit(255)).alias("chunk"),
+            )
+        )
+    chunks = sigs.select(
+        "id", "hi", "lo", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("id", "hi", "lo", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"))
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
-        l.join(r, on=[F.col("l.blk") == F.col("r.blk"), F.col("l.chunk") == F.col("r.chunk"),
-                      F.col("l.id") < F.col("r.id")])
+        l.join(r, on=["blk", "chunk"])
+        .filter(F.col("l.id") < F.col("r.id"))
         .select(
             F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"),
+            F.col("l.hi").alias("hi_a"), F.col("l.lo").alias("lo_a"),
+            F.col("r.hi").alias("hi_b"), F.col("r.lo").alias("lo_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

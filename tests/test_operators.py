@@ -181,3 +181,31 @@ def test_bpe_tokens_and_ngram_lang(spark):
         token_count_bpe("text").alias("n"), lang_id_ngram("text").alias("lang")
     ).collect()
     assert [(r.n, r.lang) for r in out] == [(17, "en"), (11, "de"), (2, "und")]
+
+def test_ann_recall_vs_brute_force(spark):
+    """LSH and IVF approximate top-k must keep reasonable recall@5
+    against the exact baseline on the real embedding fixture."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.knn_brute_force(emb, queries, k=5).collect()
+    }
+    planes = [
+        [(((i * 2654435761 + j * 40503) % 1000) / 500.0 - 1.0) for j in range(64)]
+        for i in range(3)  # 8 buckets -> generous candidate sets
+    ]
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ann_lsh_topk(emb, queries, planes, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ann_ivf_topk(emb, queries, n_lists=4, nprobe=2, k=5).collect()
+    }
+    lsh_recall = len(exact & lsh) / len(exact)
+    ivf_recall = len(exact & ivf) / len(exact)
+    # near-orthogonal synthetic vectors are the hard case; both indexes
+    # must still beat random bucketing by a wide margin
+    assert lsh_recall >= 0.3, lsh_recall
+    assert ivf_recall >= 0.4, ivf_recall
