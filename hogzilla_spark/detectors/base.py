@@ -86,10 +86,30 @@ def mk_alert(
     `batch_time` is injected (not wall clock) so outputs are
     deterministic and golden-testable.
     """
+    from hogzilla_spark.functions.scalar import human_bytes
+
     entries = []
+    # note text follows the reference's populate* template
+    # (HogSFlow.scala:233-452): fixed preamble + behaviour + field lines,
+    # byte-valued fields human-formatted
+    note_parts: list[Column] = [
+        F.lit(
+            "This IP was detected by Hogzilla performing an abnormal "
+            "activity. In what follows, you can see more information.\n"
+            "Abnormal behaviour: "
+        ),
+        title,
+    ]
     for k, v in data.items():
         entries.append(F.lit(k))
         entries.append(v.cast("string"))
+        rendered = (
+            human_bytes(v.cast("double"))
+            if k.lower().startswith("bytes")
+            else v.cast("string")
+        )
+        note_parts.append(F.lit(f"\n{k}: "))
+        note_parts.append(F.coalesce(rendered, F.lit("")))
     return df.select(
         F.lit(sig.sig_id).alias("signature_id"),
         F.lit(batch_time).cast("long").alias("time"),
@@ -99,6 +119,7 @@ def mk_alert(
         upper_ip.cast("string").alias("upper_ip_str"),
         title.alias("title"),
         F.create_map(*entries).alias("data") if entries else F.create_map().alias("data"),
+        F.concat(*note_parts).alias("note"),
     )
 
 def flow_struct() -> Column:
