@@ -282,7 +282,10 @@ FLOWS_TEST_SCHEMA = (
     "bytes long, packets long, avg_packet_size long, "
     "packets_without_payload long, avg_inter_time long, flow_duration long, "
     "max_packet_size long, min_packet_size long, "
-    "packet_size_0 long, packet_size_1 long, inter_time_0 long, "
+    "packet_size_0 long, packet_size_1 long, packet_size_2 long, "
+    "packet_size_3 long, packet_size_4 long, inter_time_0 long, "
+    "inter_time_1 long, inter_time_2 long, inter_time_3 long, "
+    "inter_time_4 long, http_method int, "
     "dns_num_queries int, dns_num_answers int, dns_ret_code int, "
     "dns_bad_packet int, dns_query_type int, dns_rsp_type int, "
     "ndpi_risk string, event_signature_id string, event_generator_id string, "
@@ -300,7 +303,8 @@ def flows_rows() -> list[tuple]:
             f"1700000000000.{i}", "10.1.0.5", "8.8.8.8", "44000", "53",
             "10.1.0.5", "8.8.8.8", "5/DNS", "example.com",
             1000 + (i % 7), 4 + (i % 3), 120 + (i % 5), 1, 50 + (i % 9),
-            2000 + (i % 11), 300, 60, 100, 110, 40 + (i % 5),
+            2000 + (i % 11), 300, 60, 100, 110, 100, 95, 90,
+            40 + (i % 5), 42, 44, 41, 43, 1,
             1, 1, 0, 0, 1, 1,
             "Safe", "", "", "",
         ))
@@ -309,8 +313,34 @@ def flows_rows() -> list[tuple]:
         rows.append((
             f"1700000000000.{200 + i}", "10.1.0.66", "7.7.7.7", "44001", "53",
             "10.1.0.66", "7.7.7.7", "5/DNS", "evil.example",
-            90000, 200, 450, 80, 9000, 500000, 1400, 40, 1400, 1400, 9000,
+            90000, 200, 450, 80, 9000, 500000, 1400, 40, 1400, 1400, 1400, 1400, 1400,
+            9000, 9100, 9200, 9300, 9400, 1,
             40, 0, 3, 5, 16, 0,
+            None, "1" if tagged else "", "1" if tagged else "",
+            "1" if tagged else "",
+        ))
+    # HTTP flows (ports 80/81) for the HTTP k-means path: 120 normal
+    # + 6 identical anomalous (2 Snort-tagged; 6 < 5% of 126 so the
+    # taint cap keeps the cell eligible)
+    for i in range(120):
+        rows.append((
+            f"1700000000000.{300 + i}", "10.1.0.7", "93.184.216.34", "52000", "80",
+            "10.1.0.7", "93.184.216.34", "7/HTTP", "example.org",
+            5000 + (i % 13), 10 + (i % 4), 400 + (i % 7), 2, 80 + (i % 5),
+            9000 + (i % 17), 900, 200, 300, 310, 320, 330, 340,
+            30 + (i % 5), 31, 32, 33, 34, 1,
+            0, 0, 0, 0, 0, 0,
+            "Safe", "", "", "",
+        ))
+    for i in range(6):
+        tagged = i < 2
+        rows.append((
+            f"1700000000000.{420 + i}", "10.1.0.77", "6.6.6.6", "52001", "80",
+            "10.1.0.77", "6.6.6.6", "7/HTTP", "bad.example",
+            400000, 900, 1450, 300, 30000, 2000000, 1500, 60,
+            1500, 1500, 1500, 1500, 1500,
+            20000, 21000, 22000, 23000, 24000, 3,
+            0, 0, 0, 0, 0, 0,
             None, "1" if tagged else "", "1" if tagged else "",
             "1" if tagged else "",
         ))

@@ -190,14 +190,27 @@ def run_and_persist(
     out_dir: str,
     cfg: EngineConfig = DEFAULT,
     batch_time: int = 0,
+    flows: DataFrame | None = None,
 ) -> BatchResult:
     """Full lifecycle: load state → detect → append sinks → merge state.
-    The engine's equivalent of one 6-hour reference cycle."""
+    The engine's equivalent of one 6-hour reference cycle.  Passing the
+    nDPI `flows` table adds the ML modules + HIST01 clustering sinks."""
     histograms = store.load(spark, state_path).persist()
-    result = run_sflow_batch(
-        spark, sflows, mynets, reputation, histograms, cfg, batch_time
-    )
+    if flows is not None:
+        result = run_full_batch(
+            spark, sflows, mynets, reputation, histograms, flows, cfg, batch_time
+        )
+    else:
+        result = run_sflow_batch(
+            spark, sflows, mynets, reputation, histograms, cfg, batch_time
+        )
     result.alerts.write.mode("append").parquet(f"{out_dir}/events.parquet")
+    # S11: persist the HIST01 server-profile clustering when present
+    for name, sink in (("hist_clusters", "clusters"), ("hist_cluster_members", "cluster_members")):
+        if name in result.per_detector:
+            result.per_detector[name].write.mode("overwrite").parquet(
+                f"{out_dir}/{sink}.parquet"
+            )
     result.inventory.write.mode("overwrite").parquet(f"{out_dir}/inventory.parquet")
     result.new_reputation.write.mode("append").parquet(
         f"{out_dir}/reputation_learned.parquet"
@@ -297,6 +310,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/hogzilla_out")
     ap.add_argument("--sflows", default=None, help="parquet path; default: fixtures")
+    ap.add_argument("--flows", default=None, help="nDPI flows parquet; 'fixtures' for built-in")
     ap.add_argument("--batch-time", type=int, default=0)
     args = ap.parse_args()
 
@@ -305,6 +319,11 @@ def main() -> None:
     sflows = (
         spark.read.parquet(args.sflows) if args.sflows else datagen.sflows_df(spark)
     )
+    flows = None
+    if args.flows == "fixtures":
+        flows = datagen.flows_df(spark)
+    elif args.flows:
+        flows = spark.read.parquet(args.flows)
     result = run_and_persist(
         spark,
         sflows,
@@ -313,6 +332,7 @@ def main() -> None:
         state_path=f"{args.out}/state/histograms.parquet",
         out_dir=args.out,
         batch_time=args.batch_time,
+        flows=flows,
     )
     for name, df in sorted(result.per_detector.items()):
         n = df.count()

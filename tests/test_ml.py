@@ -58,23 +58,30 @@ def test_rf_label_semantics(spark):
     flows = datagen.flows_df(spark)
     lab = RF.label_flows(flows)
     counts = {r.label: r.cnt for r in lab.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
-    assert counts[0] == 200  # Safe
-    assert counts[1] == 5  # Snort-tagged
-    assert counts[-1] == 5  # unlabeled
+    assert counts[0] == 320  # Safe (200 DNS + 120 HTTP)
+    assert counts[1] == 7  # Snort-tagged (5 DNS + 2 HTTP)
+    assert counts[-1] == 9  # unlabeled (5 DNS + 4 HTTP anomalies)
     freq = RF.signature_frequencies(flows).collect()
-    assert [(r.event_generator_id, r.event_signature_id, r.n) for r in freq] == [("1", "1", 5)]
+    assert [(r.event_generator_id, r.event_signature_id, r.n) for r in freq] == [("1", "1", 7)]
 
 def test_rf_flags_similar_unlabeled(spark):
     # trainable volume: clone the planted rows into a labeled corpus
     flows = datagen.flows_df(spark)
-    big = flows  # 200 Safe + 5 snort + 5 unlabeled with identical features
+    big = flows  # 320 Safe + 7 snort + 9 unlabeled across two anomaly groups
     flagged = RF.rf_train_score(
         big,
         numeric_cols=["bytes", "packets", "flow_duration"],
         char_cols=["detected_protocol"],
         cfg=CFG,
     )
-    got = flagged.select("lower_ip").distinct().collect()
-    # the 5 unlabeled anomalies share features with the Snort-tagged row
-    assert [r.lower_ip for r in got] == ["10.1.0.66"]
-    assert flagged.count() == 5
+    got = sorted(r.lower_ip for r in flagged.select("lower_ip").distinct().collect())
+    # both unlabeled anomaly groups share features with Snort-tagged rows
+    assert got == ["10.1.0.66", "10.1.0.77"]
+    assert flagged.count() == 9
+
+def test_http_kmeans_finds_planted_cluster(spark):
+    flows = datagen.flows_df(spark)
+    members, cells = KM.http_kmeans(flows, CFG)
+    got = {r.lower_ip for r in members.select("lower_ip").collect()}
+    assert got == {"10.1.0.77"}
+    assert members.count() == 4  # 6 anomalous − 2 Snort-tagged
