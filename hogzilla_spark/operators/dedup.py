@@ -204,22 +204,34 @@ def simhash_sig(text: Column | str) -> Column:
             lambda t: F.conv(F.substring(F.md5(t), offset, 8), 16, 10).cast("long"),
         )
 
-        def sig_of(hs: Column) -> Column:
-            def bit_votes(j: int) -> Column:
-                mask = 1 << j
-                return F.aggregate(
-                    hs,
-                    F.lit(0),
-                    lambda acc, h: acc
-                    + F.when(h.bitwiseAND(F.lit(mask)) > 0, F.lit(1)).otherwise(F.lit(-1)),
-                )
+        powers = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
 
-            sig = F.lit(0).cast("long")
-            for j in range(32):
-                sig = sig + F.when(bit_votes(j) > 0, F.lit(1 << j)).otherwise(
-                    F.lit(0)
-                ).cast("long")
-            return sig
+        def sig_of(hs: Column) -> Column:
+            # ONE aggregate pass builds all 32 set-bit counters (the
+            # naive per-bit form is 32 interpreted passes over the hash
+            # array); votes_j = 2·set_j − n, bit set iff votes > 0.
+            # The counter array is itself BOUND before the 32 reads —
+            # HOF expressions re-evaluate per reference otherwise.
+            counts = F.aggregate(
+                hs,
+                F.array_repeat(F.lit(0), 32),
+                lambda acc, h: F.zip_with(
+                    acc,
+                    powers,
+                    lambda a, p: a + F.when(h.bitwiseAND(p) > 0, 1).otherwise(0),
+                ),
+            )
+            n = F.size(hs)
+
+            def fold_sig(cn: Column) -> Column:
+                sig = F.lit(0).cast("long")
+                for j in range(32):
+                    sig = sig + F.when(2 * F.get(cn, j) - n > 0, F.lit(1 << j)).otherwise(
+                        F.lit(0)
+                    ).cast("long")
+                return sig
+
+            return F.get(F.transform(F.array(counts), fold_sig), 0)
 
         return F.get(F.transform(F.array(hashes), sig_of), 0)
 
@@ -229,6 +241,56 @@ def simhash64(text: Column | str, bits: int = 32) -> Column:
     """Backward-compatible single-half signature (`bits` ≤ 32); prefer
     simhash_sig for the full 64-bit version."""
     return simhash_sig(text)["hi"]
+
+def simhash_sigs_kernel(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow/numpy signature kernel: same md5-derived two-half 64-bit
+    SimHash as simhash_sig, computed per batch in vectorized numpy
+    (hashlib md5 == Spark md5 on UTF-8, verified by the SQL oracle).
+    Interpreted HOF expressions cost ~9s warm on 5k docs; this kernel is
+    the hot-path form.  Returns (id, hi, lo)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    tok_re = re.compile(r"\s+")
+
+    def run(batches):
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in tok_re.split((text or "").strip().lower()) if t]
+                if not toks:
+                    ids.append(doc_id); his.append(0); los.append(0)
+                    continue
+                hx = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in toks]
+                hi = np.array([int(h[:8], 16) for h in hx], dtype=np.int64)
+                lo = np.array([int(h[8:16], 16) for h in hx], dtype=np.int64)
+                n = len(toks)
+                shifts = np.arange(32)
+                hi_counts = ((hi[:, None] >> shifts) & 1).sum(axis=0)
+                lo_counts = ((lo[:, None] >> shifts) & 1).sum(axis=0)
+                hi_sig = int(((2 * hi_counts - n > 0).astype(np.int64) << shifts).sum())
+                lo_sig = int(((2 * lo_counts - n > 0).astype(np.int64) << shifts).sum())
+                ids.append(doc_id); his.append(hi_sig); los.append(lo_sig)
+            yield pd.DataFrame(
+                {
+                    "id": np.array(ids, dtype=np.int64),
+                    "hi": np.array(his, dtype=np.int64),
+                    "lo": np.array(los, dtype=np.int64),
+                }
+            )
+
+    src = df.select(id_col, text_col)
+    # small inputs arrive as one parquet split → single-threaded hashing;
+    # spread them (at scale the input already has many splits)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < min(8, target):
+        src = src.repartition(target)
+    return src.mapInPandas(run, "id long, hi long, lo long")
 
 def simhash_pairs(
     df: DataFrame,
@@ -245,9 +307,7 @@ def simhash_pairs(
     Returns (id_a, id_b, hamming <= max_hamming).
     """
     assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash_sig(text_col).alias("s")
-    ).select("id", F.col("s.hi").alias("hi"), F.col("s.lo").alias("lo"))
+    sigs = simhash_sigs_kernel(df, id_col, text_col)
     chunk_cols = []
     for i in range(blocks // 2):
         chunk_cols.append(
