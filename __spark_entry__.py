@@ -195,6 +195,34 @@ def q_w2_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J-family: joins
 # ---------------------------------------------------------------------------
 
+def q_w4_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 max-within-group as a window (BigProvider promotion shape,
+    HogSFlow.scala:2022-2030): each order annotated with its customer's
+    max total, plus the is-the-max flag."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    mx = F.max("o_totalprice").over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        _cents(F.col("o_totalprice")).alias("price_c"),
+        _cents(mx).alias("cust_max_c"),
+        (F.col("o_totalprice") == mx).alias("is_max"),
+    )
+
+def q_a8_sum_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 column-wise Σx and Σx² in one pass (z-score prep,
+    HogDNS.scala:169-183), exact via cents-scaled integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = _cents(F.col("l_quantity"))
+    p = _cents(F.col("l_extendedprice"))
+    return li.agg(
+        F.sum(q).alias("sum_qty_c"),
+        F.sum((q * q).cast("decimal(38,0)")).cast("double").alias("sumsq_qty_c"),
+        F.sum(p).alias("sum_price_c"),
+        F.sum((p * p).cast("decimal(38,0)")).cast("double").alias("sumsq_price_c"),
+    )
+
 def q_j1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J2/J6 broadcast anti-join: orders whose customer is NOT in the
     negative-balance "talker" set."""
@@ -770,6 +798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_interarrival": q_a14_interarrival,
         "w1_group_share": q_w1_group_share,
         "w2_topn_per_group": q_w2_topn_per_group,
+        "w4_group_max": q_w4_group_max,
+        "a8_sum_sumsq": q_a8_sum_sumsq,
         "j1_anti_join": q_j1_anti_join,
         "j2_semi_join": q_j2_semi_join,
         "j3_prefix_join": q_j3_prefix_join,
@@ -897,6 +927,26 @@ def oracle_sql() -> dict[str, str]:
           FROM orders)
         SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
         FROM r WHERE rn <= 3
+    """
+
+    sql["w4_group_max"] = """
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
+               CAST(ROUND(MAX(o_totalprice) OVER (PARTITION BY o_custkey)*100) AS BIGINT) AS cust_max_c,
+               o_totalprice = MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS is_max
+        FROM orders
+    """
+
+    sql["a8_sum_sumsq"] = """
+        WITH c AS (
+          SELECT CAST(ROUND(l_quantity*100) AS BIGINT) AS q,
+                 CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p
+          FROM lineitem)
+        SELECT CAST(SUM(q) AS BIGINT) AS sum_qty_c,
+               CAST(SUM(q*q) AS DOUBLE) AS sumsq_qty_c,
+               CAST(SUM(p) AS BIGINT) AS sum_price_c,
+               CAST(SUM(p*p) AS DOUBLE) AS sumsq_price_c
+        FROM c
     """
 
     sql["j1_anti_join"] = """
