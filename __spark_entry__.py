@@ -688,11 +688,17 @@ def _synth_sflows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "view", "0x18")
         .otherwise("0x00")
     )
+    # one slice of rows uses a LOW client port (514) so both ports are
+    # <1024 and the direction heuristic's last-write-wins order (srcPort
+    # beats dstPort, HogSFlow.scala:838-845) is oracle-observable
+    client_port = F.when(F.col("event_id") % 7 == 0, F.lit("514")).otherwise(
+        F.lit("40000")
+    )
     return ev.select(
         F.when(outbound, internal).otherwise(external).alias("srcIP"),
-        F.when(outbound, F.lit("40000")).otherwise(svc_port).alias("srcPort"),
+        F.when(outbound, client_port).otherwise(svc_port).alias("srcPort"),
         F.when(outbound, external).otherwise(internal).alias("dstIP"),
-        F.when(outbound, svc_port).otherwise(F.lit("40000")).alias("dstPort"),
+        F.when(outbound, svc_port).otherwise(client_port).alias("dstPort"),
         F.when(F.col("event_type") == "click", "17").otherwise("6").alias("IPprotocol"),
         _cents(F.col("value")).alias("packetSize"),
         F.lit(1024).cast("long").alias("samplingRate"),
@@ -704,7 +710,8 @@ _SYNTH_SQL = """
         packets AS (
           SELECT CASE WHEN event_id % 2 = 0 THEN '10.1.0.' || CAST(user_id % 250 AS VARCHAR)
                       ELSE '8.8.8.' || CAST(user_id % 250 AS VARCHAR) END AS srcIP,
-                 CASE WHEN event_id % 2 = 0 THEN '40000' ELSE
+                 CASE WHEN event_id % 2 = 0 THEN
+                      CASE WHEN event_id % 7 = 0 THEN '514' ELSE '40000' END ELSE
                       CASE event_type WHEN 'click' THEN '53' WHEN 'view' THEN '80'
                            WHEN 'error' THEN '25' WHEN 'purchase' THEN '443' ELSE '9999' END END AS srcPort,
                  CASE WHEN event_id % 2 = 0 THEN '8.8.8.' || CAST(user_id % 250 AS VARCHAR)
@@ -712,7 +719,7 @@ _SYNTH_SQL = """
                  CASE WHEN event_id % 2 = 0 THEN
                       CASE event_type WHEN 'click' THEN '53' WHEN 'view' THEN '80'
                            WHEN 'error' THEN '25' WHEN 'purchase' THEN '443' ELSE '9999' END
-                      ELSE '40000' END AS dstPort,
+                      ELSE CASE WHEN event_id % 7 = 0 THEN '514' ELSE '40000' END END AS dstPort,
                  CASE WHEN event_type = 'click' THEN '17' ELSE '6' END AS IPprotocol,
                  CAST(ROUND(value*100) AS BIGINT) AS packetSize,
                  1024 AS samplingRate,
@@ -731,8 +738,8 @@ _SYNTH_SQL = """
                  (CASE WHEN starts_with(srcIP,'10.1.') THEN 1 ELSE -1 END) *
                  (CASE WHEN IPprotocol='6' THEN
                      CASE WHEN tcpFlags='0x02' THEN 1 WHEN tcpFlags='0x12' THEN -1
-                          ELSE CASE WHEN TRY_CAST(dstPort AS INTEGER) < 1024 THEN 1
-                                    WHEN TRY_CAST(srcPort AS INTEGER) < 1024 THEN -1
+                          ELSE CASE WHEN TRY_CAST(srcPort AS INTEGER) < 1024 THEN -1
+                                    WHEN TRY_CAST(dstPort AS INTEGER) < 1024 THEN 1
                                     ELSE 0 END END
                    ELSE 0 END) AS dirvote,
                  CASE WHEN IPprotocol='6' AND (tcpFlags='0x12' OR tcpFlags='0x18'

@@ -254,6 +254,11 @@ def sflow_rows() -> list[tuple]:
     for p in range(2):
         rows.append(_pkt("10.1.0.140", "21", "44.44.44.44", "40000", "6", 100, ts=T + p))
 
+    # --- both-ports-low direction edge: srcPort 514 AND dstPort 513 are
+    # <1024, so the reference's last-write-wins heuristic votes RIGHTLEFT
+    # (HogSFlow.scala:838-845); benign single flow, triggers no detector.
+    rows.append(_pkt("10.1.0.141", "514", "45.45.45.45", "513", "6", 100, ts=T))
+
     return rows
 
 def sflows_df(spark: SparkSession) -> DataFrame:

@@ -33,7 +33,8 @@ def orient_flows(sflows: DataFrame, my_nets: list[str]) -> DataFrame:
     Semantics (HogSFlow.scala:811-866):
       - TCP only: SYN → direction +1 (src initiated); SYN-ACK → −1 and a
         confirmed status; PSH-ACK → confirmed; ACK from a my-host →
-        confirmed; else ports<1024 heuristic.  UDP keeps direction 0.
+        confirmed; else ports<1024 heuristic (srcPort wins when both are
+        low — reference last-write-wins).  UDP keeps direction 0.
       - If src is not a my-net IP the tuple is flipped to (dst, src) and
         the direction vote is negated; bytes land on bytesDown.
     """
@@ -46,9 +47,12 @@ def orient_flows(sflows: DataFrame, my_nets: list[str]) -> DataFrame:
         F.when(flags == TCP_SYN, F.lit(LEFTRIGHT))
         .when(flags == TCP_SYNACK, F.lit(RIGHTLEFT))
         .otherwise(
-            # port heuristic only when flags decided nothing
-            F.when(F.col("dstPort").try_cast("int") < 1024, F.lit(LEFTRIGHT))
-            .when(F.col("srcPort").try_cast("int") < 1024, F.lit(RIGHTLEFT))
+            # port heuristic only when flags decided nothing.  The
+            # reference's two sequential `if`s (HogSFlow.scala:838-845)
+            # are last-write-wins: srcPort<1024 overwrites dstPort<1024,
+            # so when BOTH ports are low the answer is RIGHTLEFT.
+            F.when(F.col("srcPort").try_cast("int") < 1024, F.lit(RIGHTLEFT))
+            .when(F.col("dstPort").try_cast("int") < 1024, F.lit(LEFTRIGHT))
             .otherwise(F.lit(UNKNOWN))
         ),
     ).otherwise(F.lit(UNKNOWN))

@@ -54,6 +54,17 @@ def test_port_heuristic_only_when_flags_unknown(spark):
     row = sflow_summary(df, MYNETS).collect()[0]
     assert row.direction == 1 and row.status == 1
 
+def test_both_ports_low_src_wins(spark):
+    # Reference last-write-wins (HogSFlow.scala:838-845): when BOTH ports
+    # are <1024 the second sequential `if` (srcPort) overwrites the first,
+    # so the vote is RIGHTLEFT even though dstPort is also low.
+    df = mk(
+        spark,
+        [("10.1.0.5", "514", "1.2.3.4", "513", "6", 100, 1, "0x00", 1)],
+    )
+    row = sflow_summary(df, MYNETS).collect()[0]
+    assert row.direction == -1
+
 def test_ack_from_my_host_confirms(spark):
     df = mk(spark, [("10.1.0.5", "5555", "1.2.3.4", "9999", "6", 100, 1, "0x10", 1)])
     row = sflow_summary(df, MYNETS).collect()[0]
