@@ -38,9 +38,28 @@ def EMPTY_MAP_D() -> "F.Column":
 def EMPTY_MAP_S() -> "F.Column":
     return F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
 
+_CURRENT = "CURRENT"
+
+def _current_gen(path: str) -> str | None:
+    """Name of the active generation dir, or None when the pointer is
+    absent (fresh store or pre-generation legacy layout)."""
+    marker = os.path.join(path, _CURRENT)
+    if not os.path.exists(marker):
+        return None
+    with open(marker, encoding="ascii") as fh:
+        gen = fh.read().strip()
+    return gen or None
+
+def _has_parquet_parts(path: str) -> bool:
+    return any(n.startswith("part-") for n in os.listdir(path))
+
 def load(spark: SparkSession, path: str | None) -> DataFrame:
     if path and os.path.exists(path):
-        return spark.read.schema(HISTOGRAMS).parquet(path)
+        gen = _current_gen(path)
+        if gen is not None and os.path.exists(os.path.join(path, gen)):
+            return spark.read.schema(HISTOGRAMS).parquet(os.path.join(path, gen))
+        if _has_parquet_parts(path):  # legacy flat layout
+            return spark.read.schema(HISTOGRAMS).parquet(path)
     return spark.createDataFrame([], HISTOGRAMS)
 
 def apply_updates(saved: DataFrame, updates: DataFrame) -> DataFrame:
@@ -91,13 +110,46 @@ def apply_updates(saved: DataFrame, updates: DataFrame) -> DataFrame:
     return merged.unionByName(only_saved).unionByName(only_new)
 
 def save(df: DataFrame, path: str) -> None:
-    """Staged write-then-swap so the upsert can read the old files while
-    computing the new ones (parquet has no MERGE; Delta would)."""
-    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staging)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
+    """Generation-based commit (parquet has no MERGE; Delta would):
+
+      1. write the merged state to a fresh ``gen-<id>`` dir under `path`
+      2. atomically repoint ``CURRENT`` at it (tmp-file + ``os.replace``)
+      3. garbage-collect generations older than the one just replaced
+
+    Crash-safe: a crash before step 2 leaves the old pointer (and its
+    files) untouched; ``os.replace`` is atomic on POSIX, so readers see
+    either the old or the new generation, never a torn store.  The
+    immediately-previous generation survives one more cycle so lazy
+    DataFrames built against it keep working after the swap — the bug
+    class of plans resolving file lists after an rmtree+rename.
+    """
+    if not os.path.exists(path):
+        os.makedirs(path, exist_ok=True)
+    prev = _current_gen(path)
+    gen = f"gen-{uuid.uuid4().hex[:8]}"
+    df.write.parquet(os.path.join(path, gen))
+    tmp = os.path.join(path, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="ascii") as fh:
+        fh.write(gen + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, _CURRENT))
+    # GC: drop everything except the new gen, the pointer, and the
+    # generation that was current at entry (still referenced by any
+    # unresolved plans from this cycle).  Legacy flat part files count
+    # as the previous generation and are removed one cycle later.
+    keep = {gen, _CURRENT, prev}
+    legacy_live = prev is None and _has_parquet_parts(path)
+    for name in os.listdir(path):
+        if name in keep:
+            continue
+        full = os.path.join(path, name)
+        if name.startswith("gen-"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(f"{_CURRENT}.tmp-"):  # crashed save leftovers
+            os.unlink(full)
+        elif not legacy_live:  # flat-layout files one cycle after migration
+            shutil.rmtree(full, ignore_errors=True) if os.path.isdir(full) else os.unlink(full)
 
 def mk_update(
     df: DataFrame, family: str, entity_col: str, mode: str = "merge"
