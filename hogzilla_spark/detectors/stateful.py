@@ -637,14 +637,23 @@ def horizontal_portscan(
         },
         batch_time,
     )
+    # Update size is path-dependent (HogSFlow.scala:2475-2477 vs :2533):
+    # the immature save (saved size < gate) adds numberOfPairsPort (total
+    # distinct pairs), the mature save adds numberOfflows — so immature
+    # entities cross the maturity gate at the reference's pace.
     updates = mk_update(
-        hot.groupBy("myIP").agg(
+        rows.groupBy("myIP").agg(
             F.map_from_entries(
                 F.collect_list(
                     F.struct(F.col("alienPort"), F.col("n_pairs").cast("double"))
                 )
             ).alias("values"),
-            F.sum("n_flows").alias("size"),
+            F.when(
+                F.max(F.coalesce(F.col("s_size"), F.lit(0))) < hcfg.gate_hist07,
+                F.sum("n_pairs"),
+            )
+            .otherwise(F.sum("n_flows"))
+            .alias("size"),
         ),
         "HIST07",
         "myIP",

@@ -176,12 +176,17 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        pairs.select(
-            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-    )
+    out = pairs.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= min_jaccard)
+    # Materialize the (small) verified pair set eagerly so the O(corpus)
+    # shingle cache can be released before returning — otherwise repeated
+    # invocations in a long-lived session accumulate cached partitions.
+    # Trade-off: severed lineage means an executor loss re-runs the query
+    # instead of recomputing blocks; fine for a result-sized DataFrame.
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 # --- SimHash ----------------------------------------------------------------
 

@@ -135,21 +135,27 @@ def merge_max(h1: Column | str, h2: Column | str) -> Column:
 def difference(
     h1: Column | str, n1: Column | str, h2: Column | str, n2: Column | str
 ) -> Column:
-    """Weighted subtraction (h1·n1 − h2·n2)/(n1−n2); floor at 0."""
+    """Weighted subtraction, exactly the reference's shape
+    (Histograms.scala:172-197): iterate ONLY h2's keys; where p>0 or q>0
+    overwrite with (p·n1 − q·n2)/(n1−n2) — no floor, negatives kept;
+    h1-only keys pass through with their original weight."""
     h1, h2 = _m(h1), _m(h2)
     n1 = (F.col(n1) if isinstance(n1, str) else n1).cast("double")
     n2 = (F.col(n2) if isinstance(n2, str) else n2).cast("double")
-    union_keys = F.array_distinct(F.concat(F.map_keys(h1), F.map_keys(h2)))
-    entries = F.transform(
-        union_keys,
-        lambda k: F.struct(
-            k.alias("key"),
-            F.greatest(
-                (_get(h1, k) * n1 - _get(h2, k) * n2) / (n1 - n2), F.lit(0.0)
-            ).alias("value"),
-        ),
+    updated = F.map_from_entries(
+        F.transform(
+            F.filter(
+                F.map_keys(h2),
+                lambda k: (_get(h1, k) > 0) | (_get(h2, k) > 0),
+            ),
+            lambda k: F.struct(
+                k.alias("key"),
+                ((_get(h1, k) * n1 - _get(h2, k) * n2) / (n1 - n2)).alias("value"),
+            ),
+        )
     )
-    return F.map_from_entries(entries)
+    # h1 ∪ updated, updated wins on collisions (the reference's map.put)
+    return F.map_zip_with(h1, updated, lambda k, v1, v2: F.coalesce(v2, v1))
 
 # --- H8: histogram-name helpers (Histograms.scala:200-203) ------------------
 

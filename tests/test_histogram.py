@@ -52,6 +52,18 @@ def test_merge_max(spark, hdf):
     m = hdf.select(H.merge_max("old", "new").alias("m")).collect()[0].m
     assert m == {"a": 0.5, "b": 0.5, "c": 0.8}
 
+def test_difference_reference_shape(spark):
+    # Histograms.scala:172-197: only h2's keys are touched, no floor.
+    df = spark.createDataFrame(
+        [({"a": 0.5, "b": 0.5}, 10, {"b": 0.2, "c": 0.3, "d": 0.0}, 5)],
+        "h1 map<string,double>, n1 long, h2 map<string,double>, n2 long",
+    )
+    got = df.select(H.difference("h1", "n1", "h2", "n2").alias("d")).collect()[0].d
+    assert got["a"] == pytest.approx(0.5)  # h1-only: untouched
+    assert got["b"] == pytest.approx((0.5 * 10 - 0.2 * 5) / 5)
+    assert got["c"] == pytest.approx(-0.3)  # h2-only: negative kept
+    assert "d" not in got  # p==0 and q==0: skipped, never inserted
+
 def test_point_typicality(spark, hdf):
     r = hdf.select(
         H.is_typical("old", "a").alias("ta"),

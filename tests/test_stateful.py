@@ -105,6 +105,38 @@ def test_horizontal_portscan(spark, summary, hists, empty_ips):
     assert u["HIST07-10.1.0.190"].values == {"2323": 101.0}
     assert "HIST07-10.1.0.191" in u
 
+def test_horizontal_portscan_update_size_paths(spark, hists, empty_ips):
+    """HogSFlow.scala:2475-2477 vs :2533: the immature save adds total
+    pairs (numberOfPairsPort); the mature save adds total flows — with 2
+    flows per pair the two differ, so the path choice is observable."""
+    import dataclasses
+
+    from hogzilla_spark import datagen as DG
+
+    T = 1_000_000
+    rows = []
+    for ip in ("10.1.0.190", "10.1.0.191"):  # saved 150 (mature) / unsaved
+        for i in range(10):
+            for rep in range(2):  # 2 distinct flows per (alien, port) pair
+                rows.append(
+                    DG._pkt(ip, f"4000{rep}", f"94.94.0.{i}", "2323", "6", 60,
+                            flags="0x02", ts=T + i * 2 + rep)
+                )
+    sflows = spark.createDataFrame(
+        rows,
+        "srcIP string, srcPort string, dstIP string, dstPort string, "
+        "IPprotocol string, packetSize long, samplingRate long, "
+        "tcpFlags string, timestamp long",
+    )
+    summary = sflow_summary(sflows, datagen.MY_NETS)
+    cfg = dataclasses.replace(CFG, hps_min_flows=5)
+    _, updates = S.horizontal_portscan(
+        summary, datagen.MY_NETS, cfg, HCFG, hists, empty_ips
+    )
+    u = upd_map(updates)
+    assert u["HIST07-10.1.0.190"].size == 20  # mature: sum(n_flows)
+    assert u["HIST07-10.1.0.191"].size == 10  # immature: sum(n_pairs)
+
 def test_vertical_portscan(spark, summary, hists, empty_ips):
     alerts, updates = S.vertical_portscan(summary, CFG, HCFG, hists, empty_ips)
     rows = alerts.collect()
