@@ -520,12 +520,27 @@ def q_x2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents(F.col("o_totalprice"))).alias("total_c"),
     )
 
+#: coarse-quantizer seeds for the IVF gate query: the embeddings of these
+#: fixed vec_ids (all < 500, so present at every SF).  Data-derived
+#: constants keep the quantizer deterministic AND ANSI-SQL-expressible,
+#: so the whole IVF pipeline — assignment, probe selection, list-local
+#: ranking, merge — is oracle-checked; the KMeans quantizer path is
+#: covered by the recall tests in tests/test_operators.py.
+IVF_CENTROID_IDS = (3, 67, 131, 195, 259, 323, 387, 451)
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN (KMeans coarse quantizer, nprobe=2) — the
-    clustered scale path beside LSH.  Rows-only (iterative ML fit)."""
+    """IVF approximate NN (nprobe=2) — the clustered scale path beside
+    LSH.  Fixed data-derived centroids (IVF_CENTROID_IDS) so DuckDB can
+    replay the exact quantizer; probe selection is expression-side."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.ann_ivf_topk(emb, queries, n_lists=8, nprobe=2, k=5)
+    centroids = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return SIM.ann_ivf_topk(emb, queries, n_lists=8, nprobe=2, k=5, centroids=centroids)
 
 def q_u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 set-difference: customers with orders but no urgent ones."""
@@ -559,7 +574,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets (the 100 TB scale
-    path next to knn_brute_force).  Deterministic planes; rows-only."""
+    path next to knn_brute_force).  The planes are a closed-form integer
+    recurrence, so DuckDB replays the exact bucketing — full oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     # fixed pseudo-random hyperplanes (seeded offline, 64-dim)
     planes = [
@@ -1296,6 +1312,77 @@ def oracle_sql() -> dict[str, str]:
                  ROUND(list_dot_product(q.qv, v.e)
                        / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(v.e, v.e))), 6) AS cosine
           FROM q JOIN v ON v.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    # Replays the exact hyperplane bucketing: plane i, component j is
+    # ((i*2654435761 + j*40503) % 1000)/500.0 - 1.0 — the same closed
+    # form q_ann_lsh_topk bakes into the Spark plan.
+    sql["ann_lsh_topk"] = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        planes AS (
+          SELECT i,
+                 list_transform(range(0, 64),
+                                j -> ((i*2654435761 + j*40503) % 1000)/500.0 - 1.0) AS p
+          FROM range(0, 4) t(i)),
+        sigs AS (
+          SELECT v.vec_id,
+                 CAST(SUM(CASE WHEN list_dot_product(v.e, pl.p) >= 0
+                               THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+          FROM v CROSS JOIN planes pl GROUP BY v.vec_id),
+        b AS (SELECT v.vec_id, v.e, s.bucket FROM v JOIN sigs s USING (vec_id)),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q.e, c.e)
+                       / (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(c.e, c.e))), 6) AS cosine
+          FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    # Replays the fixed-centroid IVF quantizer (IVF_CENTROID_IDS): corpus
+    # rows go to their argmin-distance list, queries probe the 2 nearest
+    # lists, exact cosine ranks inside the probed lists.  Distances are
+    # round-6 before ordering (ties break on list id) to mirror
+    # nearest_lists_expr's engine-portable comparisons.
+    sql["ann_ivf_topk"] = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, e AS ce
+          FROM v WHERE vec_id IN (3, 67, 131, 195, 259, 323, 387, 451)),
+        dist AS (
+          SELECT v.vec_id, v.e, c.list_id,
+                 ROUND(list_dot_product(
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i]),
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i])), 6) AS d
+          FROM v CROSS JOIN cent c),
+        assign AS (
+          SELECT vec_id, e, list_id FROM (
+            SELECT vec_id, e, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+            FROM dist)
+          WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, e AS qv, list_id FROM (
+            SELECT vec_id, e, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+            FROM dist WHERE vec_id < 10)
+          WHERE rn <= 2),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(p.qv, a.e)
+                       / (SQRT(list_dot_product(p.qv, p.qv)) * SQRT(list_dot_product(a.e, a.e))), 6) AS cosine
+          FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id),
         ranked AS (
           SELECT query_id, neighbor_id, cosine,
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

@@ -118,6 +118,42 @@ def ann_lsh_topk(
         .select(query_id_col, "neighbor_id", "cosine", F.col("rk").alias("rank"))
     )
 
+def sqdist_expr(a: Column, b: Column) -> Column:
+    """Σ(x−y)² as a sequential fold — engine-portable accumulation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+def nearest_lists_expr(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """array<int> of the `nprobe` list ids whose centroids are nearest to
+    `vec` (squared L2, ties broken by list id).  Centroids are a tiny
+    driver-side constant (n_lists × dim) baked into the plan — the
+    expression-side replacement for per-query driver loops, so the query
+    side never funnels through the driver."""
+    entries = F.array(
+        *[
+            F.struct(
+                # round-6 before comparing so the ordering (and its
+                # list-id tie-break) is reproducible across engines
+                F.round(
+                    sqdist_expr(vec, F.array(*[F.lit(float(x)) for x in c])), 6
+                ).alias("d"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(entries), 1, nprobe), lambda e: e["list_id"]
+    )
+
+def assign_lists(centroids: list[list[float]], vec_expr: Column) -> Column:
+    """list_id for each row: argmin squared distance to the centroids
+    (= nearest_lists with nprobe=1)."""
+    return nearest_lists_expr(vec_expr, centroids, 1)[0]
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,29 +164,36 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: KMeans coarse quantizer buckets the corpus;
-    each query probes its `nprobe` nearest lists and ranks exactly inside
+    """IVF approximate top-k: a coarse quantizer buckets the corpus; each
+    query probes its `nprobe` nearest lists and ranks exactly inside
     them.  At 100 TB the assigned table is persisted partitioned by
     list_id, so a query touches nprobe partitions instead of the corpus.
+
+    The quantizer is KMeans (seeded) by default; passing `centroids`
+    skips the fit and quantizes against the given vectors — fully
+    deterministic and expressible in ANSI SQL, which is what the oracle
+    gate exercises.  Probe selection is a Column expression over the
+    broadcast centroid constants in both paths: no per-query driver loop.
     """
-    import numpy as np
     from pyspark.sql import Window
 
-    model, assigned = ivf_index(corpus, n_lists, id_col, vec_col, seed)
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-    q_rows = queries.select(id_col, vec_col).collect()
-    probe_pairs = []
-    for r in q_rows:
-        qv = np.array(r[1], dtype=np.float64)
-        d = ((centers - qv) ** 2).sum(axis=1)
-        for lid in np.argsort(d)[:nprobe]:
-            probe_pairs.append((r[0], int(lid)))
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_pairs, f"{query_id_col} long, list_id int")
+    if centroids is None:
+        model, assigned = ivf_index(corpus, n_lists, id_col, vec_col, seed)
+        centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    else:
+        assigned = corpus.select(
+            id_col,
+            vec_col,
+            assign_lists(centroids, _as_double(vec_col)).alias("list_id"),
+        )
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("qv")
-    ).join(F.broadcast(probes), query_id_col)
+    ).withColumn(
+        "list_id",
+        F.explode(nearest_lists_expr(F.col("qv"), centroids, nprobe)),
+    )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"), "list_id"
     )
