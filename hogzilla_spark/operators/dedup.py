@@ -355,19 +355,41 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
+    strategy: str = "auto",
+    broadcast_threshold: int = 200_000,
+    block_rows: int = 50_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, cos >= min_cosine).
 
-    Kernel: the corpus is L2-normalized once, broadcast as a numpy
-    matrix, and each Arrow batch of rows does ONE BLAS matmul against it
-    (row-block × corpusᵀ), thresholding before anything materializes —
-    ~100× faster than per-pair expression folds and emits only
-    above-threshold pairs.
+    Two exact plans behind one front door:
+      - "broadcast" (small corpus): collect+broadcast the normalized
+        matrix; each Arrow batch does one BLAS matmul against it.
+      - "blocked" (scale path): never touches the driver — rows hash
+        into B blocks, fan out to their canonical block-pairs, and a
+        grouped applyInPandas runs the same BLAS kernel per pair of
+        blocks.  Exact by construction (every id pair lands in exactly
+        one group), unlike LSH bucketing which can miss straddlers.
 
-    Scale path (100 TB): the broadcast side must fit an executor
-    (~GBs of vectors); beyond that, LSH-bucket first
-    (similarity.ann_lsh_topk) and run this kernel per bucket.
+    "auto" counts the corpus (parquet footers make this cheap) and picks
+    broadcast under `broadcast_threshold` rows.  At 100 TB the blocked
+    path's per-task memory is 2·block_rows vectors and the fan-out
+    duplication factor is B = ceil(n / block_rows); the O(n²/2) dot
+    products are inherent to the exact operator.
     """
+    if strategy not in ("auto", "broadcast", "blocked"):
+        raise ValueError(f"unknown strategy: {strategy}")
+    if strategy == "auto":
+        n = df.count()
+        strategy = "broadcast" if n <= broadcast_threshold else "blocked"
+    if strategy == "blocked":
+        return _embedding_neardup_blocked(
+            df, id_col, vec_col, min_cosine, block_rows
+        )
+    return _embedding_neardup_broadcast(df, id_col, vec_col, min_cosine)
+
+def _embedding_neardup_broadcast(
+    df: DataFrame, id_col: str, vec_col: str, min_cosine: float
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -410,4 +432,83 @@ def embedding_neardup_pairs(
 
     return df.select(id_col, vec_col).mapInPandas(
         run, "id_a long, id_b long, cosine double"
+    )
+
+def _embedding_neardup_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+    block_rows: int,
+) -> DataFrame:
+    """Exact all-pairs via block-pair fan-out — no driver collect.
+
+    Rows hash into B blocks; each row is fanned to the B canonical block
+    pairs it participates in, so group (i, j) holds exactly the rows of
+    blocks i and j and every id pair is scored in exactly one group.
+    Shuffle volume is B× the input (the price of exactness); per-task
+    memory is ≤ 2·block_rows vectors; the kernel is the same one-matmul
+    BLAS batch as the broadcast path, so results are identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = df.count()
+    B = max(1, -(-n // block_rows))
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    fanned = tagged.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("other"),
+    ).select(
+        "id",
+        "v",
+        "blk",
+        F.least("blk", "other").alias("ba"),
+        F.greatest("blk", "other").alias("bb"),
+    )
+
+    def kernel(key, pdf):
+        ba, bb = int(key[0]), int(key[1])
+
+        def prep(part):
+            ids = part["id"].to_numpy(dtype=np.int64)
+            m = np.array(list(part["v"]), dtype=np.float64)
+            if len(ids) == 0:
+                return ids, m.reshape(0, 0)
+            nn = np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m / np.where(nn == 0, 1.0, nn)
+
+        if ba == bb:
+            ia, va = prep(pdf)
+            ib, vb = ia, va
+        else:
+            ia, va = prep(pdf[pdf["blk"] == ba])
+            ib, vb = prep(pdf[pdf["blk"] == bb])
+        if len(ia) == 0 or len(ib) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        sims = va @ vb.T  # one BLAS call per block pair
+        # half-away rounding, matching the broadcast kernel and SQL ROUND
+        s = np.floor(sims * 1e6 + 0.5) / 1e6
+        mask = s >= min_cosine
+        if ba == bb:
+            mask &= ib[None, :] > ia[:, None]  # one direction, no diagonal
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia[ii], ib[jj]),
+                "id_b": np.maximum(ia[ii], ib[jj]),
+                "cosine": s[ii, jj],
+            }
+        )
+
+    return fanned.groupBy("ba", "bb").applyInPandas(
+        kernel, "id_a long, id_b long, cosine double"
     )

@@ -209,3 +209,34 @@ def test_ann_recall_vs_brute_force(spark):
     # must still beat random bucketing by a wide margin
     assert lsh_recall >= 0.3, lsh_recall
     assert ivf_recall >= 0.4, ivf_recall
+
+def test_embedding_neardup_blocked_matches_broadcast(spark):
+    """The scale path (block-pair fan-out, no driver collect) must
+    reproduce the broadcast kernel exactly — both are exact plans."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def as_set(df):
+        return {(r.id_a, r.id_b, r.cosine) for r in df.collect()}
+
+    want = as_set(
+        DD.embedding_neardup_pairs(emb, min_cosine=0.4, strategy="broadcast")
+    )
+    got = as_set(
+        DD.embedding_neardup_pairs(
+            emb, min_cosine=0.4, strategy="blocked", block_rows=150
+        )
+    )
+    assert want and got == want
+
+def test_embedding_neardup_auto_never_collects_large(spark, monkeypatch):
+    """Above the row-count guard the driver-collect path must not run."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast path used above threshold")
+
+    monkeypatch.setattr(DD, "_embedding_neardup_broadcast", boom)
+    out = DD.embedding_neardup_pairs(
+        emb, min_cosine=0.4, broadcast_threshold=100, block_rows=150
+    )
+    assert out.count() > 0  # blocked path, driver never materializes corpus
