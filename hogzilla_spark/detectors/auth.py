@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from hogzilla_spark.config import AuthConfig, HistogramConfig
 from hogzilla_spark.detectors.base import SIGNATURES, mk_alert
@@ -94,10 +93,13 @@ def auth_profile(
     s20 = _saved(histograms, "HIST20", 8)
     s21 = _saved(histograms, "HIST21", 8)
     s22 = _saved(histograms, "HIST22", 8)
+    # no broadcast hint on saved state: per-user histograms grow with the
+    # user population — let the planner/AQE pick the strategy by size
+    # (see stateful._family)
     joined = (
-        rec.join(broadcast(s20), "userName", "left")
-        .join(broadcast(s21), "userName", "left")
-        .join(broadcast(s22), "userName", "left")
+        rec.join(s20, "userName", "left")
+        .join(s21, "userName", "left")
+        .join(s22, "userName", "left")
     )
 
     sentinel = lambda c: (F.col(c) == "N/A") | (F.col(c) == " ") | (F.col(c) == "")

@@ -26,7 +26,15 @@ from hogzilla_spark.operators.histogram import EPSILON
 from hogzilla_spark.state.store import EMPTY_MAP_D, mk_update
 
 def _family(histograms: DataFrame, family: str) -> DataFrame:
-    """Saved state of one histogram family keyed by entity."""
+    """Saved state of one histogram family keyed by entity.
+
+    Joins against this side carry NO broadcast() hint on purpose: state
+    grows with entity count (per-IP maps), so at 100× scale a forced
+    broadcast of a HIST family can exceed executor broadcast memory.
+    The state side comes off parquet with size stats, so the planner
+    (and AQE at runtime) picks broadcast only while it actually fits
+    `autoBroadcastJoinThreshold`; beyond that the equi-join shuffles on
+    the entity key, which is the shape we want."""
     return histograms.filter(
         F.col("hist_name").startswith(family + "-")
         # "HIST02-" must not match "HIST02.1-..." names
@@ -101,7 +109,7 @@ def atypical_tcp_port(
             F.col("myPort").alias("port"),
             (F.col("f_p") / F.col("n_flows")).alias("weight"),
         )
-        .join(broadcast(saved.withColumnRenamed("entity", "myIP")), "myIP", "left")
+        .join(saved.withColumnRenamed("entity", "myIP"), "myIP", "left")
     )
     mature = F.coalesce(F.col("s_size"), F.lit(0)) >= hcfg.gate_hist01
     atypical_rows = port_rows.filter(
@@ -223,8 +231,8 @@ def atypical_alien_tcp_port(
         .withColumnsRenamed({"s_size": "p_size", "s_values": "p_values"})
     )
     scored = (
-        port_rows.join(broadcast(saved02), "myIP", "left")
-        .join(broadcast(saved021), "myIP", "left")
+        port_rows.join(saved02, "myIP", "left")
+        .join(saved021, "myIP", "left")
         .filter(
             (F.coalesce(F.col("s_size"), F.lit(0)) >= hcfg.gate_hist02)
             & (F.coalesce(F.col("p_size"), F.lit(0)) > 0)
@@ -243,10 +251,8 @@ def atypical_alien_tcp_port(
         .join(flow_aliens, ["myIP", "port"])
         .withColumn("a_key", alien_key)
         .join(
-            broadcast(
-                histograms.select(
-                    F.col("hist_name").alias("a_key"), F.col("values").alias("a_values")
-                )
+            histograms.select(
+                F.col("hist_name").alias("a_key"), F.col("values").alias("a_values")
             ),
             "a_key",
             "left",
@@ -296,8 +302,8 @@ def atypical_alien_tcp_port(
         .join(totals.select("myIP", F.col("n_flows").alias("size")), "myIP", "right")
         .select("myIP", "size", F.coalesce("values", EMPTY_MAP_D()).alias("values"))
     )
-    with_gate = new_hists.join(broadcast(saved02), "myIP", "left").join(
-        broadcast(saved021), "myIP", "left"
+    with_gate = new_hists.join(saved02, "myIP", "left").join(
+        saved021, "myIP", "left"
     )
     immature = with_gate.filter(F.coalesce(F.col("s_size"), F.lit(0)) < hcfg.gate_hist02)
     mature = with_gate.filter(F.coalesce(F.col("s_size"), F.lit(0)) >= hcfg.gate_hist02)
@@ -334,7 +340,7 @@ def _single_bucket_detector(
     new AND the saved histogram is concentrated (<5 buckets > 0.001)."""
     saved = _family(histograms, family).withColumnRenamed("entity", "myIP")
     rows = rolled.withColumn("bucket", bucket.cast("long").cast("string")).join(
-        broadcast(saved), "myIP", "left"
+        saved, "myIP", "left"
     )
     mature = F.coalesce(F.col("s_size"), F.lit(0)) >= gate
     concentrated = (
@@ -597,7 +603,7 @@ def horizontal_portscan(
         broadcast(p2p_talker_ips), "myIP", "left_anti"
     )
     saved = _family(histograms, "HIST07").withColumnRenamed("entity", "myIP")
-    rows = hot.join(broadcast(saved), "myIP", "left")
+    rows = hot.join(saved, "myIP", "left")
     mature = F.coalesce(F.col("s_size"), F.lit(0)) >= hcfg.gate_hist07
     port_atypical = (
         _saved_get(F.coalesce(F.col("s_values"), EMPTY_MAP_D()), F.col("alienPort")).cast("long")
@@ -695,7 +701,7 @@ def vertical_portscan(
         .join(broadcast(p2p_talker_ips), "myIP", "left_anti")
     )
     saved = _family(histograms, "HIST08").withColumnRenamed("entity", "myIP")
-    rows = pairs.join(broadcast(saved), "myIP", "left")
+    rows = pairs.join(saved, "myIP", "left")
     mature = F.coalesce(F.col("s_size"), F.lit(0)) >= hcfg.gate_hist08
     # no saved bucket with numeric key >= numPorts and weight > ε
     novel = (

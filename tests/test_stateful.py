@@ -105,6 +105,23 @@ def test_horizontal_portscan(spark, summary, hists, empty_ips):
     assert u["HIST07-10.1.0.190"].values == {"2323": 101.0}
     assert "HIST07-10.1.0.191" in u
 
+def test_state_join_not_forced_broadcast(spark, summary, hists, empty_ips, empty_pairs):
+    """Saved-state joins must not carry a broadcast() hint: with
+    auto-broadcast disabled the state join has to plan as a shuffle
+    join, while the (hinted) small-dim anti-joins stay broadcast.  At
+    100× entity count the state side outgrows executor broadcast memory,
+    so the strategy must be the planner's size-based call."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        alerts, _, _ = S.atypical_tcp_port(
+            summary, datagen.MY_NETS, CFG, HCFG, hists, empty_pairs, empty_ips, []
+        )
+        plan = alerts._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" in plan  # hinted anti-joins still are
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
 def test_horizontal_portscan_update_size_paths(spark, hists, empty_ips):
     """HogSFlow.scala:2475-2477 vs :2533: the immature save adds total
     pairs (numberOfPairsPort); the mature save adds total flows — with 2
