@@ -68,3 +68,77 @@ def test_ua_family_expression(spark):
     )
     got = [r.f for r in df.select(ua_family("ua").alias("f")).collect()]
     assert got == ["Windows/Chrome", "Mac OS X/Safari", "Other/curl", ""]
+
+# Realistic user-agent strings → expected "OS family/browser family"
+# under the ordered uap-core-style rule tables.  Covers the token
+# layering traps: Chrome UAs carry Safari, Android carries Linux, Edge
+# carries Chrome, Samsung carries Chrome, iOS Chrome is CriOS, IE 11
+# dropped the MSIE token, bots spoof browser tokens.
+_UA_FIXTURE = [
+    # desktop browsers
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36", "Windows/Chrome"),
+    ("Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/45.0.2454.85 Safari/537.36", "Windows/Chrome"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15", "Mac OS X/Safari"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36", "Mac OS X/Chrome"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0", "Linux/Firefox"),
+    ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:128.0) Gecko/20100101 Firefox/128.0", "Ubuntu/Firefox"),
+    ("Mozilla/5.0 (X11; Fedora; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/117.0.0.0 Safari/537.36", "Fedora/Chrome"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91", "Windows/Edge"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/106.0.0.0 Safari/537.36 OPR/92.0.0.0", "Windows/Opera"),
+    ("Opera/9.80 (Windows NT 6.1; WOW64) Presto/2.12.388 Version/12.18", "Windows/Opera"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 Safari/537.36 Vivaldi/5.7", "Windows/Vivaldi"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Safari/537.36 YaBrowser/23.9.1 Yowser/2.5", "Linux/Yandex Browser"),
+    ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36", "Chrome OS/Chrome"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chromium/80.0.3987.160 Chrome/80.0.3987.163 Safari/537.36", "Linux/Chromium"),
+    # IE across eras
+    ("Mozilla/5.0 (compatible; MSIE 10.0; Windows NT 6.1; Trident/6.0)", "Windows/IE"),
+    ("Mozilla/5.0 (Windows NT 10.0; WOW64; Trident/7.0; rv:11.0) like Gecko", "Windows/IE"),
+    ("Mozilla/4.0 (compatible; MSIE 6.0; Windows NT 5.1; SV1)", "Windows/IE"),
+    # mobile
+    ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36", "Android/Chrome Mobile"),
+    ("Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36", "Android/Samsung Internet"),
+    ("Mozilla/5.0 (Android 13; Mobile; rv:109.0) Gecko/119.0 Firefox/119.0", "Android/Firefox Mobile"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1", "iOS/Mobile Safari"),
+    ("Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1", "iOS/Mobile Safari"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/120.0.6099.56 Mobile/15E148 Safari/604.1", "iOS/Chrome Mobile iOS"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/118.0 Mobile/15E148 Safari/605.1.15", "iOS/Firefox iOS"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) EdgiOS/118.2088.77 Version/16.0 Mobile/15E148 Safari/604.1", "iOS/Edge Mobile"),
+    ("Mozilla/5.0 (Linux; Android 13; SM-A536B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36 EdgA/119.0.2151.78", "Android/Edge Mobile"),
+    ("Mozilla/5.0 (Linux; U; Android 12; en-US; M2102J20SG) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/100.0.4896.127 UCBrowser/15.5.0 Mobile Safari/537.36", "Android/UC Browser"),
+    ("Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS; Opera Mobi/23.348) U; en) Presto/2.5.25 Version/10.54", "Other/Opera Mini"),
+    ("Mozilla/5.0 (Windows Phone 10.0; Android 6.0.1; Microsoft; Lumia 650) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/52.0.2743.116 Mobile Safari/537.36 Edge/15.15254", "Windows Phone/Edge"),
+    ("Mozilla/5.0 (Linux; Android 11; KFONWI Build/RS8332.1115N) AppleWebKit/537.36 (KHTML, like Gecko) Silk/112.5.1 like Chrome/112.0.5615.213 Safari/537.36", "Android/Amazon Silk"),
+    ("Mozilla/5.0 (Mobile; LYF/F300B/LYF-F300B-001-02-15-130718-i;Android; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5", "KaiOS/Firefox Mobile"),
+    # tooling / bots
+    ("curl/8.4.0", "Other/curl"),
+    ("Wget/1.21.3 (linux-gnu)", "Linux/Wget"),
+    ("python-requests/2.31.0", "Other/Python Requests"),
+    ("Python-urllib/3.11", "Other/Python-urllib"),
+    ("Go-http-client/2.0", "Other/Go-http-client"),
+    ("okhttp/4.12.0", "Other/okhttp"),
+    ("Apache-HttpClient/4.5.14 (Java/17.0.8)", "Other/Apache-HttpClient"),
+    ("PostmanRuntime/7.35.0", "Other/PostmanRuntime"),
+    ("Java/11.0.20", "Other/Java"),
+    ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)", "Other/Googlebot"),
+    ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm) Chrome/116.0.1938.76 Safari/537.36", "Other/bingbot"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/119.0.6045.105 Safari/537.36", "Linux/HeadlessChrome"),
+    ("Slackbot-LinkExpanding 1.0 (+https://api.slack.com/robots)", "Other/Slackbot"),
+    # legacy / niche
+    ("Mozilla/5.0 (X11; FreeBSD amd64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/105.0.0.0 Safari/537.36", "FreeBSD/Chrome"),
+    ("Mozilla/5.0 (X11; SunOS i86pc; rv:38.0) Gecko/20100101 Firefox/38.0", "Solaris/Firefox"),
+    ("Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit/605.1.15 (KHTML, like Gecko)", "PlayStation/Other"),
+    ("Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet) AppleWebKit/606.4 (KHTML, like Gecko) NF/6.0.1.15.4 NintendoBrowser/5.1.0.20393", "Nintendo/Other"),
+    ("Mozilla/5.0 (SMART-TV; Linux; Tizen 6.0) AppleWebKit/537.36 (KHTML, like Gecko) 76.0.3809.146/6.0 TV Safari/537.36", "Tizen/Safari"),
+    ("Lynx/2.8.9rel.1 libwww-FM/2.14 SSL-MM/1.4.1 GNUTLS/3.6.13", "Other/Lynx"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:102.0) Gecko/20100101 Thunderbird/102.10.0", "Linux/Thunderbird"),
+    ("Mozilla/5.0 (compatible; Konqueror/4.5; FreeBSD) KHTML/4.5.4 (like Gecko)", "FreeBSD/Konqueror"),
+]
+
+def test_ua_family_realistic_fixture(spark):
+    df = spark.createDataFrame([(ua,) for ua, _ in _UA_FIXTURE], "ua string")
+    got = [r.f for r in df.select(ua_family("ua").alias("f")).collect()]
+    want = [exp for _, exp in _UA_FIXTURE]
+    mism = [
+        (ua, g, w) for (ua, w), g in zip(_UA_FIXTURE, got) if g != w
+    ]
+    assert not mism, mism
