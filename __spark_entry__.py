@@ -476,6 +476,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(docs, min_jaccard=0.3)
 
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH: docs with doc_id % 5 == 0 arrive as the
+    new batch and join a band index built from the rest of the corpus —
+    near-dup pairs touching the new batch only.  Same parameters as
+    dedup_minhash_lsh; the ingest shape a 100 TB corpus actually runs
+    (corpus is never re-shingled or self-joined)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return DD.minhash_lsh_pairs_incremental(new, corpus, min_jaccard=0.3)
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token stats, punctuation/stopword
     ratios, quality score, fingerprint, heuristic language ID."""
@@ -844,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u5_intersect": q_u5_intersect,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "text_profile": q_text_profile,
         "dedup_simhash": q_simhash_pairs,
         "knn_brute_force": q_knn_brute_force,
@@ -1260,6 +1272,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.3
     """
+
+    # Incremental = the full LSH pair set restricted to pairs touching
+    # the new batch (doc_id % 5 == 0): candidate generation via the band
+    # index is provably that restriction, so the oracle is the full
+    # relational pipeline plus the membership filter.
+    sql["dedup_minhash_incremental"] = (
+        sql["dedup_minhash_lsh"] + "\n          AND (id_a % 5 = 0 OR id_b % 5 = 0)"
+    )
 
     stop = ",".join(f"'{s}'" for s in TXT.STOPWORDS_EN)
     markers = {k: ",".join(f"'{m}'" for m in v) for k, v in TXT.LANG_MARKERS.items()}

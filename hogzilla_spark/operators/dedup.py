@@ -74,12 +74,39 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     String-min over hex md5 is a valid uniform minhash (md5 is uniform on
     hex strings) and — crucially — reproducible in any engine with md5.
     Returns array<string> of length K (null-free docs only).
+
+    ENGINE HAZARD: this must NOT be written as K sibling
+    ``F.transform(shingles, lambda s: md5(seed_i || s))`` columns — in
+    Spark 4.1 sibling higher-order functions whose lambdas share an
+    argument name and differ only in an embedded literal get cross-bound
+    during codegen and return corrupted values (regression-tested in
+    tests/test_operators.py::test_sibling_hof_lambda_hazard).  One
+    aggregate carrying all K running minima avoids sibling lambdas.
     """
-    return F.array(
+    seeds = F.array(*[F.lit(f"{i}|") for i in range(num_hashes)])
+    # "g" sorts after every md5 hex char, so it is the identity for min
+    init = F.array_repeat(F.lit("g"), num_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, seeds, lambda a, seed: F.least(a, F.md5(F.concat(seed, s)))
+        ),
+    )
+
+def _minhash_sig_table(base: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, mh0..mhK-1) signature table from a (id, sh) shingle table.
+
+    Shape: explode shingles → groupBy(id) with K min(md5(seed||s))
+    aggregates.  No higher-order functions at all — immune to the
+    sibling-HOF cross-binding hazard (see minhash_signature) — and the
+    partial (map-side) min combine means the groupBy shuffles exactly
+    one K-hash row per id per map task, not the exploded shingles.
+    """
+    exploded = base.select("id", F.explode("sh").alias("s"))
+    return exploded.groupBy("id").agg(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            )
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
@@ -130,17 +157,7 @@ def minhash_lsh_pairs(
         # the verify join); persist so the scan+shingle work runs once
         .persist()
     )
-    # Materialize each minhash as its own column so the band keys
-    # reference each signature expression exactly once.  (Inlining the
-    # whole array<sig> into every F.get() would make Catalyst evaluate
-    # num_hashes × num_bands transforms per row — a ~16× blowup.)
-    mh_cols = [
-        F.array_min(
-            F.transform("sh", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    sig = base.select("id", "sh", *mh_cols)
+    sig = _minhash_sig_table(base, num_hashes)
     band_structs = F.array(
         *[
             F.struct(
@@ -187,6 +204,105 @@ def minhash_lsh_pairs(
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """The persistable LSH band index: one (id, band, key) row per band
+    per document.  A 100 TB ingest builds this once for the corpus,
+    writes it partitioned/bucketed by (band, key), and each new batch
+    joins its own (tiny) band rows against it — no corpus re-shingle,
+    no full self-join."""
+    rows = num_hashes // num_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig = _minhash_sig_table(base, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    band_index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs TOUCHING the new batch
+    (new↔corpus and new↔new), the shape a continuous ingest runs.
+
+    The new batch's band rows join against the persisted `band_index`
+    (pass None to derive it from `corpus` on the fly) plus themselves;
+    exact-Jaccard verification re-shingles ONLY the candidate documents
+    — the corpus is never re-shingled or self-joined.  Equivalent to
+    `minhash_lsh_pairs(corpus ∪ new)` filtered to pairs with a new-batch
+    member.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min_jaccard.
+    """
+    if band_index is None:
+        band_index = minhash_band_index(
+            corpus, id_col, text_col, shingle_k, num_hashes, num_bands
+        )
+    new_bands = minhash_band_index(
+        new_docs, id_col, text_col, shingle_k, num_hashes, num_bands
+    )
+    searchable = band_index.unionByName(new_bands)
+    cand = (
+        new_bands.select("band", "key", F.col("id").alias("id_n"))
+        .join(searchable.select("band", "key", F.col("id").alias("id_o")), ["band", "key"])
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    docs = corpus.select(id_col, text_col).unionByName(new_docs.select(id_col, text_col))
+    cand_ids = cand.select(F.col("id_a").alias("id")).unionByName(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    verify_sh = (
+        docs.join(cand_ids, docs[id_col] == cand_ids["id"], "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, shingle_k).alias("sh"),
+        )
+    )
+    pairs = cand.join(
+        verify_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        verify_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= min_jaccard)
 
 # --- SimHash ----------------------------------------------------------------
 

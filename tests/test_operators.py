@@ -210,6 +210,107 @@ def test_ann_recall_vs_brute_force(spark):
     assert lsh_recall >= 0.3, lsh_recall
     assert ivf_recall >= 0.4, ivf_recall
 
+def test_sibling_hof_lambda_hazard(spark):
+    """Spark 4.1 cross-binds sibling higher-order-function lambdas that
+    share an argument name and differ only in an embedded literal: K
+    sibling ``transform(sh, s -> md5(i|s))`` columns in one projection
+    return corrupted minhashes.  minhash_signature and _minhash_sig_table
+    avoid sibling HOFs entirely; this pins both to a hashlib ground truth
+    so a regression to the broken form fails loudly."""
+    import hashlib
+
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs and jars")]
+    K = 16
+
+    def expect(text):
+        toks = text.split()
+        sh = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        return [
+            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+            for i in range(K)
+        ]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_expr = {
+        r.doc_id: list(r.sig)
+        for r in df.select(
+            "doc_id",
+            DD.minhash_signature(DD.word_shingles("text"), K).alias("sig"),
+        ).collect()
+    }
+    base = df.select(
+        F.col("doc_id").alias("id"), DD.word_shingles("text").alias("sh")
+    )
+    got_table = {
+        r.id: [r[f"mh{i}"] for i in range(K)]
+        for r in DD._minhash_sig_table(base, K).collect()
+    }
+    for doc_id, text in docs:
+        assert got_expr[doc_id] == expect(text)
+        assert got_table[doc_id] == expect(text)
+
+def test_simhash_expression_twin_ground_truth(spark):
+    """The portable expression form (simhash_sig) must match hashlib
+    ground truth — its two transform siblings differ only in a substring
+    offset, adjacent to the sibling-HOF hazard shape, so pin it."""
+    import hashlib
+
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.s.hi, r.s.lo)
+        for r in df.select("doc_id", DD.simhash_sig("text").alias("s")).collect()
+    }
+
+    def expect(text):
+        toks = [t for t in text.strip().lower().split() if t]
+        hx = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+
+        def half(off):
+            vals = [int(h[off - 1 : off + 7], 16) for h in hx]
+            sig = 0
+            for j in range(32):
+                if 2 * sum((v >> j) & 1 for v in vals) - len(vals) > 0:
+                    sig |= 1 << j
+            return sig
+
+        return (half(1), half(9))
+
+    for doc_id, text in docs:
+        assert got[doc_id] == expect(text)
+
+def test_minhash_incremental_matches_full(spark, tmp_path):
+    """Incremental (new-batch vs band index) must equal the full
+    self-join restricted to pairs touching the new batch — including
+    via a parquet round-trip of the index, the ingest shape."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    full = DD.minhash_lsh_pairs(docs, min_jaccard=0.3)
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in full.collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs_incremental(new, corpus, min_jaccard=0.3).collect()
+    }
+    assert want and got == want
+
+    idx_path = str(tmp_path / "band_index")
+    DD.minhash_band_index(corpus).write.parquet(idx_path)
+    via_index = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs_incremental(
+            new, corpus, band_index=spark.read.parquet(idx_path), min_jaccard=0.3
+        ).collect()
+    }
+    assert via_index == want
+
 def test_embedding_neardup_blocked_matches_broadcast(spark):
     """The scale path (block-pair fan-out, no driver collect) must
     reproduce the broadcast kernel exactly — both are exact plans."""
