@@ -4,11 +4,18 @@ pipelines.
 Design: media rides as an opaque ``binary`` column plus typed metadata
 (modality, codec, width/height/duration).  All Spark-side mechanics —
 schema, partitioning, Arrow batch shape, UDF signatures — are real and
-tested; the codec work itself (decode, resize, frame-sample, feature
-extraction) is stubbed because the image/audio libraries are not in
-this container.  Each stub either raises NotImplementedError (strict
-mode) or produces a deterministic fake (plumbing-test mode) — swap the
-inner function body for PIL/torchaudio/ffmpeg in a real deployment.
+tested.  Codecs that need only the stdlib + numpy are REAL:
+
+  - image decode: PPM (P6) and uncompressed 24-bit BMP → HxWx3 uint8
+  - image resize: bilinear, pure numpy, re-encoded as PPM
+  - audio decode: PCM WAV (8/16-bit) via the stdlib ``wave`` module
+  - features: image grayscale stats + histogram; audio RMS / zero
+    crossings / band energies
+
+Formats that genuinely require external libraries absent from this
+container (PNG/JPEG deflate+DCT, MP4 demux) fall back to a
+deterministic fake embedding — or raise NotImplementedError in strict
+mode — with the swap point marked for PIL/ffmpeg in a real deployment.
 
 Scale notes:
   - mapInPandas streams Arrow record batches; peak executor memory is
@@ -22,8 +29,14 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import io
+import math
+import re
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,6 +63,15 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -59,27 +81,144 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
     ]
 )
 
+# --- real codecs (stdlib + numpy only) --------------------------------------
+
+_PPM_HEADER = re.compile(rb"^P6\s+(?:#[^\n]*\n\s*)?(\d+)\s+(\d+)\s+(\d+)\s")
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 (binary) PPM → HxWx3 uint8."""
+    m = _PPM_HEADER.match(payload)
+    if not m:
+        raise ValueError("not a P6 PPM")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    return pix.reshape(h, w, 3).copy()
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → HxWx3 uint8 (RGB order)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flipped = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+def decode_image(payload: bytes) -> np.ndarray:
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only PPM/BMP decodable without PIL; plug PIL in here for PNG/JPEG"
+    )
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (mono float32 samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate, width, nch = wf.getframerate(), wf.getsampwidth(), wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+        )
+    return buf.getvalue()
+
+def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Pure-numpy bilinear resample (align_corners=False convention)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = img.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+def image_features(img: np.ndarray, dim: int = 8) -> list[float]:
+    """[gray mean/255, gray std/255, 6-bin normalized gray histogram]."""
+    gray = (
+        0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    ).ravel()
+    hist, _ = np.histogram(gray, bins=dim - 2, range=(0.0, 256.0))
+    hist = hist / max(1, gray.size)
+    return [float(gray.mean() / 255.0), float(gray.std() / 255.0)] + [
+        float(v) for v in hist
+    ]
+
+def audio_features(samples: np.ndarray, dim: int = 8) -> list[float]:
+    """[RMS, zero-crossing rate, 6 mean-|x| band energies]."""
+    if samples.size == 0:
+        return [0.0] * dim
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    bands = np.array_split(np.abs(samples), dim - 2)
+    return [rms, zcr] + [float(b.mean()) if b.size else 0.0 for b in bands]
+
 def _fake_embedding(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real encoder: sha256-seeded floats in
-    [0,1).  REAL DEPLOYMENT: replace with the model forward pass."""
+    """Deterministic stand-in for codecs this container cannot decode
+    (PNG/JPEG/MP4): sha256-seeded floats in [0,1).  REAL DEPLOYMENT:
+    replace with PIL/ffmpeg decode + the model forward pass."""
     h = hashlib.sha256(payload or b"").digest()
     return [h[i] / 255.0 for i in range(dim)]
+
+_REAL_CODECS = {"ppm", "bmp", "wav"}
 
 def decode_and_featurize(
     media: DataFrame, batch_size_hint: int = 64, strict: bool = False
 ) -> DataFrame:
     """Decode blobs and emit per-item features via mapInPandas.
 
-    The Arrow plumbing (schema in/out, batch iteration, column pruning
-    of untouched metadata) is production-shaped; only `_decode` is a
-    stub.  strict=True surfaces the NotImplementedError a real codec
-    integration would remove.
+    PPM/BMP images and PCM WAV audio are decoded for real (stdlib +
+    numpy) and featurized with actual signal statistics.  Other codecs
+    use the deterministic fake embedding, or raise in strict mode.
     """
 
-    def _decode(payload: bytes, modality: str) -> list[float]:
+    def _decode(payload: bytes, modality: str, codec: str) -> list[float]:
+        if codec in ("ppm", "bmp") and modality == "image":
+            return image_features(decode_image(payload))
+        if codec == "wav" and modality == "audio":
+            return audio_features(decode_wav(payload)[0])
         if strict:
             raise NotImplementedError(
-                "codec decode not available in this environment; "
+                f"codec {codec!r} not decodable in this environment; "
                 "plug in PIL/torchaudio/ffmpeg here"
             )
         return _fake_embedding(payload)
@@ -94,15 +233,43 @@ def decode_and_featurize(
                     ],
                     "n_bytes": [len(p or b"") for p in pdf["payload"]],
                     "feature": [
-                        _decode(p, m)
-                        for p, m in zip(pdf["payload"], pdf["modality"])
+                        _decode(p, m, c)
+                        for p, m, c in zip(
+                            pdf["payload"], pdf["modality"], pdf["codec"]
+                        )
                     ],
                 }
             )
             yield out
 
-    return media.select("media_id", "modality", "payload").mapInPandas(
+    return media.select("media_id", "modality", "codec", "payload").mapInPandas(
         run, IMAGE_FEATURES_SCHEMA
+    )
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Real bilinear resize for decodable images (PPM/BMP), re-encoded
+    as PPM.  Narrow transform — no shuffle; undecodable codecs are
+    dropped (a production pipeline routes them to a PIL/ffmpeg stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, codec, payload in zip(
+                pdf["media_id"], pdf["codec"], pdf["payload"]
+            ):
+                if codec not in ("ppm", "bmp"):
+                    continue
+                img = resize_bilinear(decode_image(payload), out_w, out_h)
+                rows["media_id"].append(mid)
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["payload"].append(encode_ppm(img))
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_id", "codec", "payload")
+        .mapInPandas(run, RESIZED_SCHEMA)
     )
 
 def sample_frames(
@@ -110,7 +277,7 @@ def sample_frames(
 ) -> DataFrame:
     """Video → frame rows (one row per sampled frame).  The exploding
     row-shape and timestamps are real; frame extraction is stubbed as a
-    deterministic slice of the payload."""
+    deterministic slice of the payload (MP4 demux needs ffmpeg)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,19 +311,35 @@ def media_summary(media: DataFrame) -> DataFrame:
     )
 
 def synthetic_media(spark, n: int = 32) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table with REAL payloads where the codec is
+    real: images are valid P6 PPMs, audio is valid 16-bit PCM WAV;
+    video stays an opaque fake (MP4 demux is stubbed anyway)."""
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = bytes((i * 7 + j) % 256 for j in range(128 + (i % 5) * 32))
-        rows.append(
-            (
-                i,
-                modality,
-                {"image": "png", "audio": "wav", "video": "mp4"}[modality],
-                64 + i, 48 + i,
-                (i % 10) * 1000,
-                payload,
-            )
-        )
+        if modality == "image":
+            w, h = 8 + (i % 5), 6 + (i % 3)
+            xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+            img = np.stack(
+                [
+                    (xs * 7 + ys * 13 + i) % 256,
+                    (xs * 3 + ys * 5 + 2 * i) % 256,
+                    (xs * 11 + ys * 2 + 3 * i) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            payload, codec, dur = encode_ppm(img), "ppm", 0
+        elif modality == "audio":
+            rate = 8000
+            t = np.arange(400 + 40 * i) / rate
+            freq = 200.0 + 50.0 * i
+            samples = 0.5 * np.sin(2 * math.pi * freq * t)
+            payload, codec = encode_wav(samples, rate), "wav"
+            w = h = 0
+            dur = int(len(t) * 1000 / rate)
+        else:
+            payload = bytes((i * 7 + j) % 256 for j in range(128 + (i % 5) * 32))
+            codec, dur = "mp4", (i % 10) * 1000
+            w, h = 64 + i, 48 + i
+        rows.append((i, modality, codec, w, h, dur, payload))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,24 +1,91 @@
-"""Multimodal plumbing tests: Arrow batch shape, schemas, stub gating."""
+"""Multimodal tests: real PPM/BMP/WAV codecs, resize math, Arrow batch
+shape, and stub gating for codecs that genuinely need PIL/ffmpeg."""
 
+import math
+import struct
+
+import numpy as np
 import pytest
 
 from hogzilla_spark.operators import multimodal as MM
 
-def test_decode_and_featurize_plumbing(spark):
+def test_ppm_roundtrip_and_features():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(MM.decode_ppm(MM.encode_ppm(img)), img)
+    feats = MM.image_features(img)
+    gray = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    assert feats[0] == pytest.approx(gray.mean() / 255.0)
+    assert feats[1] == pytest.approx(gray.std() / 255.0)
+    assert sum(feats[2:]) == pytest.approx(1.0)  # histogram normalized
+
+def test_bmp_decode_known_bytes():
+    # hand-built 2x2 bottom-up 24bpp BMP: rows pad to 4 bytes (2*3→8)
+    px_bottom = [(255, 0, 0), (0, 255, 0)]  # row y=1 in image coords
+    px_top = [(0, 0, 255), (255, 255, 255)]  # row y=0
+    rows = b""
+    for r in (px_bottom, px_top):  # bottom-up storage
+        for (R, G, B) in r:
+            rows += bytes([B, G, R])
+        rows += b"\x00\x00"  # padding
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    img = MM.decode_bmp(header + dib + rows)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (0, 0, 255) and tuple(img[0, 1]) == (255, 255, 255)
+    assert tuple(img[1, 0]) == (255, 0, 0) and tuple(img[1, 1]) == (0, 255, 0)
+
+def test_wav_roundtrip_and_features():
+    rate = 8000
+    t = np.arange(800) / rate
+    sig = 0.5 * np.sin(2 * math.pi * 440.0 * t)
+    back, got_rate = MM.decode_wav(MM.encode_wav(sig, rate))
+    assert got_rate == rate
+    assert np.abs(back - sig).max() < 1e-3  # 16-bit quantization only
+    feats = MM.audio_features(back)
+    assert feats[0] == pytest.approx(0.5 / math.sqrt(2), abs=1e-2)  # sine RMS
+    assert 0.05 < feats[1] < 0.2  # 440 Hz at 8 kHz → ~0.11 crossings/sample
+
+def test_resize_bilinear_constant_and_downsample():
+    flat = np.full((4, 4, 3), 77, dtype=np.uint8)
+    assert np.all(MM.resize_bilinear(flat, 2, 2) == 77)
+    # 2x2 checkerboard upsampled: corners keep source values
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = 200
+    up = MM.resize_bilinear(img, 4, 4)
+    assert up[0, 0, 0] == 200 and up[3, 3, 0] == 0
+
+def test_decode_and_featurize_real_codecs(spark):
     media = MM.synthetic_media(spark, 12)
     out = MM.decode_and_featurize(media)
     rows = out.collect()
     assert len(rows) == 12
     assert all(len(r.feature) == 8 for r in rows)
     assert all(len(r.sha256) == 64 for r in rows)
+    # image rows (i%3==0) carry a real normalized histogram in [2:]
+    for r in rows:
+        if r.media_id % 3 == 0:
+            assert sum(r.feature[2:]) == pytest.approx(1.0, abs=1e-5)
+        if r.media_id % 3 == 1:  # audio: RMS of a 0.5-amp sine
+            assert r.feature[0] == pytest.approx(0.5 / math.sqrt(2), abs=2e-2)
     # deterministic: same payload → same feature
     again = {r.media_id: r.feature for r in MM.decode_and_featurize(media).collect()}
     assert all(again[r.media_id] == r.feature for r in rows)
 
-def test_strict_mode_surfaces_stub(spark):
-    media = MM.synthetic_media(spark, 3)
-    with pytest.raises(Exception, match="NotImplementedError|codec decode"):
+def test_strict_mode_surfaces_stub_for_video_only(spark):
+    media = MM.synthetic_media(spark, 3)  # image(ppm), audio(wav), video(mp4)
+    with pytest.raises(Exception, match="NotImplementedError|not decodable"):
         MM.decode_and_featurize(media, strict=True).collect()
+    # without the undecodable video row, strict mode decodes for real
+    ia = media.filter("modality != 'video'")
+    assert MM.decode_and_featurize(ia, strict=True).count() == 2
+
+def test_resize_images_spark_path(spark):
+    media = MM.synthetic_media(spark, 12)
+    out = MM.resize_images(media, 4, 4).collect()
+    assert len(out) == 4  # the four image rows
+    for r in out:
+        img = MM.decode_ppm(bytes(r.payload))
+        assert img.shape == (4, 4, 3)
 
 def test_frame_sampling_rows(spark):
     media = MM.synthetic_media(spark, 12)
@@ -31,4 +98,4 @@ def test_frame_sampling_rows(spark):
 def test_media_summary_sql_only(spark):
     media = MM.synthetic_media(spark, 12)
     summ = {(r.modality, r.codec): r.n_items for r in MM.media_summary(media).collect()}
-    assert summ == {("image", "png"): 4, ("audio", "wav"): 4, ("video", "mp4"): 4}
+    assert summ == {("image", "ppm"): 4, ("audio", "wav"): 4, ("video", "mp4"): 4}
