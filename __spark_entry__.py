@@ -1061,9 +1061,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, {_sig_terms("hs_hi")} AS hi, {_sig_terms("hs_lo")} AS lo FROM hashes),
         chunks AS (
           SELECT doc_id, hi, lo, b,
-                 CASE WHEN b < 4 THEN (hi >> (b*8)) & 255
-                      ELSE (lo >> ((b-4)*8)) & 255 END AS chunk
-          FROM sigs, unnest([0,1,2,3,4,5,6,7]) AS t(b)),
+                 CASE WHEN b < 2 THEN (hi >> (b*16)) & 65535
+                      ELSE (lo >> ((b-2)*16)) & 65535 END AS chunk
+          FROM sigs, unnest([0,1,2,3]) AS t(b)),
         cand AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                  l.hi AS hi_a, l.lo AS lo_a, r.hi AS hi_b, r.lo AS lo_b
@@ -1241,8 +1241,14 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1
     """
 
-    # MinHash+LSH reproduced relationally: same md5 minhashes, same bands.
-    sql["dedup_minhash_lsh"] = """
+    # MinHash+LSH reproduced relationally: same universal-family
+    # minhashes over one 31-bit md5 base hash per shingle, same bands.
+    _p, _ma, _mb = DD.minhash_params(16)
+    _sig_list = ", ".join(
+        f"list_min(list_transform(bs, h -> ({_ma[i]}*h + {_mb[i]}) % {_p}))"
+        for i in range(16)
+    )
+    sql["dedup_minhash_lsh"] = f"""
         WITH toks AS (
           SELECT doc_id,
                  list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS w
@@ -1252,14 +1258,17 @@ def oracle_sql() -> dict[str, str]:
                  list_distinct(list_transform(range(1, len(w)-1),
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
           FROM toks WHERE len(w) >= 3),
-        sigs AS (
+        based AS (
           SELECT doc_id, shingles,
-                 [list_min(list_transform(shingles, s -> md5(CAST(h AS VARCHAR) || '|' || s)))
-                  FOR h IN range(16)] AS sig
+                 list_transform(shingles,
+                   s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) & 2147483647) AS bs
           FROM sh),
+        sigs AS (
+          SELECT doc_id, shingles, [{_sig_list}] AS sig FROM based),
         bands AS (
           SELECT doc_id, shingles, b,
-                 md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
+                 md5(CAST(sig[b*4+1] AS VARCHAR) || '|' || CAST(sig[b*4+2] AS VARCHAR)
+                     || '|' || CAST(sig[b*4+3] AS VARCHAR) || '|' || CAST(sig[b*4+4] AS VARCHAR)) AS key
           FROM sigs, unnest(range(4)) AS t(b)),
         cand AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,

@@ -68,45 +68,75 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """K portable minhashes: min over shingles of md5(i || '|' || shingle).
+MINHASH_P = (1 << 61) - 1  # Mersenne prime; products stay < 2^62 < p*2
 
-    String-min over hex md5 is a valid uniform minhash (md5 is uniform on
-    hex strings) and — crucially — reproducible in any engine with md5.
-    Returns array<string> of length K (null-free docs only).
+def minhash_params(num_hashes: int = 16) -> tuple[int, list[int], list[int]]:
+    """(p, a[], b[]) for the universal family h_i(x) = (a_i·x + b_i) mod p
+    over 31-bit base hashes.  a_i < 2^31 keeps a_i·x < 2^62 — exact in
+    signed-64 arithmetic in BOTH Spark and DuckDB, so the oracle can
+    reproduce every signature bit-for-bit."""
+    a = [((i + 1) * 2654435761) % (1 << 31) or 1 for i in range(num_hashes)]
+    b = [((i + 1) * 2246822519) % (1 << 31) for i in range(num_hashes)]
+    return MINHASH_P, a, b
+
+def _base_hash(s: Column) -> Column:
+    """31-bit base hash of a shingle: first 8 md5 hex chars, masked.
+    ONE md5 per shingle; the K minhashes derive via cheap multiply-mod."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit((1 << 31) - 1))
+    )
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """K portable minhashes: min over shingles of (a_i·md5_31(s)+b_i) mod p.
+
+    Returns array<long> of length K (null-free docs only).
 
     ENGINE HAZARD: this must NOT be written as K sibling
-    ``F.transform(shingles, lambda s: md5(seed_i || s))`` columns — in
-    Spark 4.1 sibling higher-order functions whose lambdas share an
-    argument name and differ only in an embedded literal get cross-bound
-    during codegen and return corrupted values (regression-tested in
-    tests/test_operators.py::test_sibling_hof_lambda_hazard).  One
-    aggregate carrying all K running minima avoids sibling lambdas.
+    ``F.transform(shingles, ...)`` columns differing only in an embedded
+    literal — in Spark 4.1 sibling higher-order functions whose lambdas
+    share an argument name get cross-bound during codegen and return
+    corrupted values (regression-tested in tests/test_operators.py::
+    test_sibling_hof_lambda_hazard).  One transform builds the base
+    hashes (one md5 per shingle), then one aggregate carries all K
+    running minima — no sibling lambdas anywhere.
     """
-    seeds = F.array(*[F.lit(f"{i}|") for i in range(num_hashes)])
-    # "g" sorts after every md5 hex char, so it is the identity for min
-    init = F.array_repeat(F.lit("g"), num_hashes)
+    p, a, b = minhash_params(num_hashes)
+    params = F.array(
+        *[
+            F.struct(F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b"))
+            for i in range(num_hashes)
+        ]
+    )
+    bases = F.transform(shingles, _base_hash)
+    init = F.array_repeat(F.lit(p).cast("long"), num_hashes)
     return F.aggregate(
-        shingles,
+        bases,
         init,
-        lambda acc, s: F.zip_with(
-            acc, seeds, lambda a, seed: F.least(a, F.md5(F.concat(seed, s)))
+        lambda acc, h: F.zip_with(
+            acc, params, lambda cur, pr: F.least(cur, (pr["a"] * h + pr["b"]) % p)
         ),
     )
 
 def _minhash_sig_table(base: DataFrame, num_hashes: int) -> DataFrame:
     """(id, mh0..mhK-1) signature table from a (id, sh) shingle table.
 
-    Shape: explode shingles → groupBy(id) with K min(md5(seed||s))
-    aggregates.  No higher-order functions at all — immune to the
-    sibling-HOF cross-binding hazard (see minhash_signature) — and the
-    partial (map-side) min combine means the groupBy shuffles exactly
-    one K-hash row per id per map task, not the exploded shingles.
+    Shape: explode shingles → ONE md5 base hash per shingle (projected
+    BEFORE the groupBy so it isn't re-evaluated per aggregate) → K
+    min((a_i·h+b_i) mod p) aggregates.  No higher-order functions at all
+    — immune to the sibling-HOF cross-binding hazard (see
+    minhash_signature) — and the partial (map-side) min combine means
+    the groupBy shuffles exactly one K-hash row per id per map task,
+    not the exploded shingles.
     """
-    exploded = base.select("id", F.explode("sh").alias("s"))
-    return exploded.groupBy("id").agg(
+    p, a, b = minhash_params(num_hashes)
+    hashed = base.select("id", F.explode("sh").alias("s")).select(
+        "id", _base_hash(F.col("s")).alias("h")
+    )
+    return hashed.groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+            F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % p).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
@@ -380,6 +410,20 @@ def simhash_sigs_kernel(
     tok_re = re.compile(r"\s+")
 
     def run(batches):
+        # token→(hi, lo) memo shared across the task's batches: corpora
+        # follow Zipf, so the md5 of a common token is computed once per
+        # task instead of once per occurrence (~10× fewer digest calls)
+        memo: dict[str, tuple[int, int]] = {}
+
+        def tok_hash(t: str) -> tuple[int, int]:
+            v = memo.get(t)
+            if v is None:
+                h = hashlib.md5(t.encode("utf-8")).hexdigest()
+                v = (int(h[:8], 16), int(h[8:16], 16))
+                memo[t] = v
+            return v
+
+        shifts = np.arange(32)
         for pdf in batches:
             ids, his, los = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -387,16 +431,15 @@ def simhash_sigs_kernel(
                 if not toks:
                     ids.append(doc_id); his.append(0); los.append(0)
                     continue
-                hx = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in toks]
-                hi = np.array([int(h[:8], 16) for h in hx], dtype=np.int64)
-                lo = np.array([int(h[8:16], 16) for h in hx], dtype=np.int64)
+                pairs = np.array([tok_hash(t) for t in toks], dtype=np.int64)
                 n = len(toks)
-                shifts = np.arange(32)
-                hi_counts = ((hi[:, None] >> shifts) & 1).sum(axis=0)
-                lo_counts = ((lo[:, None] >> shifts) & 1).sum(axis=0)
+                hi_counts = ((pairs[:, 0:1] >> shifts) & 1).sum(axis=0)
+                lo_counts = ((pairs[:, 1:2] >> shifts) & 1).sum(axis=0)
                 hi_sig = int(((2 * hi_counts - n > 0).astype(np.int64) << shifts).sum())
                 lo_sig = int(((2 * lo_counts - n > 0).astype(np.int64) << shifts).sum())
                 ids.append(doc_id); his.append(hi_sig); los.append(lo_sig)
+            if len(memo) > 2_000_000:  # bound task memory on adversarial vocab
+                memo.clear()
             yield pd.DataFrame(
                 {
                     "id": np.array(ids, dtype=np.int64),
@@ -418,29 +461,38 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    blocks: int = 8,
+    blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash with block-based candidates:
-    the signature splits into `blocks` 8-bit chunks (4 per half); by
-    pigeonhole any pair within max_hamming (< blocks) shares a chunk,
-    so the self-join key is (block_idx, chunk) — never all pairs.
+    """Near-dup pairs by 64-bit SimHash with block-based candidates: the
+    signature splits into `blocks` equal chunks (blocks/2 per half); by
+    pigeonhole any pair within max_hamming (< blocks) shares a chunk, so
+    the self-join key is (block_idx, chunk) — never all pairs.
+
+    Fewer blocks → wider chunks → a larger key space and far fewer
+    bucket collisions: at 50k docs, 4×16-bit chunks generate ~40× fewer
+    candidate pairs than 8×8-bit (65536 vs 256 values per block) with
+    identical recall, so the default is the minimum blocks the pigeonhole
+    bound allows for max_hamming=3.
 
     Returns (id_a, id_b, hamming <= max_hamming).
     """
     assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
+    per_half = blocks // 2
+    bits = 32 // per_half
+    mask = (1 << bits) - 1
     sigs = simhash_sigs_kernel(df, id_col, text_col)
     chunk_cols = []
-    for i in range(blocks // 2):
+    for i in range(per_half):
         chunk_cols.append(
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftright("hi", i * 8).bitwiseAND(F.lit(255)).alias("chunk"),
+                F.shiftright("hi", i * bits).bitwiseAND(F.lit(mask)).alias("chunk"),
             )
         )
         chunk_cols.append(
             F.struct(
-                F.lit(i + blocks // 2).alias("blk"),
-                F.shiftright("lo", i * 8).bitwiseAND(F.lit(255)).alias("chunk"),
+                F.lit(i + per_half).alias("blk"),
+                F.shiftright("lo", i * bits).bitwiseAND(F.lit(mask)).alias("chunk"),
             )
         )
     chunks = sigs.select(

@@ -182,14 +182,78 @@ def lang_id_ngram(text: Column | str) -> Column:
         best_score = F.when(improved, score).otherwise(best_score)
     return best_lang
 
-def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+def text_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document text profile.
 
-    All features are computed inside ONE bound-lambda struct so the
-    tokenization runs exactly once per row — higher-order functions are
-    interpreted, and a plain projection would re-run the regex split per
-    feature (see word_shingles for the same pattern).
+    When `id_col` exists (the normal 100 TB shape: every document has a
+    key), token statistics run as explode → native `isin` aggregates:
+    literal-list membership compiles to an InSet hash probe inside
+    whole-stage codegen, ~10× the throughput of interpreted per-token
+    higher-order lambdas, and the groupBy's map-side partial combine
+    means the shuffle carries one small stats row per document.  Keyless
+    frames fall back to the pure-expression form (identical values).
     """
+    if id_col not in df.columns:
+        return _text_profile_expr(df, text_col)
+    text = F.col(text_col)
+    base = df.withColumn("__tok", tokens(text_col))
+    lt = F.lower(F.col("__t"))
+    marker_aggs = [
+        F.sum(lt.isin(LANG_MARKERS[lang]).cast("int")).alias(f"__s_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    stats = (
+        base.select(F.col(id_col).alias("__id"), F.explode("__tok").alias("__t"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("__n"),
+            F.sum(F.length("__t")).cast("int").alias("__len"),
+            F.sum(lt.isin(STOPWORDS_EN).cast("int")).cast("int").alias("__sw"),
+            *marker_aggs,
+        )
+    )
+    joined = base.drop("__tok").join(
+        stats, F.col(id_col) == F.col("__id"), "left"
+    )
+    n = F.coalesce(F.col("__n"), F.lit(0))
+    nz = n > 0
+    atl = F.when(nz, F.col("__len").cast("double") / n).otherwise(F.lit(0.0))
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
+    pr = F.when(F.length(text) > 0, punct.cast("double") / F.length(text)).otherwise(
+        F.lit(0.0)
+    )
+    sr = F.when(nz, F.col("__sw").cast("double") / n).otherwise(F.lit(0.0))
+    length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    wordlen_score = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_score = F.lit(1.0) - F.least(pr * 5.0, F.lit(1.0))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # alphabetical; strict > keeps first maximal
+        s = F.coalesce(F.col(f"__s_{lang}"), F.lit(0))
+        improved = s > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, s).otherwise(best_score)
+    internal = ["__id", "__n", "__len", "__sw"] + [
+        f"__s_{lang}" for lang in sorted(LANG_MARKERS)
+    ]
+    return joined.select(
+        "*",
+        n.alias("n_tokens"),
+        F.round(atl, 6).alias("avg_token_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio"),
+        F.round((length_score + wordlen_score + punct_score) / 3.0, 6).alias("quality"),
+        F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")).alias("fp"),
+        best_lang.alias("lang_pred"),
+    ).drop(*internal)
+
+def _text_profile_expr(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Expression-only profile (no key needed): all features inside ONE
+    bound-lambda struct so tokenization runs once per row — higher-order
+    functions are interpreted, and a plain projection would re-run the
+    regex split per feature (see word_shingles for the same pattern)."""
     text = F.col(text_col)
     prof = F.get(
         F.transform(

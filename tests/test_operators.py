@@ -223,13 +223,16 @@ def test_sibling_hof_lambda_hazard(spark):
             (2, "pack my box with five dozen liquor jugs and jars")]
     K = 16
 
+    p, a, b = DD.minhash_params(K)
+
     def expect(text):
         toks = text.split()
         sh = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
-        return [
-            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
-            for i in range(K)
+        bases = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+            for s in sh
         ]
+        return [min((a[i] * h + b[i]) % p for h in bases) for i in range(K)]
 
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got_expr = {
