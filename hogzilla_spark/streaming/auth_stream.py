@@ -58,22 +58,38 @@ def start_auth_stream(
     writer = writer.trigger(**(trigger or {"processingTime": "10 seconds"}))
     return writer.start()
 
+def wordcount(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """A13: running word counts over a line stream — the reference's
+    streaming aggregation (HogzillaStream.scala:56-63).  Works on any
+    line-shaped streaming OR batch DataFrame; on a stream the groupBy
+    keeps running counts in the state store (update/complete mode)."""
+    from pyspark.sql import functions as F
+
+    return (
+        lines.select(
+            F.explode(
+                F.filter(F.split(value_col, r"\s+"), lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .count()
+    )
+
 def start_socket_wordcount(
     spark: SparkSession, host: str, port: int
 ) -> DataFrame:
     """S18 parity: the reference's skeleton socket word-count
     (HogzillaStream.scala:56-63) as Structured Streaming; returns the
     streaming DataFrame for the caller to sink."""
-    from pyspark.sql import functions as F
-
     lines = (
         spark.readStream.format("socket")
         .option("host", host)
         .option("port", port)
         .load()
     )
-    return (
-        lines.select(F.explode(F.split("value", r"\s+")).alias("word"))
-        .groupBy("word")
-        .count()
-    )
+    return wordcount(lines)
+
+def start_file_wordcount(spark: SparkSession, input_dir: str) -> DataFrame:
+    """A13 over a replayable file source (the production shape: exactly
+    -once via checkpoint, unlike the at-most-once socket skeleton)."""
+    return wordcount(spark.readStream.text(input_dir))
