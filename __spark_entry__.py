@@ -487,6 +487,13 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return DD.minhash_lsh_pairs_incremental(new, corpus, min_jaccard=0.3)
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs (word 3-gram shingles,
+    jaccard >= 0.3) via the relational intersection-count plan — the
+    recall-1 companion to the LSH approximation."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, min_jaccard=0.3)
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token stats, punctuation/stopword
     ratios, quality score, fingerprint, heuristic language ID."""
@@ -856,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_profile": q_text_profile,
         "dedup_simhash": q_simhash_pairs,
         "knn_brute_force": q_knn_brute_force,
@@ -1280,6 +1288,28 @@ def oracle_sql() -> dict[str, str]:
         FROM cand
         WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.3
+    """
+
+    sql["dedup_ngram_jaccard"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w)-1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM toks WHERE len(w) >= 3),
+        ex AS (
+          SELECT doc_id AS id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        pairs AS (
+          SELECT l.id AS id_a, r.id AS id_b, l.n AS n_a, r.n AS n_b, COUNT(*) AS i
+          FROM ex l JOIN ex r ON l.s = r.s AND l.id < r.id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) AS jaccard
+        FROM pairs
+        WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.3
     """
 
     # Incremental = the full LSH pair set restricted to pairs touching

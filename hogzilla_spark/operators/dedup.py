@@ -334,6 +334,57 @@ def minhash_lsh_pairs_incremental(
         "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs, fully relational.
+
+    Explode (id, shingle) and self-join on the shingle: the per-pair
+    match count IS |A∩B|, and |A∪B| = |A|+|B|−|A∩B| — no candidate
+    generation, no approximation, recall 1 by construction.  One shuffle
+    keyed on the shingle plus one pair-key groupBy.
+
+    Scale hazard: a shingle shared by m documents emits m² join rows
+    (quadratic on hot shingles, e.g. boilerplate headers).  At corpus
+    scale pass `max_shingle_freq` to drop shingles more frequent than
+    the cap — a standard exactness trade (only pairs whose ENTIRE
+    overlap is boilerplate can be missed); leave None for exact results.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min_jaccard.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, shingle_k).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    )
+    if max_shingle_freq is not None:
+        keep = (
+            sh.groupBy("s").count().filter(F.col("count") <= max_shingle_freq)
+        ).select("s")
+        sh = sh.join(keep, "s", "left_semi")
+    l = sh.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    r = sh.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "s")
+    inter = (
+        l.join(r, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return inter.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= min_jaccard)
+
 # --- SimHash ----------------------------------------------------------------
 
 def simhash_sig(text: Column | str) -> Column:
@@ -579,28 +630,29 @@ def _embedding_neardup_broadcast(
             q = q / np.where(qn == 0, 1.0, qn)
             qids = pdf[id_col].to_numpy(dtype=np.int64)
             sims = q @ corpus.T  # one BLAS call per Arrow batch
-            out_a, out_b, out_c = [], [], []
-            for i in range(sims.shape[0]):
-                # half-away rounding (numpy's np.round is half-to-even,
-                # which disagrees with SQL ROUND at exact .5 boundaries);
-                # kept values are all positive here
-                srow = np.floor(sims[i] * 1e6 + 0.5) / 1e6
-                mask = (srow >= min_cosine) & (corpus_ids > qids[i])
-                for j in np.nonzero(mask)[0]:
-                    out_a.append(qids[i])
-                    out_b.append(corpus_ids[j])
-                    out_c.append(srow[j])
+            # half-away rounding (numpy's np.round is half-to-even, which
+            # disagrees with SQL ROUND at exact .5 boundaries); kept
+            # values are all positive here.  Whole-matrix mask + nonzero:
+            # no Python per-row loop.
+            s = np.floor(sims * 1e6 + 0.5) / 1e6
+            mask = (s >= min_cosine) & (corpus_ids[None, :] > qids[:, None])
+            ii, jj = np.nonzero(mask)
             yield pd.DataFrame(
                 {
-                    "id_a": np.array(out_a, dtype=np.int64),
-                    "id_b": np.array(out_b, dtype=np.int64),
-                    "cosine": np.array(out_c, dtype=np.float64),
+                    "id_a": qids[ii],
+                    "id_b": corpus_ids[jj],
+                    "cosine": s[ii, jj],
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        run, "id_a long, id_b long, cosine double"
-    )
+    src = df.select(id_col, vec_col)
+    # small inputs arrive as one parquet split → the O(n²) kernel runs on
+    # one core; spread the query side so every task scores a slice.  The
+    # per-task sims matrix is (rows/P)×n — repartitioning also bounds it.
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(run, "id_a long, id_b long, cosine double")
 
 def _embedding_neardup_blocked(
     df: DataFrame,

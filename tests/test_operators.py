@@ -314,6 +314,32 @@ def test_minhash_incremental_matches_full(spark, tmp_path):
     }
     assert via_index == want
 
+def test_ngram_jaccard_exact_pairs(spark):
+    """Exact jaccard on hand-computable docs, and recall-1 vs LSH: the
+    relational plan must find every pair the LSH path finds."""
+    docs = [
+        (1, "a b c d e"),   # shingles {abc, bcd, cde}
+        (2, "a b c d x"),   # shingles {abc, bcd, cdx} → inter 2, union 4
+        (3, "z z z q q q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(df, min_jaccard=0.1).collect()
+    }
+    assert got == {(1, 2): 0.5}
+
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lsh = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs(full, min_jaccard=0.3).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(full, min_jaccard=0.3).collect()
+    }
+    assert lsh <= exact  # LSH can only miss pairs, never disagree
+
 def test_embedding_neardup_blocked_matches_broadcast(spark):
     """The scale path (block-pair fan-out, no driver collect) must
     reproduce the broadcast kernel exactly — both are exact plans."""
