@@ -40,15 +40,43 @@ def EMPTY_MAP_S() -> "F.Column":
 
 _CURRENT = "CURRENT"
 
+def _read_pointer(path: str) -> tuple[str | None, int | None]:
+    """(generation dir name, last-applied streaming batch id) from the
+    CURRENT pointer.  Line 1 is the generation; an optional
+    ``batch=<n>`` line records the last streaming micro-batch whose
+    updates were committed into that generation (replay-idempotency,
+    see streaming/auth_stream.py).  Single-line legacy pointers parse
+    as (gen, None)."""
+    marker = os.path.join(path, _CURRENT)
+    if not os.path.exists(marker):
+        return None, None
+    with open(marker, encoding="ascii") as fh:
+        lines = [ln.strip() for ln in fh.read().splitlines()]
+    gen = lines[0] if lines and lines[0] else None
+    batch = None
+    for ln in lines[1:]:
+        if ln.startswith("batch="):
+            batch = int(ln.split("=", 1)[1])
+    return gen, batch
+
 def _current_gen(path: str) -> str | None:
     """Name of the active generation dir, or None when the pointer is
     absent (fresh store or pre-generation legacy layout)."""
-    marker = os.path.join(path, _CURRENT)
-    if not os.path.exists(marker):
+    return _read_pointer(path)[0]
+
+def last_applied_batch(path: str) -> int | None:
+    """Streaming batch id recorded with the current generation, or None.
+
+    foreachBatch under Structured Streaming is at-least-once: a crash
+    after ``save()`` but before the checkpoint commit re-delivers the
+    same batch on restart.  The store therefore records the batch id
+    atomically WITH the generation pointer; the stream skips any batch
+    ``<= last_applied_batch`` instead of double-merging histograms.
+    One store path pairs with one checkpoint dir (batch ids are
+    monotonic per checkpoint)."""
+    if not path or not os.path.exists(path):
         return None
-    with open(marker, encoding="ascii") as fh:
-        gen = fh.read().strip()
-    return gen or None
+    return _read_pointer(path)[1]
 
 def _has_parquet_parts(path: str) -> bool:
     return any(n.startswith("part-") for n in os.listdir(path))
@@ -109,7 +137,7 @@ def apply_updates(saved: DataFrame, updates: DataFrame) -> DataFrame:
     )
     return merged.unionByName(only_saved).unionByName(only_new)
 
-def save(df: DataFrame, path: str) -> None:
+def save(df: DataFrame, path: str, batch_id: int | None = None) -> None:
     """Generation-based commit (parquet has no MERGE; Delta would):
 
       1. write the merged state to a fresh ``gen-<id>`` dir under `path`
@@ -122,6 +150,10 @@ def save(df: DataFrame, path: str) -> None:
     immediately-previous generation survives one more cycle so lazy
     DataFrames built against it keep working after the swap — the bug
     class of plans resolving file lists after an rmtree+rename.
+
+    ``batch_id`` (streaming callers) is committed in the same atomic
+    pointer swap, so "state merged" and "batch recorded" can never be
+    observed apart — see last_applied_batch().
     """
     if not os.path.exists(path):
         os.makedirs(path, exist_ok=True)
@@ -131,6 +163,8 @@ def save(df: DataFrame, path: str) -> None:
     tmp = os.path.join(path, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w", encoding="ascii") as fh:
         fh.write(gen + "\n")
+        if batch_id is not None:
+            fh.write(f"batch={batch_id}\n")
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(path, _CURRENT))

@@ -13,6 +13,8 @@ reference's read-score-merge loop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -36,18 +38,35 @@ def start_auth_stream(
 
     trigger: e.g. {"processingTime": "10 seconds"} (reference cadence) or
     {"availableNow": True} for drain-and-stop (tests).
+
+    Replay-idempotent: foreachBatch is at-least-once, so a crash
+    between the state commit and the checkpoint commit re-delivers the
+    batch on restart.  The last-applied batch id travels inside the
+    state store's atomic pointer swap (store.save(batch_id=...)) and
+    replayed batches are skipped; alerts land under a per-batch
+    ``batch_id=<n>`` path with overwrite, so a replay that DID lose the
+    state commit rewrites the same alert files instead of appending
+    duplicates.  One state_path pairs with one checkpoint_dir (batch
+    ids are monotonic per checkpoint).
     """
     stream = spark.readStream.schema(AUTHRECORDS).parquet(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = store.last_applied_batch(state_path)
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch
         if batch_df.isEmpty():
             return
         saved = store.load(spark, state_path).persist()
         alerts, updates = auth_profile(
             batch_df, saved, cfg.auth, cfg.hist, batch_time=batch_id
         )
-        alerts.write.mode("append").parquet(alerts_dir)
-        store.save(store.apply_updates(saved, updates), state_path)
+        alerts.write.mode("overwrite").parquet(
+            os.path.join(alerts_dir, f"batch_id={batch_id}")
+        )
+        store.save(
+            store.apply_updates(saved, updates), state_path, batch_id=batch_id
+        )
         saved.unpersist()
 
     writer = (

@@ -2,6 +2,7 @@
 replacing the reference's destructive consume) and the word-count
 aggregation (A13/S18) over file and socket sources."""
 
+import os
 import socket
 import threading
 import time
@@ -50,6 +51,46 @@ def test_auth_stream_available_now(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(alerts_dir).count() == len(vars_seen)
+
+def test_auth_stream_replay_idempotent(spark, tmp_path):
+    """At-least-once replay must not double-merge state or double-append
+    alerts: simulate a crash AFTER store.save() but BEFORE the streaming
+    checkpoint commit by deleting the commit marker, then restart —
+    Spark re-delivers batch 0 and the store's batch-id guard skips it."""
+    input_dir = str(tmp_path / "auth_in")
+    state_path = str(tmp_path / "state")
+    alerts_dir = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+
+    store.save(datagen.auth_histograms_df(spark), state_path)
+    datagen.auth_df(spark).write.mode("append").parquet(input_dir)
+
+    q = start_auth_stream(
+        spark, input_dir, state_path, alerts_dir, ckpt,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    sizes_before = {
+        r.hist_name: r.size for r in store.load(spark, state_path).collect()
+    }
+    alerts_before = spark.read.parquet(alerts_dir).count()
+    assert store.last_applied_batch(state_path) == 0
+
+    # crash window: state committed, checkpoint commit lost
+    os.remove(os.path.join(ckpt, "commits", "0"))
+
+    q2 = start_auth_stream(
+        spark, input_dir, state_path, alerts_dir, ckpt,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+
+    sizes_after = {
+        r.hist_name: r.size for r in store.load(spark, state_path).collect()
+    }
+    assert sizes_after == sizes_before  # histograms NOT double-counted
+    assert spark.read.parquet(alerts_dir).count() == alerts_before
 
 def test_wordcount_batch_semantics(spark):
     df = spark.createDataFrame(
