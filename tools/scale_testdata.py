@@ -36,36 +36,34 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-# id column -> tables that must shift it by the same stride (FK closure)
-KEYS = {
-    "c_custkey": ["customer", "orders"],
-    "o_orderkey": ["orders", "lineitem"],
-    "l_partkey": ["lineitem"],
-    "l_suppkey": ["lineitem"],
-    "p_partkey": ["part"],
-    "s_suppkey": ["supplier"],
-    "event_id": ["events"],
-    "user_id": ["events"],
-    "doc_id": ["documents"],
-    "vec_id": ["embeddings"],
+# Logical entity -> every (table, column) that carries it, parent key and
+# child FKs alike.  The stride for an entity is max over ALL its carriers
+# (a dangling FK beyond the parent's max must still not collide after the
+# shift), and every carrier column shifts by that same stride — this is
+# what keeps replica-r orders pointing at replica-r customers.
+ENTITIES = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
 }
 COPY_ONLY = ["region", "nation"]
 TILED = ["customer", "supplier", "part", "orders", "lineitem", "events",
          "documents", "embeddings"]
 
-def _strides(tables: dict[str, pa.Table]) -> dict[str, int]:
-    out = {}
-    for col, tbls in KEYS.items():
+def _strides(tables: dict[str, pa.Table]) -> dict[str, dict[str, int]]:
+    """Per-table {column: stride}: the stride of the entity it carries."""
+    out: dict[str, dict[str, int]] = {t: {} for t in TILED}
+    for carriers in ENTITIES.values():
         m = 0
-        for t in tbls:
-            if col in tables[t].column_names:
-                m = max(m, pa.compute.max(tables[t][col]).as_py() or 0)
-        out[col] = m + 1
-    # part/supplier strides must cover the FK references from lineitem
-    out["p_partkey"] = max(out["p_partkey"], out["l_partkey"])
-    out["s_suppkey"] = max(out["s_suppkey"], out["l_suppkey"])
-    out["l_partkey"] = out["p_partkey"]
-    out["l_suppkey"] = out["s_suppkey"]
+        for t, col in carriers:
+            m = max(m, pa.compute.max(tables[t][col]).as_py() or 0)
+        for t, col in carriers:
+            out[t][col] = m + 1
     return out
 
 def _salt_text(col: pa.ChunkedArray, r: int) -> pa.Array:
@@ -86,14 +84,17 @@ def _rotate_embeddings(col: pa.ChunkedArray, r: int) -> pa.Array:
     rot = mat[:, perm] * signs
     return pa.array(list(rot), type=pa.list_(pa.float32()))
 
-def replica(name: str, tab: pa.Table, r: int, strides: dict[str, int]) -> pa.Table:
+def replica(
+    name: str, tab: pa.Table, r: int, strides: dict[str, dict[str, int]]
+) -> pa.Table:
     if r == 0:
         return tab
+    shifts = strides[name]
     cols = {}
     for cname in tab.column_names:
         col = tab[cname]
-        if cname in strides:
-            shifted = pa.compute.add(col, pa.scalar(r * strides[cname], type=pa.int64()))
+        if cname in shifts:
+            shifted = pa.compute.add(col, pa.scalar(r * shifts[cname], type=pa.int64()))
             cols[cname] = shifted.cast(col.type)
         elif name == "documents" and cname == "text":
             cols[cname] = _salt_text(col, r)
