@@ -33,9 +33,27 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark has no nanos
-        # timestamp type; read it as a raw nanos long (TZ-free).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (read as a raw
+        # nanos long via nanosAsLong) and as timestamp[us] (read as
+        # TIMESTAMP_NTZ). Normalize every vintage to nanos-since-epoch
+        # bigint so downstream integer expressions are dtype-independent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "timestamp_ntz":
+            # naive-as-UTC, independent of the session timezone (matches
+            # DuckDB's epoch_ms on an unadjusted parquet timestamp)
+            nanos = (
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+                * 1000
+            )
+            df = df.withColumn("ts", nanos.cast("long"))
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 def _ntz_ms(col) -> F.Column:

@@ -77,8 +77,14 @@ def test_auth_stream_replay_idempotent(spark, tmp_path):
     alerts_before = spark.read.parquet(alerts_dir).count()
     assert store.last_applied_batch(state_path) == 0
 
-    # crash window: state committed, checkpoint commit lost
+    # crash window: state committed, checkpoint commit lost. Remove the
+    # Hadoop checksum sidecar too — a stale .crc makes the restarted
+    # checkpoint manager's renameTempFile throw FileAlreadyExistsException
+    # instead of exercising the replay path.
     os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
     q2 = start_auth_stream(
         spark, input_dir, state_path, alerts_dir, ckpt,
