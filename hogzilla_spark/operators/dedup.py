@@ -166,6 +166,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     min_jaccard: float = 0.5,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH, verified with exact Jaccard.
 
@@ -173,6 +174,13 @@ def minhash_lsh_pairs(
     self-join on (band,key) bucket → distinct candidate pairs → exact
     Jaccard via shingle-set intersect/union on just the candidates.
     Shuffles are on band buckets and candidate ids — never all-pairs.
+
+    NOTE: with ``eager=True`` (default) the call RUNS the query and
+    returns a localCheckpoint of the (small) verified pair set, so the
+    O(corpus) shingle cache is released before returning.  Callers
+    composing a larger lazy plan can pass ``eager=False`` to get the
+    unexecuted plan instead — they then own the cached shingle
+    partitions' lifetime (unpersisted only when the session drops them).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min_jaccard.
     """
@@ -231,8 +239,9 @@ def minhash_lsh_pairs(
     # invocations in a long-lived session accumulate cached partitions.
     # Trade-off: severed lineage means an executor loss re-runs the query
     # instead of recomputing blocks; fine for a result-sized DataFrame.
-    out = out.localCheckpoint(eager=True)
-    base.unpersist()
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
     return out
 
 def minhash_band_index(
@@ -340,7 +349,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 10_000,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs, fully relational.
 
@@ -349,11 +358,16 @@ def ngram_jaccard_pairs(
     generation, no approximation, recall 1 by construction.  One shuffle
     keyed on the shingle plus one pair-key groupBy.
 
-    Scale hazard: a shingle shared by m documents emits m² join rows
-    (quadratic on hot shingles, e.g. boilerplate headers).  At corpus
-    scale pass `max_shingle_freq` to drop shingles more frequent than
-    the cap — a standard exactness trade (only pairs whose ENTIRE
-    overlap is boilerplate can be missed); leave None for exact results.
+    Scale guard: a shingle shared by m documents emits m² join rows
+    (quadratic on hot shingles, e.g. boilerplate headers), so shingles
+    more frequent than `max_shingle_freq` are DROPPED by default (10k —
+    a 10k-doc shingle alone would emit 1e8 join rows).  Jaccard is then
+    EXACT over the filtered shingle universe: per-doc sizes are
+    recomputed after the filter, so a capped run equals an uncapped run
+    for every pair whose shingles all survive the cap, and boilerplate
+    shared by >cap docs simply doesn't count toward similarity (the
+    standard near-dup trade).  Docs whose every shingle is dropped
+    can't pair.  Pass None for exact results on bounded corpora.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min_jaccard.
     """
@@ -370,6 +384,16 @@ def ngram_jaccard_pairs(
             sh.groupBy("s").count().filter(F.col("count") <= max_shingle_freq)
         ).select("s")
         sh = sh.join(keep, "s", "left_semi")
+        # per-doc set sizes over the FILTERED universe — counting them
+        # pre-filter would deflate jaccard for partially-boilerplate
+        # overlaps (denominator includes dropped shingles, numerator
+        # doesn't)
+        n_post = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_post"))
+        sh = (
+            sh.drop("n")
+            .join(n_post, "id")
+            .withColumnRenamed("n_post", "n")
+        )
     l = sh.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "s")
     r = sh.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "s")
     inter = (

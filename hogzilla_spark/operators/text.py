@@ -194,18 +194,25 @@ def text_profile(
     higher-order lambdas, and the groupBy's map-side partial combine
     means the shuffle carries one small stats row per document.  Keyless
     frames fall back to the pure-expression form (identical values).
+
+    Stats are keyed by a hash of the TEXT, not by `id_col`, so duplicate
+    ids (or duplicate rows) still get correct per-row profiles, and
+    repeated texts are tokenized/aggregated once per distinct text
+    rather than once per row.
     """
     if id_col not in df.columns:
         return _text_profile_expr(df, text_col)
     text = F.col(text_col)
-    base = df.withColumn("__tok", tokens(text_col))
+    base = df.withColumn("__key", F.md5(text))
     lt = F.lower(F.col("__t"))
     marker_aggs = [
         F.sum(lt.isin(LANG_MARKERS[lang]).cast("int")).alias(f"__s_{lang}")
         for lang in sorted(LANG_MARKERS)
     ]
     stats = (
-        base.select(F.col(id_col).alias("__id"), F.explode("__tok").alias("__t"))
+        base.select("__key", tokens(text_col).alias("__tok"))
+        .dropDuplicates(["__key"])
+        .select(F.col("__key").alias("__id"), F.explode("__tok").alias("__t"))
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("__n"),
@@ -214,9 +221,7 @@ def text_profile(
             *marker_aggs,
         )
     )
-    joined = base.drop("__tok").join(
-        stats, F.col(id_col) == F.col("__id"), "left"
-    )
+    joined = base.join(stats, F.col("__key") == F.col("__id"), "left")
     n = F.coalesce(F.col("__n"), F.lit(0))
     nz = n > 0
     atl = F.when(nz, F.col("__len").cast("double") / n).otherwise(F.lit(0.0))
@@ -235,7 +240,7 @@ def text_profile(
         improved = s > best_score
         best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(improved, s).otherwise(best_score)
-    internal = ["__id", "__n", "__len", "__sw"] + [
+    internal = ["__key", "__id", "__n", "__len", "__sw"] + [
         f"__s_{lang}" for lang in sorted(LANG_MARKERS)
     ]
     return joined.select(

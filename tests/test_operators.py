@@ -111,6 +111,40 @@ def test_text_quality_and_lang(spark):
     assert 0.0 <= r.quality <= 1.0
     assert r.stopword_ratio > 0.4
 
+def test_text_profile_duplicate_ids(spark):
+    """The keyed fast path must give correct PER-ROW profiles even when
+    doc_id is not unique (stats are keyed by text hash, not id)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (1, "completely different words entirely here now"),  # same id!
+            (1, "the cat sat on the mat"),                        # full dup row
+            (2, "the cat sat on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = TXT.text_profile(df).collect()
+    assert len(rows) == 4  # no join fan-out, no row loss
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r.text, []).append(r)
+    cat_rows = by_text["the cat sat on the mat"]
+    assert len(cat_rows) == 3
+    assert all(r.n_tokens == 6 for r in cat_rows)
+    assert all(r.fp == cat_rows[0].fp for r in cat_rows)
+    (other,) = by_text["completely different words entirely here now"]
+    assert other.n_tokens == 6
+    assert other.stopword_ratio < cat_rows[0].stopword_ratio
+    # values must match the expression path exactly
+    expr = TXT._text_profile_expr(df).collect()
+    want = sorted(
+        (r.doc_id, r.text, r.n_tokens, r.quality, r.fp, r.lang_pred) for r in expr
+    )
+    got = sorted(
+        (r.doc_id, r.text, r.n_tokens, r.quality, r.fp, r.lang_pred) for r in rows
+    )
+    assert got == want
+
 def test_asof_join_semantics(spark):
     from hogzilla_spark.operators.asof import asof_join
 
@@ -339,6 +373,46 @@ def test_ngram_jaccard_exact_pairs(spark):
         for r in DD.ngram_jaccard_pairs(full, min_jaccard=0.3).collect()
     }
     assert lsh <= exact  # LSH can only miss pairs, never disagree
+
+def test_ngram_jaccard_freq_cap_unbiased(spark):
+    """Capped jaccard must be exact over the FILTERED shingle universe:
+    for a pair whose overlap survives the cap, capped == uncapped once
+    boilerplate shingles are excluded from BOTH numerator and
+    denominator (the r2/r3 bias counted per-doc sizes pre-filter)."""
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    docs = [
+        # 1&2: identical unique content + shared boilerplate prefix
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " alpha beta gamma delta epsilon"),
+        # 3&4: half-overlapping unique content + the same boilerplate
+        (3, boiler + " one two three four five six"),
+        (4, boiler + " one two three four nine ten"),
+        # 5..9: more boilerplate carriers to push its shingle freq over the cap
+        (5, boiler + " p q r"),
+        (6, boiler + " s t u"),
+        (7, boiler + " v w x"),
+        (8, boiler + " kk ll mm"),
+        (9, boiler + " nn oo pp"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def pairs(cap):
+        return {
+            (r.id_a, r.id_b): r.jaccard
+            for r in DD.ngram_jaccard_pairs(
+                df, min_jaccard=0.05, max_shingle_freq=cap
+            ).collect()
+        }
+
+    capped = pairs(4)  # boiler-only shingles appear in all 9 docs → dropped
+    # Docs 1/2 are identical → 1.0 over the surviving universe.  The old
+    # biased code (pre-filter sizes) gave 5/(13+13-5) ≈ 0.238.
+    # Docs 3/4 each keep 6 shingles (2 boiler→unique boundary shared by
+    # exactly {3,4} + 4 unique), intersect in 4, union 8 → 0.5; the
+    # biased code gave 4/(14+14-4) ≈ 0.167.
+    assert capped == {(1, 2): 1.0, (3, 4): 0.5}
+    # default cap (10k) never fires on this corpus → identical to uncapped
+    assert pairs(10_000) == pairs(None)
 
 def test_embedding_neardup_blocked_matches_broadcast(spark):
     """The scale path (block-pair fan-out, no driver collect) must

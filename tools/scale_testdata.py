@@ -22,7 +22,8 @@ Fact/key tables shift ids by replica*stride with consistent FK shifts
 …).  Fixed dimensions (region, nation) are not tiled, matching TPC-H,
 whose scalable tables grow with sf while region/nation stay constant.
 events keeps its timestamp range (denser traffic, the TPC-H convention)
-and its TIMESTAMP(NANOS) physical type (parquet format version 2.6).
+and whatever physical ts type the source vintage uses (the schema is
+passed through unchanged; parquet format version 2.6).
 
 Usage: python tools/scale_testdata.py /root/testdata/sf0.1 /tmp/sf1 10
 """
@@ -56,13 +57,25 @@ TILED = ["customer", "supplier", "part", "orders", "lineitem", "events",
          "documents", "embeddings"]
 
 def _strides(tables: dict[str, pa.Table]) -> dict[str, dict[str, int]]:
-    """Per-table {column: stride}: the stride of the entity it carries."""
+    """Per-table {column: stride}: the stride of the entity it carries.
+
+    Carriers missing from the source dir (table absent, or column dropped
+    by a testdata refresh) are skipped rather than KeyError-ing; a shared
+    entity still strides by the max over its present carriers."""
     out: dict[str, dict[str, int]] = {t: {} for t in TILED}
     for carriers in ENTITIES.values():
+        present = [
+            (t, col)
+            for t, col in carriers
+            if t in tables and col in tables[t].column_names
+        ]
+        missing = [tc for tc in carriers if tc not in present]
+        if missing:
+            print(f"warning: skipping absent carriers {missing}")
         m = 0
-        for t, col in carriers:
+        for t, col in present:
             m = max(m, pa.compute.max(tables[t][col]).as_py() or 0)
-        for t, col in carriers:
+        for t, col in present:
             out[t][col] = m + 1
     return out
 
@@ -110,6 +123,9 @@ def main() -> None:
     tables = {
         p.stem: pq.read_table(p) for p in sorted(src.glob("*.parquet"))
     }
+    absent = [t for t in COPY_ONLY + TILED if t not in tables]
+    if absent:
+        sys.exit(f"error: {src} is missing tables {absent}")
     strides = _strides(tables)
     for name in COPY_ONLY:
         pq.write_table(tables[name], dst / f"{name}.parquet", version="2.6")
