@@ -622,8 +622,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh_topk(emb, queries, planes, k=5)
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column plumbing: synthetic media → Arrow-batched
-    decode/featurize (stubbed codec) → metadata rollup.  Rows-only."""
+    """Multimodal binary-column plumbing: synthetic media (real PPM/PNG/
+    WAV payloads) → Arrow-batched decode/featurize (real codecs; MP4
+    stubbed) → metadata rollup.  Rows-only."""
     from hogzilla_spark.operators import multimodal as MM
 
     media = MM.synthetic_media(spark, 32)

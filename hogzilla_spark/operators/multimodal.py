@@ -6,14 +6,16 @@ Design: media rides as an opaque ``binary`` column plus typed metadata
 schema, partitioning, Arrow batch shape, UDF signatures — are real and
 tested.  Codecs that need only the stdlib + numpy are REAL:
 
-  - image decode: PPM (P6) and uncompressed 24-bit BMP → HxWx3 uint8
+  - image decode: PNG (zlib inflate + filters 0-4, color types
+    0/2/3/4/6, 8/16-bit, non-interlaced), PPM (P6), uncompressed
+    24-bit BMP → HxWx3 uint8
   - image resize: bilinear, pure numpy, re-encoded as PPM
   - audio decode: PCM WAV (8/16-bit) via the stdlib ``wave`` module
   - features: image grayscale stats + histogram; audio RMS / zero
     crossings / band energies
 
 Formats that genuinely require external libraries absent from this
-container (PNG/JPEG deflate+DCT, MP4 demux) fall back to a
+container (JPEG entropy-coding+DCT, MP4 demux) fall back to a
 deterministic fake embedding — or raise NotImplementedError in strict
 mode — with the swap point marked for PIL/ffmpeg in a real deployment.
 
@@ -34,6 +36,7 @@ import math
 import re
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -120,13 +123,180 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
+# --- PNG (stdlib zlib + numpy — no PIL needed) ------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("truncated PNG (no IEND)")
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filters 0-4 → (h, stride) uint8.
+
+    None/Sub/Up are vectorized (Sub via mod-256 cumsum per byte lane);
+    Average/Paeth recurse on the reconstructed left neighbor, so those
+    rows run a per-byte loop — encoders rarely emit them for synthetic
+    data, and correctness beats speed for a no-dependency fallback."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int64)
+        pos += 1 + stride
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: rec[i] = line[i] + rec[i-bpp]
+            rec = line.copy()
+            for k in range(bpp):
+                rec[k::bpp] = np.cumsum(rec[k::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → HxWx3 uint8 RGB.  Stdlib zlib + numpy only.
+
+    Supports 8/16-bit (16-bit takes the high byte), color types
+    grayscale/RGB/palette/gray+alpha/RGBA (alpha dropped), all five
+    scanline filters, CRC-verified chunks.  Adam7 interlacing raises
+    NotImplementedError (nothing in a training corpus should be
+    interlaced; re-encode upstream)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr, plte, idat = None, None, []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} (palettes <8-bit)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color}")
+    ch = _PNG_CHANNELS[color]
+    sampw = depth // 8
+    bpp = ch * sampw
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    px = _png_unfilter(raw, h, stride, bpp)
+    if depth == 16:  # big-endian: high byte first
+        px = px.reshape(h, w, ch, 2)[:, :, :, 0]
+    else:
+        px = px.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]].copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    return px[:, :, :3].copy()  # 2 (RGB) and 6 (RGBA, alpha dropped)
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit RGB PNG encoder (one IDAT, chosen filter on every row).
+    Filters compute from ORIGINAL bytes per the spec, so all five are
+    pure vector ops here — the sequential recursion only exists on the
+    decode side."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=2)
+    h, w = img.shape[:2]
+    zeros = np.zeros(3, dtype=np.int64)
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        line = img[y].astype(np.int64).ravel()
+        left = np.concatenate([zeros, line[:-3]])
+        if filter_type == 0:
+            f = line
+        elif filter_type == 1:
+            f = line - left
+        elif filter_type == 2:
+            f = line - prev
+        elif filter_type == 3:
+            f = line - ((left + prev) >> 1)
+        elif filter_type == 4:
+            ul = np.concatenate([zeros, prev[:-3]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            f = line - pred
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend((f & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
 def decode_image(payload: bytes) -> np.ndarray:
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     raise NotImplementedError(
-        "only PPM/BMP decodable without PIL; plug PIL in here for PNG/JPEG"
+        "only PNG/PPM/BMP decodable without PIL; plug PIL in here for JPEG"
     )
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -199,20 +369,21 @@ def _fake_embedding(payload: bytes, dim: int = 8) -> list[float]:
     h = hashlib.sha256(payload or b"").digest()
     return [h[i] / 255.0 for i in range(dim)]
 
-_REAL_CODECS = {"ppm", "bmp", "wav"}
+_REAL_CODECS = {"ppm", "bmp", "png", "wav"}
+_REAL_IMAGE_CODECS = ("ppm", "bmp", "png")
 
 def decode_and_featurize(
     media: DataFrame, batch_size_hint: int = 64, strict: bool = False
 ) -> DataFrame:
     """Decode blobs and emit per-item features via mapInPandas.
 
-    PPM/BMP images and PCM WAV audio are decoded for real (stdlib +
+    PNG/PPM/BMP images and PCM WAV audio are decoded for real (stdlib +
     numpy) and featurized with actual signal statistics.  Other codecs
     use the deterministic fake embedding, or raise in strict mode.
     """
 
     def _decode(payload: bytes, modality: str, codec: str) -> list[float]:
-        if codec in ("ppm", "bmp") and modality == "image":
+        if codec in _REAL_IMAGE_CODECS and modality == "image":
             return image_features(decode_image(payload))
         if codec == "wav" and modality == "audio":
             return audio_features(decode_wav(payload)[0])
@@ -247,9 +418,10 @@ def decode_and_featurize(
     )
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Real bilinear resize for decodable images (PPM/BMP), re-encoded
-    as PPM.  Narrow transform — no shuffle; undecodable codecs are
-    dropped (a production pipeline routes them to a PIL/ffmpeg stage)."""
+    """Real bilinear resize for decodable images (PNG/PPM/BMP),
+    re-encoded as PPM.  Narrow transform — no shuffle; undecodable
+    codecs are dropped (a production pipeline routes them to a
+    PIL/ffmpeg stage)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -257,7 +429,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for mid, codec, payload in zip(
                 pdf["media_id"], pdf["codec"], pdf["payload"]
             ):
-                if codec not in ("ppm", "bmp"):
+                if codec not in _REAL_IMAGE_CODECS:
                     continue
                 img = resize_bilinear(decode_image(payload), out_w, out_h)
                 rows["media_id"].append(mid)
@@ -312,8 +484,9 @@ def media_summary(media: DataFrame) -> DataFrame:
 
 def synthetic_media(spark, n: int = 32) -> DataFrame:
     """Deterministic media table with REAL payloads where the codec is
-    real: images are valid P6 PPMs, audio is valid 16-bit PCM WAV;
-    video stays an opaque fake (MP4 demux is stubbed anyway)."""
+    real: images alternate valid P6 PPMs and real zlib-compressed PNGs
+    (cycling through all five scanline filters), audio is valid 16-bit
+    PCM WAV; video stays an opaque fake (MP4 demux is stubbed anyway)."""
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
@@ -328,7 +501,11 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            payload, codec, dur = encode_ppm(img), "ppm", 0
+            if (i // 3) % 2 == 0:
+                payload, codec = encode_ppm(img), "ppm"
+            else:
+                payload, codec = encode_png(img, filter_type=(i // 6) % 5), "png"
+            dur = 0
         elif modality == "audio":
             rate = 8000
             t = np.arange(400 + 40 * i) / rate
