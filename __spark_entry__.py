@@ -627,10 +627,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed) → metadata rollup.  Rows-only."""
     from hogzilla_spark.operators import multimodal as MM
 
+    # broadcast the id→modality lookup: the decode output never
+    # shuffles (a 100 TB pipeline keeps modality in the decode output)
     media = MM.synthetic_media(spark, 32)
     feats = MM.decode_and_featurize(media)
     return (
-        feats.join(media.select("media_id", "modality"), "media_id")
+        feats.join(F.broadcast(media.select("media_id", "modality")), "media_id")
         .groupBy("modality")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -288,9 +288,233 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         + chunk(b"IEND", b"")
     )
 
+# --- GIF (pure-Python LZW + numpy — no PIL needed) --------------------------
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/EOI codes, dict
+    capped at 4095."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    acc = n_bits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << n_bits
+        n_bits += 8
+        while n_bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + [entry[0]])
+            else:  # KwKwK case
+                entry = prev + [prev[0]]
+                if len(table) < 4096:
+                    table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Real dictionary-building LZW encoder (the inverse of above)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # decoder grows width when ITS table (one behind ours during
+            # the same code stream) fills the current width
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = (px,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Animated GIF → [(start_ms, HxWx3 uint8 full-canvas frame), ...].
+
+    Pure stdlib + numpy: LZW decode, global/local color tables,
+    transparency, interlacing, disposal methods 0-3.  Timestamps come
+    from each frame's graphic-control delay (centiseconds)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list[tuple[int, np.ndarray]] = []
+    t_ms = 0
+    delay_ms, transp, disposal = 0, -1, 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            subs = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                subs.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs:
+                gce = subs[0]
+                disposal = (gce[0] >> 2) & 0x07
+                delay_ms = struct.unpack_from("<H", gce, 1)[0] * 10
+                transp = gce[3] if gce[0] & 0x01 else -1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(_lzw_decode(b"".join(chunks), min_code), dtype=np.int32)
+        if idx.size != w * h:
+            raise ValueError("GIF frame pixel count mismatch")
+        idx = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            deinter = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, h, step)
+                for r in rows:
+                    deinter[r] = idx[src]
+                    src += 1
+            idx = deinter
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        mask = idx != transp
+        region[mask] = ct[idx[mask]]
+        frames.append((t_ms, canvas.copy()))
+        t_ms += delay_ms
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = 0
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        delay_ms, transp, disposal = 0, -1, 0
+    return frames
+
+def _quantize_rgb(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact palette build (≤256 distinct colors required — synthetic
+    frames satisfy this; a real encoder would median-cut)."""
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs ≤256 distinct colors per frame")
+    return colors, inverse.reshape(img.shape[:2])
+
+def encode_gif(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """GIF89a encoder: per-frame local color table + real LZW.  Only
+    needs ≤256 distinct colors per frame (exact palette)."""
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, 0, 0, 0))
+    # netscape loop extension (loop forever) — real-world fidelity
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for img in frames:
+        colors, idx = _quantize_rgb(img)
+        ctbits = max(1, (len(colors) - 1).bit_length())
+        ctsize = 1 << ctbits
+        table = np.zeros((ctsize, 3), dtype=np.uint8)
+        table[: len(colors)] = colors
+        out += b"\x21\xf9\x04" + bytes(
+            [0x04, delay_ms // 10 & 0xFF, (delay_ms // 10) >> 8 & 0xFF, 0, 0]
+        )
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x80 | (ctbits - 1)
+        )
+        out += table.tobytes()
+        min_code = max(2, ctbits)
+        out.append(min_code)
+        lzw = _lzw_encode(idx.ravel().tolist(), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
 def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames = decode_gif(payload)
+        if not frames:
+            raise ValueError("GIF with no frames")
+        return frames[0][1]
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -369,8 +593,8 @@ def _fake_embedding(payload: bytes, dim: int = 8) -> list[float]:
     h = hashlib.sha256(payload or b"").digest()
     return [h[i] / 255.0 for i in range(dim)]
 
-_REAL_CODECS = {"ppm", "bmp", "png", "wav"}
-_REAL_IMAGE_CODECS = ("ppm", "bmp", "png")
+_REAL_CODECS = {"ppm", "bmp", "png", "gif", "wav"}
+_REAL_IMAGE_CODECS = ("ppm", "bmp", "png", "gif")
 
 def decode_and_featurize(
     media: DataFrame, batch_size_hint: int = 64, strict: bool = False
@@ -385,6 +609,9 @@ def decode_and_featurize(
     def _decode(payload: bytes, modality: str, codec: str) -> list[float]:
         if codec in _REAL_IMAGE_CODECS and modality == "image":
             return image_features(decode_image(payload))
+        if codec == "gif" and modality == "video":
+            # real demux: featurize the first composited frame
+            return image_features(decode_gif(payload)[0][1])
         if codec == "wav" and modality == "audio":
             return audio_features(decode_wav(payload)[0])
         if strict:
@@ -447,9 +674,13 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
-    """Video → frame rows (one row per sampled frame).  The exploding
-    row-shape and timestamps are real; frame extraction is stubbed as a
-    deterministic slice of the payload (MP4 demux needs ffmpeg)."""
+    """Video → frame rows (one row per sampled frame).
+
+    GIF videos are REALLY demuxed (LZW decode, composited canvas,
+    graphic-control timestamps): each sample instant emits the frame
+    active at that time, re-encoded as PPM.  MP4 stays a stub slice
+    (demux needs ffmpeg); the exploding row-shape and timestamps are
+    real for both."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -459,12 +690,25 @@ def sample_frames(
                     continue
                 n = min(max_frames, max(1, int((r["duration_ms"] or 0) // every_ms)))
                 payload = r["payload"] or b""
+                gif_frames = (
+                    decode_gif(payload)
+                    if payload[:6] in (b"GIF87a", b"GIF89a")
+                    else None
+                )
                 for i in range(n):
+                    t = i * every_ms
                     rows["media_id"].append(r["media_id"])
                     rows["frame_idx"].append(i)
-                    rows["frame_ms"].append(i * every_ms)
-                    # REAL DEPLOYMENT: ffmpeg seek+decode; stub slices bytes
-                    rows["frame"].append(payload[i::n][:256])
+                    rows["frame_ms"].append(t)
+                    if gif_frames:
+                        active = gif_frames[0][1]
+                        for start, img in gif_frames:
+                            if start <= t:
+                                active = img
+                        rows["frame"].append(encode_ppm(active))
+                    else:
+                        # REAL DEPLOYMENT: ffmpeg seek+decode; stub slices bytes
+                        rows["frame"].append(payload[i::n][:256])
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "modality", "duration_ms", "payload").mapInPandas(
@@ -486,7 +730,9 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
     """Deterministic media table with REAL payloads where the codec is
     real: images alternate valid P6 PPMs and real zlib-compressed PNGs
     (cycling through all five scanline filters), audio is valid 16-bit
-    PCM WAV; video stays an opaque fake (MP4 demux is stubbed anyway)."""
+    PCM WAV; videos alternate real animated GIFs (LZW-compressed, one
+    frame per second of duration) and opaque MP4 fakes (demux needs
+    ffmpeg)."""
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
@@ -515,8 +761,27 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
             w = h = 0
             dur = int(len(t) * 1000 / rate)
         else:
-            payload = bytes((i * 7 + j) % 256 for j in range(128 + (i % 5) * 32))
-            codec, dur = "mp4", (i % 10) * 1000
-            w, h = 64 + i, 48 + i
+            dur = max(1, i % 10) * 1000
+            w, h = 16, 12
+            if (i // 3) % 2 == 0:
+                payload = bytes((i * 7 + j) % 256 for j in range(128 + (i % 5) * 32))
+                codec = "mp4"
+                w, h = 64 + i, 48 + i
+            else:
+                n_frames = dur // 1000
+                frames = []
+                for f in range(n_frames):
+                    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+                    frames.append(
+                        np.stack(
+                            [
+                                ((xs + f * 3 + i) % 8) * 32,
+                                ((ys + f) % 8) * 32,
+                                np.full_like(xs, (f * 40 + i) % 256),
+                            ],
+                            axis=2,
+                        ).astype(np.uint8)
+                    )
+                payload, codec = encode_gif(frames, delay_ms=1000), "gif"
         rows.append((i, modality, codec, w, h, dur, payload))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -102,7 +102,8 @@ def test_media_summary_sql_only(spark):
         ("image", "ppm"): 2,
         ("image", "png"): 2,
         ("audio", "wav"): 4,
-        ("video", "mp4"): 4,
+        ("video", "mp4"): 2,
+        ("video", "gif"): 2,
     }
 
 # --- PNG codec --------------------------------------------------------------
@@ -174,6 +175,64 @@ def test_png_rejects_corruption_and_interlace():
     interlaced[29:33] = struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     with pytest.raises(NotImplementedError, match="interlaced"):
         MM.decode_png(bytes(interlaced))
+
+# --- GIF codec --------------------------------------------------------------
+
+def test_gif_lzw_roundtrip_with_dict_overflow():
+    rng = np.random.default_rng(3)
+    # 64k random 8-bit indices force the 4096-entry dict to overflow and
+    # exercise the clear-code reset path in both directions
+    idx = rng.integers(0, 256, 65536).tolist()
+    assert MM._lzw_decode(MM._lzw_encode(idx, 8), 8) == idx
+    # tiny alphabet → width growth from 3 bits upward
+    idx2 = rng.integers(0, 4, 5000).tolist()
+    assert MM._lzw_decode(MM._lzw_encode(idx2, 2), 2) == idx2
+
+def test_gif_animated_roundtrip():
+    rng = np.random.default_rng(5)
+    frames = [
+        (rng.integers(0, 6, (7, 9, 3)) * 40).astype(np.uint8) for _ in range(4)
+    ]
+    payload = MM.encode_gif(frames, delay_ms=250)
+    got = MM.decode_gif(payload)
+    assert [t for t, _ in got] == [0, 250, 500, 750]
+    for (t, img), want in zip(got, frames):
+        assert np.array_equal(img, want)
+
+def test_gif_transparency_and_disposal():
+    # frame 1: full red; frame 2: 1x1 green patch at (1,1) with disposal 2
+    red = np.zeros((3, 3, 3), np.uint8)
+    red[:, :, 0] = 255
+    base = MM.encode_gif([red], delay_ms=100)
+    # append a second frame manually: GCE disposal=2, then 1x1 image at (1,1)
+    gce = b"\x21\xf9\x04" + bytes([0x08 | 0x04, 10, 0, 0, 0])
+    lct = bytes([0, 255, 0] * 2)  # 2-entry table, color 0 = green
+    desc = b"\x2c" + struct.pack("<HHHHB", 1, 1, 1, 1, 0x80)
+    lzw = MM._lzw_encode([0], 2)
+    frame2 = gce + desc + lct + bytes([2, len(lzw)]) + lzw + b"\x00"
+    payload = base[:-1] + frame2 + b"\x3b"
+    got = MM.decode_gif(payload)
+    assert len(got) == 2
+    assert np.array_equal(got[0][1], red)
+    expect2 = red.copy()
+    expect2[1, 1] = [0, 255, 0]
+    assert np.array_equal(got[1][1], expect2)
+
+def test_gif_frame_sampling_real_frames(spark):
+    media = MM.synthetic_media(spark, 12)
+    frames = MM.sample_frames(media, every_ms=1000, max_frames=4).collect()
+    gif_rows = [f for f in frames if f.media_id in (5, 11)]
+    assert gif_rows, "synthetic gif videos must produce frames"
+    for f in gif_rows:
+        img = MM.decode_ppm(bytes(f.frame))  # real PPM-encoded frame
+        assert img.shape == (12, 16, 3)
+    # the sampled frame at t=1000 differs from t=0 (animation is real)
+    by_idx = {
+        (f.media_id, f.frame_idx): bytes(f.frame)
+        for f in gif_rows
+    }
+    if (5, 1) in by_idx:
+        assert by_idx[(5, 0)] != by_idx[(5, 1)]
 
 def test_png_features_match_ppm_features(spark):
     """A PNG and a PPM of the same pixels must featurize identically —
