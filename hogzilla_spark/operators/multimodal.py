@@ -7,17 +7,20 @@ schema, partitioning, Arrow batch shape, UDF signatures — are real and
 tested.  Codecs that need only the stdlib + numpy are REAL:
 
   - image decode: PNG (zlib inflate + filters 0-4, color types
-    0/2/3/4/6, 8/16-bit, non-interlaced), PPM (P6), uncompressed
+    0/2/3/4/6, 8/16-bit, non-interlaced), baseline JPEG (Huffman +
+    DCT, generic chroma subsampling — operators/jpeg.py), GIF
+    (LZW, animation, transparency, disposal), PPM (P6), uncompressed
     24-bit BMP → HxWx3 uint8
+  - video demux: animated GIF → timestamped composited frames
   - image resize: bilinear, pure numpy, re-encoded as PPM
   - audio decode: PCM WAV (8/16-bit) via the stdlib ``wave`` module
   - features: image grayscale stats + histogram; audio RMS / zero
     crossings / band energies
 
 Formats that genuinely require external libraries absent from this
-container (JPEG entropy-coding+DCT, MP4 demux) fall back to a
-deterministic fake embedding — or raise NotImplementedError in strict
-mode — with the swap point marked for PIL/ffmpeg in a real deployment.
+container (progressive JPEG, MP4 demux) fall back to a deterministic
+fake embedding — or raise NotImplementedError in strict mode — with
+the swap point marked for PIL/ffmpeg in a real deployment.
 
 Scale notes:
   - mapInPandas streams Arrow record batches; peak executor memory is
@@ -515,12 +518,17 @@ def decode_image(payload: bytes) -> np.ndarray:
         if not frames:
             raise ValueError("GIF with no frames")
         return frames[0][1]
+    if payload[:2] == b"\xff\xd8":
+        from hogzilla_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     raise NotImplementedError(
-        "only PNG/PPM/BMP decodable without PIL; plug PIL in here for JPEG"
+        "PNG/GIF/JPEG-baseline/PPM/BMP decode without PIL; progressive "
+        "JPEG and exotic formats need PIL here"
     )
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -593,8 +601,8 @@ def _fake_embedding(payload: bytes, dim: int = 8) -> list[float]:
     h = hashlib.sha256(payload or b"").digest()
     return [h[i] / 255.0 for i in range(dim)]
 
-_REAL_CODECS = {"ppm", "bmp", "png", "gif", "wav"}
-_REAL_IMAGE_CODECS = ("ppm", "bmp", "png", "gif")
+_REAL_CODECS = {"ppm", "bmp", "png", "gif", "jpeg", "wav"}
+_REAL_IMAGE_CODECS = ("ppm", "bmp", "png", "gif", "jpeg")
 
 def decode_and_featurize(
     media: DataFrame, batch_size_hint: int = 64, strict: bool = False
@@ -728,11 +736,10 @@ def media_summary(media: DataFrame) -> DataFrame:
 
 def synthetic_media(spark, n: int = 32) -> DataFrame:
     """Deterministic media table with REAL payloads where the codec is
-    real: images alternate valid P6 PPMs and real zlib-compressed PNGs
-    (cycling through all five scanline filters), audio is valid 16-bit
-    PCM WAV; videos alternate real animated GIFs (LZW-compressed, one
-    frame per second of duration) and opaque MP4 fakes (demux needs
-    ffmpeg)."""
+    real: images cycle P6 PPM → PNG (all five scanline filters) →
+    baseline JPEG, audio is valid 16-bit PCM WAV; videos alternate real
+    animated GIFs (LZW-compressed, one frame per second of duration)
+    and opaque MP4 fakes (demux needs ffmpeg)."""
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
@@ -747,10 +754,15 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            if (i // 3) % 2 == 0:
+            kind = (i // 3) % 3
+            if kind == 0:
                 payload, codec = encode_ppm(img), "ppm"
-            else:
+            elif kind == 1:
                 payload, codec = encode_png(img, filter_type=(i // 6) % 5), "png"
+            else:
+                from hogzilla_spark.operators.jpeg import encode_jpeg
+
+                payload, codec = encode_jpeg(img, quality=92), "jpeg"
             dur = 0
         elif modality == "audio":
             rate = 8000

@@ -100,7 +100,8 @@ def test_media_summary_sql_only(spark):
     summ = {(r.modality, r.codec): r.n_items for r in MM.media_summary(media).collect()}
     assert summ == {
         ("image", "ppm"): 2,
-        ("image", "png"): 2,
+        ("image", "png"): 1,
+        ("image", "jpeg"): 1,
         ("audio", "wav"): 4,
         ("video", "mp4"): 2,
         ("video", "gif"): 2,
