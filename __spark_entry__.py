@@ -718,6 +718,57 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
+# training-mix assembly: sessionization, sampling, interleave, packing
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream via native
+    session_window (operators/sessions.py): 30-minute gap, per-user
+    sessions with min/max event time + event count."""
+    from hogzilla_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", _ev_ms().alias("t_ms"))
+    return sessionize(ev, "t_ms", ["user_id"], gap_ms=1_800_000)
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample of documents
+    (operators/sampling.py): md5-hash gate, broadcast fraction lookup —
+    rerun-stable, unlike df.sample."""
+    from hogzilla_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.25, "zh": 0.125},
+        "doc_id",
+        default_fraction=0.0625,
+    )
+
+def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source interleave (training-mix scheduler): r-th row of
+    a weight-w source sorts at r/w; power-of-two weights keep the
+    position float exact across engines."""
+    from hogzilla_spark.operators.sampling import interleave_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_mix(
+        docs, "source", {"src0": 4.0, "src1": 2.0, "src2": 1.0}, "doc_id",
+        default_weight=0.5,
+    )
+
+def q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: contiguous 20k-char shards per
+    language in doc_id order — one window cumsum, no sequential state."""
+    from hogzilla_spark.operators.sampling import pack_token_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return pack_token_shards(
+        docs, "n_chars", budget=20_000, order_col="doc_id",
+        partition_cols=["lang"],
+    )
+
+# ---------------------------------------------------------------------------
 # hz-core: the engine's own rollup/detector pipeline, oracle-checked by
 # synthesizing deterministic sflow packets from the events table
 # ---------------------------------------------------------------------------
@@ -893,6 +944,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "token_count_bpe": q_token_count_bpe,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "interleave_mix": q_interleave_mix,
+        "pack_token_shards": q_pack_token_shards,
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "asof_join": q_asof_join,
@@ -1485,6 +1540,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens
         FROM documents
+    """
+
+    # sessionize: gaps-and-islands — new session iff the gap to the
+    # previous event EXCEEDS 30 min (session_window merges when the next
+    # event's window start t2 <= t1+gap, i.e. diff <= gap — inclusive;
+    # pinned by tests/test_pipeline_ops.py::test_sessionize_gap_edges)
+    sql["sessionize"] = """
+        WITH t AS (SELECT user_id, epoch_ms(ts) AS t_ms FROM events),
+        m AS (SELECT user_id, t_ms,
+                CASE WHEN t_ms - LAG(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms) > 1800000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM t),
+        s AS (SELECT user_id, t_ms,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_ms
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+        SELECT user_id,
+               MIN(t_ms) AS session_start_ms,
+               MAX(t_ms) AS session_end_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    """
+
+    sql["stratified_sample"] = """
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u,
+                 CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                           WHEN 'zh' THEN 0.125 ELSE 0.0625 END AS f
+          FROM documents)
+        WHERE u < f
+    """
+
+    sql["interleave_mix"] = """
+        SELECT doc_id, source,
+               ROUND(CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE)
+                     / (CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+                                    WHEN 'src2' THEN 1.0 ELSE 0.5 END), 6) AS mix_pos
+        FROM documents
+    """
+
+    sql["pack_token_shards"] = """
+        SELECT doc_id, lang, n_chars,
+               CAST(FLOOR(COALESCE(SUM(n_chars) OVER w, 0) / 20000) AS BIGINT) AS shard_id,
+               CAST(COALESCE(SUM(n_chars) OVER w, 0) AS BIGINT) AS shard_offset
+        FROM documents
+        WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     """
 
     sql["range_join"] = """

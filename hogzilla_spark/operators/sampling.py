@@ -1,0 +1,117 @@
+"""Training-mix assembly operators: deterministic stratified sampling,
+weighted source interleaving, and token-budget shard packing.
+
+These are the operations between "deduped corpus" and "training run":
+pick per-stratum fractions, order sources into a mix, cut the stream
+into fixed-token-budget shards.  All three are pure DataFrame
+expressions (no UDFs, no driver data paths) and deterministic — rerun
+equals re-read, which is what makes a 100 TB pipeline auditable.
+
+Hashing is md5-derived and engine-portable (same convention as
+operators/dedup.py): Spark ``conv(substring(md5(x),1,8),16,10)`` equals
+DuckDB ``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``, so every operator
+here is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def portable_hash_unit(col: Column) -> Column:
+    """Deterministic uniform [0,1) from any column: first 8 md5 hex
+    chars / 16^8.  ~4e9 distinct levels — plenty for sampling rates."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff hash_unit(key) < fraction(stratum).
+
+    Deterministic (same key → same decision in every run and on every
+    executor: no RNG state, no partition dependence — unlike
+    ``df.sample``), and exact-in-expectation per stratum.  The fraction
+    lookup is a broadcast join against a literal DataFrame, so adding a
+    10k-entry stratum table changes nothing about the plan shape."""
+    spark = df.sparkSession
+    frac_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()],
+        f"{strata_col} string, __frac double",
+    )
+    return (
+        df.join(F.broadcast(frac_df), strata_col, "left")
+        .withColumn("__frac", F.coalesce("__frac", F.lit(default_fraction)))
+        .filter(portable_hash_unit(F.col(key_col)) < F.col("__frac"))
+        .drop("__frac")
+    )
+
+def interleave_mix(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Weighted round-robin mix position: the r-th row of a source with
+    weight w gets mix_pos = r / w; consuming rows ordered by mix_pos
+    yields sources at their weight ratios (smooth interleave, the
+    standard data-mixture scheduler).
+
+    Only per-source windows are used — the global order is a SORT KEY,
+    never a materialized global row number, so the final ordering
+    distributes via range partitioning at any scale."""
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()],
+        f"{source_col} string, __w double",
+    )
+    rank_w = Window.partitionBy(source_col).orderBy(key_col)
+    return (
+        df.join(F.broadcast(w_df), source_col, "left")
+        .withColumn("__w", F.coalesce("__w", F.lit(default_weight)))
+        .withColumn(
+            "mix_pos",
+            F.round(F.row_number().over(rank_w) / F.col("__w"), 6),
+        )
+        .drop("__w")
+    )
+
+def pack_token_shards(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each document to a contiguous token-budget shard:
+    shard_id = floor(exclusive_cumsum(tokens) / budget) over a
+    deterministic order.
+
+    Shards are contiguous token ranges, so shard boundaries may split
+    the budget mid-document (a doc can straddle two budgets' worth of
+    offset); semantics chosen because they are order-stable, exactly
+    reproducible, and expressible as ONE window cumsum — the greedy
+    "close shard when full" variant is inherently sequential and buys
+    <1 doc of per-shard slack at corpus scale.
+
+    At scale ALWAYS pass ``partition_cols`` (each group packs
+    independently — language, source, ...); a global ordering funnels
+    the cumsum through one window partition, fine only for bounded
+    frames."""
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    else:
+        w = Window.orderBy(order_col)
+    cum_excl = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.withColumn(
+        "shard_id", F.floor(cum_excl / F.lit(budget)).cast("long")
+    ).withColumn("shard_offset", cum_excl.cast("long"))

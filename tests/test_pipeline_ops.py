@@ -1,0 +1,146 @@
+"""Training-mix operators: sessionization (batch + streaming),
+stratified sampling, interleave, shard packing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hogzilla_spark.operators.sampling import (
+    interleave_mix,
+    pack_token_shards,
+    portable_hash_unit,
+    stratified_sample,
+)
+from hogzilla_spark.operators.sessions import sessionize, sessionize_stream
+
+GAP = 1000  # ms
+
+def test_sessionize_gap_edges(spark):
+    """session_window merges on diff <= gap (windows touch,
+    end-inclusive) and splits on diff > gap — the oracle SQL's
+    gaps-and-islands condition must use strict >."""
+    rows = [
+        ("a", 0), ("a", 999),          # merges (999 <= 1000)
+        ("a", 1999),                   # merges too (1999-999 = 1000 <= gap)
+        ("a", 3000),                   # 3000-1999 = 1001 > gap → new session
+        ("b", 0), ("b", 1001),         # just past the gap → two sessions
+        ("c", 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, t_ms long")
+    out = {
+        (r.k, r.session_start_ms): (r.session_end_ms, r.n_events)
+        for r in sessionize(df, "t_ms", ["k"], gap_ms=GAP).collect()
+    }
+    assert out[("a", 0)] == (1999, 3)
+    assert out[("a", 3000)] == (3000, 1)
+    assert out[("b", 0)] == (0, 1)
+    assert out[("b", 1001)] == (1001, 1)
+    assert out[("c", 5)] == (5, 1)
+
+def test_sessionize_extra_aggs(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 2.0), ("a", 10, 3.0), ("a", 5000, 9.0)],
+        "k string, t_ms long, v double",
+    )
+    out = {
+        r.session_start_ms: r.sum_v
+        for r in sessionize(
+            df, "t_ms", ["k"], gap_ms=GAP, extra_aggs={"sum_v": F.sum("v")}
+        ).collect()
+    }
+    assert out == {0: 5.0, 5000: 9.0}
+
+def test_sessionize_stream_append_emits_closed_sessions(spark, tmp_path):
+    """Streaming session windows: sessions whose close precedes the
+    watermark are emitted in append mode."""
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    early = spark.createDataFrame(
+        [("a", 1_000), ("a", 1_500), ("b", 2_000)], "k string, t_ms long"
+    )
+    late = spark.createDataFrame(
+        [("a", 100_000_000)], "k string, t_ms long"  # advances the watermark
+    )
+    early.write.parquet(str(src / "f0"))
+    late.write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema("k string, t_ms long").parquet(
+        str(src / "*")
+    )
+    q = (
+        sessionize_stream(stream, "t_ms", ["k"], gap_ms=GAP, watermark_delay="1 second")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.session_start_ms): r.n_events
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("a", 1_000)] == 2
+    assert got[("b", 2_000)] == 1
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(n)], "id long, s string"
+    )
+    out1 = stratified_sample(df, "s", {"x": 0.5, "y": 0.1}, "id")
+    out2 = stratified_sample(df, "s", {"x": 0.5, "y": 0.1}, "id")
+    got1 = {(r.id, r.s) for r in out1.collect()}
+    assert got1 == {(r.id, r.s) for r in out2.collect()}  # rerun-stable
+    by_s = {s: sum(1 for _, t in got1 if t == s) for s in ("x", "y")}
+    assert abs(by_s["x"] / (n / 2) - 0.5) < 0.05
+    assert abs(by_s["y"] / (n / 2) - 0.1) < 0.03
+    # unknown stratum honors the default fraction
+    df2 = spark.createDataFrame([(i, "z") for i in range(100)], "id long, s string")
+    assert stratified_sample(df2, "s", {"x": 0.5}, "id").count() == 0
+    assert (
+        stratified_sample(df2, "s", {"x": 0.5}, "id", default_fraction=1.0).count()
+        == 100
+    )
+
+def test_portable_hash_unit_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    us = [r.u for r in df.select(portable_hash_unit(F.col("id")).alias("u")).collect()]
+    assert all(0.0 <= u < 1.0 for u in us)
+    assert 0.3 < float(np.mean(us)) < 0.7  # roughly uniform
+
+def test_interleave_mix_ratio(spark):
+    rows = [(i, "big" if i < 60 else "small") for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = interleave_mix(df, "src", {"big": 2.0, "small": 1.0}, "id")
+    ordered = [r.src for r in out.orderBy("mix_pos", "id").collect()]
+    # in any prefix consumed by mix_pos, big ≈ 2× small
+    prefix = ordered[:45]
+    assert abs(prefix.count("big") - 2 * prefix.count("small")) <= 2
+
+def test_pack_token_shards_hand_computed(spark):
+    rows = [(1, 300), (2, 300), (3, 300), (4, 300)]
+    df = spark.createDataFrame(rows, "id long, toks long")
+    out = {
+        r.id: (r.shard_id, r.shard_offset)
+        for r in pack_token_shards(df, "toks", budget=500, order_col="id").collect()
+    }
+    # exclusive cumsums: 0, 300, 600, 900 → shards 0,0,1,1
+    assert out == {1: (0, 0), 2: (0, 300), 3: (1, 600), 4: (1, 900)}
+    # partitioned packing restarts the cumsum per group
+    df2 = spark.createDataFrame(
+        [(1, "a", 400), (2, "a", 400), (1, "b", 400)], "id long, g string, toks long"
+    )
+    out2 = {
+        (r.g, r.id): r.shard_id
+        for r in pack_token_shards(
+            df2, "toks", budget=500, order_col="id", partition_cols=["g"]
+        ).collect()
+    }
+    assert out2 == {("a", 1): 0, ("a", 2): 0, ("b", 1): 0}
+    assert (
+        pack_token_shards(df2, "toks", budget=500, order_col="id",
+                          partition_cols=["g"])
+        .filter(F.col("g") == "a").agg(F.max("shard_offset")).collect()[0][0] == 400
+    )
