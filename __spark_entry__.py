@@ -627,9 +627,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed) → metadata rollup.  Rows-only."""
     from hogzilla_spark.operators import multimodal as MM
 
-    # broadcast the id→modality lookup: the decode output never
-    # shuffles (a 100 TB pipeline keeps modality in the decode output)
-    media = MM.synthetic_media(spark, 32)
+    # repartition(4): 32 items over 32 default partitions would spin up
+    # 32 Python workers for the decode stage — worker startup, not
+    # decode, dominates a cold run.  broadcast the id→modality lookup:
+    # the decode output never shuffles (a 100 TB pipeline keeps
+    # modality in the decode output; partition count follows splits)
+    media = MM.synthetic_media(spark, 32).repartition(4)
     feats = MM.decode_and_featurize(media)
     return (
         feats.join(F.broadcast(media.select("media_id", "modality")), "media_id")
