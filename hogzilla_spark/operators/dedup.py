@@ -350,13 +350,16 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
     max_shingle_freq: int | None = 10_000,
+    eager: bool = True,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs, fully relational.
 
     Explode (id, shingle) and self-join on the shingle: the per-pair
     match count IS |A∩B|, and |A∪B| = |A|+|B|−|A∩B| — no candidate
-    generation, no approximation, recall 1 by construction.  One shuffle
-    keyed on the shingle plus one pair-key groupBy.
+    generation, no approximation, recall 1 by construction.  The
+    shingle table is cached once and reused by every consumer; the
+    self-join input drops singleton shingles (bit-identical results,
+    see inline comments).
 
     Scale guard: a shingle shared by m documents emits m² join rows
     (quadratic on hot shingles, e.g. boilerplate headers), so shingles
@@ -379,23 +382,50 @@ def ngram_jaccard_pairs(
         .filter(F.size("sh") > 0)
         .select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     )
+    if eager:
+        # the exploded table feeds four consumers (freq counts, pair
+        # semi-join, hot attribution, both self-join sides) and Spark
+        # does not reuse the scan across them — without the cache the
+        # regex shingling re-runs per consumer (measured 8 scans).
+        # Same eager contract as minhash_lsh_pairs: the call RUNS the
+        # query, checkpoints the (small) pair set, and releases the
+        # cache; eager=False returns the lazy plan and the caller owns
+        # recomputation.
+        sh = sh.persist()
+    counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
+    # The self-join input needs only shingles that CAN pair: freq >= 2
+    # (singletons never match — in a Zipfian corpus they are the bulk
+    # of distinct shingles) and freq <= cap (the m² guard).  Per-doc
+    # sizes n stay exact over the CAPPED universe (counting them
+    # pre-cap would deflate jaccard for partially-boilerplate
+    # overlaps): instead of re-aggregating the filtered universe, n is
+    # corrected by each doc's occurrence count in the HOT list — the
+    # over-cap shingle set is tiny, so the correction table stays small
+    # (one row per boilerplate-carrying doc; AQE broadcasts it while it
+    # fits, falls back to a shuffled join keyed on id otherwise).
+    # Singleton-dropping needs no n correction at all (singletons still
+    # count toward the union denominator).
+    cond = F.col("__f") >= 2
     if max_shingle_freq is not None:
-        keep = (
-            sh.groupBy("s").count().filter(F.col("count") <= max_shingle_freq)
-        ).select("s")
-        sh = sh.join(keep, "s", "left_semi")
-        # per-doc set sizes over the FILTERED universe — counting them
-        # pre-filter would deflate jaccard for partially-boilerplate
-        # overlaps (denominator includes dropped shingles, numerator
-        # doesn't)
-        n_post = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_post"))
-        sh = (
-            sh.drop("n")
-            .join(n_post, "id")
-            .withColumnRenamed("n_post", "n")
+        cond = cond & (F.col("__f") <= max_shingle_freq)
+    pair_shingles = counts.filter(cond).select("s")
+    joinable = sh.join(pair_shingles, "s", "left_semi")
+    if max_shingle_freq is not None:
+        hot = counts.filter(F.col("__f") > max_shingle_freq).select("s")
+        n_drop = (
+            sh.join(hot, "s", "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("__n_drop"))
         )
-    l = sh.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "s")
-    r = sh.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "s")
+        joinable = (
+            joinable.join(n_drop, "id", "left")
+            .withColumn(
+                "n", F.col("n") - F.coalesce(F.col("__n_drop"), F.lit(0))
+            )
+            .drop("__n_drop")
+        )
+    l = joinable.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    r = joinable.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "s")
     inter = (
         l.join(r, "s")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -405,9 +435,13 @@ def ngram_jaccard_pairs(
     jac = F.col("inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     ).cast("double")
-    return inter.select(
+    out = inter.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
+    return out
 
 # --- SimHash ----------------------------------------------------------------
 
