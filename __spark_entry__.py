@@ -724,6 +724,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-mix assembly: sessionization, sampling, interleave, packing
 # ---------------------------------------------------------------------------
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (operators/dedup.decontaminate): corpus
+    docs (doc_id%100>=2) near-duplicating a held-out eval slice
+    (doc_id%100<2) via cross-corpus LSH + exact-jaccard verify."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    heldout = docs.filter(F.col("doc_id") % 100 < 2)
+    corpus = docs.filter(F.col("doc_id") % 100 >= 2)
+    return DD.decontaminate(corpus, heldout, min_jaccard=0.3)
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream via native
     session_window (operators/sessions.py): 30-minute gap, per-user
@@ -947,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "token_count_bpe": q_token_count_bpe,
+        "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "interleave_mix": q_interleave_mix,
@@ -1398,6 +1408,17 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_minhash_incremental"] = (
         sql["dedup_minhash_lsh"] + "\n          AND (id_a % 5 = 0 OR id_b % 5 = 0)"
     )
+
+    # Decontamination = the same full LSH pair set restricted to CROSS
+    # pairs (exactly one side in the heldout slice doc_id % 100 < 2),
+    # re-oriented to (corpus_id, heldout_id).
+    sql["decontaminate"] = f"""
+        SELECT CASE WHEN id_a % 100 < 2 THEN id_b ELSE id_a END AS corpus_id,
+               CASE WHEN id_a % 100 < 2 THEN id_a ELSE id_b END AS heldout_id,
+               jaccard
+        FROM ({sql["dedup_minhash_lsh"]}) lsh
+        WHERE (id_a % 100 < 2) <> (id_b % 100 < 2)
+    """
 
     stop = ",".join(f"'{s}'" for s in TXT.STOPWORDS_EN)
     markers = {k: ",".join(f"'{m}'" for m in v) for k, v in TXT.LANG_MARKERS.items()}

@@ -343,6 +343,68 @@ def minhash_lsh_pairs_incremental(
         "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
 
+def decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Test-set decontamination: corpus documents that near-duplicate a
+    held-out/eval document — the train/test contamination sweep every
+    training pipeline runs before a release.
+
+    Cross-corpus LSH: corpus band rows join ONLY the heldout band rows
+    (never corpus↔corpus), so the work is O(corpus bands) + candidate
+    verification; the heldout side is an eval set — small by
+    definition — and is broadcast.  Verification re-shingles just the
+    candidate corpus documents.  Equivalent to
+    ``minhash_lsh_pairs(corpus ∪ heldout)`` restricted to cross pairs.
+
+    Returns (corpus_id, heldout_id, jaccard) with jaccard >= min_jaccard.
+    """
+    c_bands = minhash_band_index(
+        corpus, id_col, text_col, shingle_k, num_hashes, num_bands
+    )
+    h_bands = minhash_band_index(
+        heldout, id_col, text_col, shingle_k, num_hashes, num_bands
+    )
+    cand = (
+        c_bands.select("band", "key", F.col("id").alias("corpus_id"))
+        .join(
+            F.broadcast(
+                h_bands.select("band", "key", F.col("id").alias("heldout_id"))
+            ),
+            ["band", "key"],
+        )
+        .select("corpus_id", "heldout_id")
+        .dropDuplicates()
+    )
+    c_sh = (
+        corpus.join(
+            cand.select(F.col("corpus_id").alias("__cid")).distinct(),
+            F.col(id_col) == F.col("__cid"),
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            word_shingles(text_col, shingle_k).alias("sh_c"),
+        )
+    )
+    h_sh = heldout.select(
+        F.col(id_col).alias("heldout_id"),
+        word_shingles(text_col, shingle_k).alias("sh_h"),
+    )
+    pairs = cand.join(c_sh, "corpus_id").join(F.broadcast(h_sh), "heldout_id")
+    inter = F.size(F.array_intersect("sh_c", "sh_h")).cast("double")
+    union = F.size(F.array_union("sh_c", "sh_h")).cast("double")
+    return pairs.select(
+        "corpus_id", "heldout_id", F.round(inter / union, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= min_jaccard)
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -374,6 +374,31 @@ def test_ngram_jaccard_exact_pairs(spark):
     }
     assert lsh <= exact  # LSH can only miss pairs, never disagree
 
+def test_decontaminate_planted(spark):
+    """Planted contamination: a corpus doc that near-dups an eval doc is
+    flagged; unrelated corpus docs are not; corpus-internal dups are NOT
+    reported (cross pairs only)."""
+    eval_text = "the quick brown fox jumps over the lazy dog every single day"
+    near_dup = "the quick brown fox jumps over the lazy dog every single night"
+    corpus = spark.createDataFrame(
+        [
+            (100, near_dup),                        # contaminated
+            (101, near_dup),                        # corpus-internal dup of 100
+            (102, "completely unrelated text about pyspark query engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame([(1, eval_text)], "doc_id long, text string")
+    got = {
+        (r.corpus_id, r.heldout_id): r.jaccard
+        for r in DD.decontaminate(corpus, heldout, min_jaccard=0.5).collect()
+    }
+    assert set(got) == {(100, 1), (101, 1)}  # both contaminated copies, no 102
+    assert all(j > 0.8 for j in got.values())
+    # empty heldout → empty result, plan still valid
+    empty = heldout.filter(F.col("doc_id") < 0)
+    assert DD.decontaminate(corpus, empty, min_jaccard=0.1).count() == 0
+
 def test_ngram_jaccard_freq_cap_unbiased(spark):
     """Capped jaccard must be exact over the FILTERED shingle universe:
     for a pair whose overlap survives the cap, capped == uncapped once
