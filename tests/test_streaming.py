@@ -98,6 +98,64 @@ def test_auth_stream_replay_idempotent(spark, tmp_path):
     assert sizes_after == sizes_before  # histograms NOT double-counted
     assert spark.read.parquet(alerts_dir).count() == alerts_before
 
+def test_streaming_histogram_state_learn_and_score(spark, tmp_path):
+    """applyInPandasWithState histogram cycle: below the learn gate
+    nothing alerts; once learned, a never-seen bucket alerts exactly
+    once; state survives a restart from the checkpoint and replayed
+    batches are not re-scored."""
+    from hogzilla_spark.streaming.stateful_stream import streaming_histogram_scores
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    alerts = str(tmp_path / "alerts")
+
+    b1 = spark.createDataFrame(
+        [("u1", "login:ok")] * 120 + [("u2", "rare")] * 5,
+        "entity string, bucket string",
+    )
+    b1.write.parquet(str(src / "b1"))
+
+    def run_once():
+        stream = spark.readStream.schema("entity string, bucket string").parquet(
+            str(src / "*")
+        )
+        out = streaming_histogram_scores(
+            stream, learn_gate=100, threshold=0.05
+        )
+
+        def sink(df, _bid):
+            if df.count() > 0:
+                df.write.mode("append").parquet(alerts)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    import os
+
+    assert not os.path.isdir(alerts)  # u1 typical, u2 below gate → no alerts
+
+    b2 = spark.createDataFrame(
+        [("u1", "login:WEIRD")] + [("u1", "login:ok")] * 10,
+        "entity string, bucket string",
+    )
+    b2.write.parquet(str(src / "b2"))
+    run_once()  # restart from checkpoint; only b2 is new
+
+    rows = spark.read.parquet(alerts).collect()
+    assert len(rows) == 1
+    (a,) = rows
+    assert (a.entity, a.bucket) == ("u1", "login:WEIRD")
+    assert a.ratio < 0.05
+    assert 120 <= a.seen_total <= 130  # state learned across batches/restart
+
 def test_wordcount_batch_semantics(spark):
     df = spark.createDataFrame(
         [("a b  a",), ("",), ("b c",)], "value string"
