@@ -148,3 +148,60 @@ def test_purge_boundaries(spark, age_ms, prio):
     kept = df.filter(flows_keep_predicate(now)).count() == 1
     expect = (age_ms <= TIME_UNIT_MS) or (age_ms <= 100 * TIME_UNIT_MS and prio == "1")
     assert kept == expect
+
+# --- codec properties (no Spark session needed) -----------------------------
+
+codec_imgs = st.tuples(
+    st.integers(min_value=1, max_value=24),  # h
+    st.integers(min_value=1, max_value=24),  # w
+    st.integers(min_value=0, max_value=2**32 - 1),  # seed
+)
+
+@settings(max_examples=30, deadline=None)
+@given(codec_imgs, st.integers(min_value=0, max_value=4))
+def test_png_roundtrip_property(dims, filter_type):
+    import numpy as np
+    from hogzilla_spark.operators import multimodal as MM
+
+    h, w, seed = dims
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(
+        MM.decode_png(MM.encode_png(img, filter_type=filter_type)), img
+    )
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=0, max_size=4000),
+    st.integers(min_value=2, max_value=8),
+)
+def test_gif_lzw_roundtrip_property(seq, min_code_size):
+    from hogzilla_spark.operators import multimodal as MM
+
+    alphabet = 1 << min_code_size
+    seq = [v % alphabet for v in seq]
+    assert MM._lzw_decode(MM._lzw_encode(seq, min_code_size), min_code_size) == seq
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-32767, max_value=32767))
+def test_jpeg_magnitude_coding_inverse(v):
+    from hogzilla_spark.operators import jpeg as J
+
+    s, extra = J._magnitude(v)
+    if s == 0:
+        assert v == 0
+    else:
+        assert J._extend(extra, s) == v
+
+@settings(max_examples=20, deadline=None)
+@given(codec_imgs)
+def test_jpeg_q100_bounded_error_property(dims):
+    import numpy as np
+    from hogzilla_spark.operators import jpeg as J
+
+    h, w, seed = dims
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    back = J.decode_jpeg(J.encode_jpeg(img, quality=100))
+    assert back.shape == (h, w, 3)
+    # q=100 → unit quant steps: error bounded by chroma subsampling-free
+    # DCT rounding; random noise worst case stays within ~16 levels
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 24
