@@ -230,15 +230,24 @@ def q_w4_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a8_sum_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 column-wise Σx and Σx² in one pass (z-score prep,
-    HogDNS.scala:169-183), exact via cents-scaled integers."""
+    HogDNS.scala:169-183), exact via cents-scaled integers.
+
+    Σx² stays integer end-to-end: the cents² sum exceeds float64's
+    exact range at sf≥0.1 and DuckDB's int128→double cast can differ
+    from Spark's decimal→double by 1 ulp, so the output floor-divides
+    back to whole-unit² and ships as BIGINT (no doubles anywhere)."""
     li = _t(spark, sf_dir, "lineitem")
     q = _cents(F.col("l_quantity"))
     p = _cents(F.col("l_extendedprice"))
     return li.agg(
         F.sum(q).alias("sum_qty_c"),
-        F.sum((q * q).cast("decimal(38,0)")).cast("double").alias("sumsq_qty_c"),
+        F.floor(F.sum((q * q).cast("decimal(38,0)")) / 10000)
+        .cast("long")
+        .alias("sumsq_qty"),
         F.sum(p).alias("sum_price_c"),
-        F.sum((p * p).cast("decimal(38,0)")).cast("double").alias("sumsq_price_c"),
+        F.floor(F.sum((p * p).cast("decimal(38,0)")) / 10000)
+        .cast("long")
+        .alias("sumsq_price"),
     )
 
 def q_j1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,9 +1084,9 @@ def oracle_sql() -> dict[str, str]:
                  CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p
           FROM lineitem)
         SELECT CAST(SUM(q) AS BIGINT) AS sum_qty_c,
-               CAST(SUM(q*q) AS DOUBLE) AS sumsq_qty_c,
+               CAST(SUM(q*q) // 10000 AS BIGINT) AS sumsq_qty,
                CAST(SUM(p) AS BIGINT) AS sum_price_c,
-               CAST(SUM(p*p) AS DOUBLE) AS sumsq_price_c
+               CAST(SUM(p*p) // 10000 AS BIGINT) AS sumsq_price
         FROM c
     """
 
