@@ -733,6 +733,34 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-mix assembly: sessionization, sampling, interleave, packing
 # ---------------------------------------------------------------------------
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.scrub_pii): URL/email/IPv4/long-digit
+    redaction with typed placeholders.  Every 10th doc gets
+    deterministic injected PII so the redaction paths have signal; the
+    oracle injects and scrubs with the identical chain."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com via https://ex.com/p?id="),
+        did.cast("string"),
+        F.lit(" at 10.0.0."),
+        (did % 250).cast("string"),
+        F.lit(" tel 5551234567"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(did % 10 == 0, injected).otherwise(F.col("text")).alias("t"),
+    )
+    scrubbed = TXT.scrub_pii(F.col("t"))
+    return aug.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        (scrubbed != F.col("t")).alias("pii_found"),
+    )
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination (operators/dedup.decontaminate): corpus
     docs (doc_id%100>=2) near-duplicating a held-out eval slice
@@ -965,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "token_count_bpe": q_token_count_bpe,
+        "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
@@ -1417,6 +1446,28 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_minhash_incremental"] = (
         sql["dedup_minhash_lsh"] + "\n          AND (id_a % 5 = 0 OR id_b % 5 = 0)"
     )
+
+    # scrub_pii: the regexp_replace chain is GENERATED from the same
+    # PII_PATTERNS list the Spark op uses (Java∩RE2 dialect subset)
+    _scrub_expr = "t"
+    for _pat, _repl in TXT.PII_PATTERNS:
+        _scrub_expr = (
+            f"regexp_replace({_scrub_expr}, '{_pat}', '{_repl}', 'g')"
+        )
+    sql["scrub_pii"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com via https://ex.com/p?id='
+                        || CAST(doc_id AS VARCHAR)
+                        || ' at 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                        || ' tel 5551234567'
+                 ELSE text END AS t
+          FROM documents)
+        SELECT doc_id, text_scrubbed, text_scrubbed <> t AS pii_found
+        FROM (SELECT doc_id, t, {_scrub_expr} AS text_scrubbed FROM aug)
+    """
 
     # Decontamination = the same full LSH pair set restricted to CROSS
     # pairs (exactly one side in the heldout slice doc_id % 100 < 2),

@@ -150,6 +150,26 @@ def token_count_bpe(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_REGEX), 0))
 
+# PII scrub patterns, ordered (URL before email: an URL may embed an
+# email-shaped userinfo).  Dialect-portable Java∩RE2 subset — no
+# lookaround, no backreferences — same parity contract as
+# BPE_TOKEN_REGEX, so the DuckDB oracle applies the identical chain.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+]
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact URLs, emails, IPv4s, and long digit runs with typed
+    placeholders — the standard pre-training privacy pass.  A chain of
+    JVM regexp_replace calls: whole-stage-codegen'd, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
 # Character-trigram profiles per language (top trigrams of each
 # language's usual text, space-padded) — the classic n-gram language-ID
 # signal, usable when marker WORDS are absent (code, short strings).

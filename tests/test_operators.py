@@ -374,6 +374,28 @@ def test_ngram_jaccard_exact_pairs(spark):
     }
     assert lsh <= exact  # LSH can only miss pairs, never disagree
 
+def test_scrub_pii_redactions(spark):
+    cases = [
+        (1, "mail me at alice.smith+x@corp.example.org today",
+            "mail me at <EMAIL> today"),
+        (2, "see https://a.b/c?d=1&e=2 and http://plain.org/x",
+            "see <URL> and <URL>"),
+        (3, "host 192.168.1.254 responded", "host <IP> responded"),
+        (4, "call 5551234567 or 123456 ok", "call <NUM> or 123456 ok"),
+        # URL wins over the email-shaped userinfo inside it
+        (5, "ref https://u@ex.com/path stays", "ref <URL> stays"),
+        (6, "clean text stays clean", "clean text stays clean"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "id long, text string"
+    )
+    got = {
+        r.id: r.out
+        for r in df.select("id", TXT.scrub_pii("text").alias("out")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i])
+
 def test_decontaminate_planted(spark):
     """Planted contamination: a corpus doc that near-dups an eval doc is
     flagged; unrelated corpus docs are not; corpus-internal dups are NOT
