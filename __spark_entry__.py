@@ -733,6 +733,50 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-mix assembly: sessionization, sampling, interleave, packing
 # ---------------------------------------------------------------------------
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete quantiles (p50/p95/p99) via Spark's
+    distributed percentile_disc.  At 100 TB the same plan swaps to
+    percentile_approx (mergeable t-digest sketch, bounded error) — the
+    exact form is the oracle-checkable baseline."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p95"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping event-time windows via native F.window (10-minute
+    window, 5-minute hop — every event lands in exactly 2 windows) on a
+    TIMESTAMP_NTZ column so the window grid is timezone-independent."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _ev_ms().alias("t_ms"), "value"
+    )
+    ntz = F.expr(
+        "timestampadd(MICROSECOND, t_ms*1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    win = F.window(ntz, "10 minutes", "5 minutes")
+    start_ms = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', window.start)"
+    ) * 1000
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_c"),
+        )
+        .select(
+            start_ms.alias("window_start_ms"), "event_type", "n", "sum_value_c"
+        )
+    )
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/text.scrub_pii): URL/email/IPv4/long-digit
     redaction with typed placeholders.  Every 10th doc gets
@@ -993,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "token_count_bpe": q_token_count_bpe,
+        "quantiles": q_quantiles,
+        "hopping_window": q_hopping_window,
         "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
@@ -1446,6 +1492,30 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_minhash_incremental"] = (
         sql["dedup_minhash_lsh"] + "\n          AND (id_a % 5 = 0 OR id_b % 5 = 0)"
     )
+
+    sql["quantiles"] = """
+        SELECT o_orderpriority,
+               quantile_disc(o_totalprice, 0.5) AS p50,
+               quantile_disc(o_totalprice, 0.95) AS p95,
+               quantile_disc(o_totalprice, 0.99) AS p99,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderpriority
+    """
+
+    # hopping windows: every event belongs to exactly two 10-min windows
+    # on the 5-min hop grid — start = (t//hop - k)*hop for k in {0,1}
+    sql["hopping_window"] = """
+        WITH t AS (SELECT event_type, epoch_ms(ts) AS t_ms,
+                          CAST(ROUND(value*100) AS BIGINT) AS v_c
+                   FROM events),
+        w AS (SELECT event_type, v_c,
+                     ((t_ms // 300000) - k) * 300000 AS window_start_ms
+              FROM t, unnest([0, 1]) AS u(k))
+        SELECT window_start_ms, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v_c) AS BIGINT) AS sum_value_c
+        FROM w GROUP BY 1, 2
+    """
 
     # scrub_pii: the regexp_replace chain is GENERATED from the same
     # PII_PATTERNS list the Spark op uses (Java∩RE2 dialect subset)
