@@ -1,0 +1,76 @@
+"""Physical-plan regression guards: the plan SHAPES that make these
+queries scale are asserted, not assumed — a refactor that silently
+drops a pushdown, breaks a broadcast, or introduces a cartesian
+product fails here, not at 100 TB.
+
+Checks run on the executed-plan string at sf0.001 (plan shape is
+data-size-independent for these properties except where AQE picks
+joins; broadcast assertions target plans with explicit hints or
+dimension tables far under the broadcast threshold).
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+def plan_of(spark, qname: str) -> str:
+    return (
+        E.queries()[qname](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+def test_s6_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "s6_filtered_scan")
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan or "GreaterThan" in plan
+    # column pruning: the scan must not read the wide text column
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1)
+
+def test_stratified_sample_broadcasts_fractions(spark):
+    plan = plan_of(spark, "stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+def test_sessionize_uses_native_session_merge(spark):
+    plan = plan_of(spark, "sessionize")
+    assert "MergingSessions" in plan
+    # exactly one exchange keyed on the session key feeds the merge
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1
+
+def test_a1_partial_aggregation(spark):
+    plan = plan_of(spark, "a1_lineitem_rollup")
+    # map-side partial aggregate before the shuffle halves traffic
+    # (codegen spans only appear once AQE finalizes the plan at run
+    # time, so the static assertion is the map-side combine itself)
+    assert re.search(r"partial_sum|partial_count", plan)
+
+def test_a3_broadcasts_dimension(spark):
+    plan = plan_of(spark, "a3_two_level_rollup")
+    assert "BroadcastHashJoin" in plan
+
+def test_no_cartesian_products_anywhere(spark):
+    """No query may plan a CartesianProduct or BroadcastNestedLoopJoin —
+    except knn_brute_force, whose broadcast nested loop IS the declared
+    plan (tiny query set broadcast against an unshuffled corpus)."""
+    declared_exact = {"knn_brute_force"}
+    offenders = {}
+    for name in E.queries():
+        if name in declared_exact:
+            continue
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders[name] = True
+    assert not offenders, f"cartesian plans in: {sorted(offenders)}"
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "o1_topk")
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+def test_hopping_window_single_shuffle(spark):
+    plan = plan_of(spark, "hopping_window")
+    # explode-to-2-windows + one aggregate shuffle; no join, no sort-all
+    assert "Exchange" in plan
+    assert "CartesianProduct" not in plan
