@@ -290,6 +290,7 @@ def minhash_lsh_pairs_incremental(
     num_hashes: int = 16,
     num_bands: int = 4,
     min_jaccard: float = 0.5,
+    eager: bool = True,
 ) -> DataFrame:
     """Incremental MinHash-LSH: near-dup pairs TOUCHING the new batch
     (new↔corpus and new↔new), the shape a continuous ingest runs.
@@ -300,6 +301,14 @@ def minhash_lsh_pairs_incremental(
     — the corpus is never re-shingled or self-joined.  Equivalent to
     `minhash_lsh_pairs(corpus ∪ new)` filtered to pairs with a new-batch
     member.
+
+    With ``eager=True`` (default) the candidate id-pair set — small by
+    LSH construction — is materialized via localCheckpoint before the
+    verify stage: it feeds three consumers (both id sides of the verify
+    join and the semi-join id list), and without the cut the planner
+    re-derives the whole banding subtree per consumer (measured 31
+    scans of the source in one plan).  ``eager=False`` keeps the fully
+    lazy plan.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min_jaccard.
     """
@@ -321,6 +330,8 @@ def minhash_lsh_pairs_incremental(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if eager:
+        cand = cand.localCheckpoint(eager=True)
     docs = corpus.select(id_col, text_col).unionByName(new_docs.select(id_col, text_col))
     cand_ids = cand.select(F.col("id_a").alias("id")).unionByName(
         cand.select(F.col("id_b").alias("id"))
