@@ -363,10 +363,13 @@ def decontaminate(
     num_hashes: int = 16,
     num_bands: int = 4,
     min_jaccard: float = 0.5,
+    eager: bool = True,
 ) -> DataFrame:
     """Test-set decontamination: corpus documents that near-duplicate a
     held-out/eval document — the train/test contamination sweep every
-    training pipeline runs before a release.
+    training pipeline runs before a release.  ``eager=True`` (default)
+    checkpoints the small candidate set so its banding subtree isn't
+    re-derived per verify consumer (the siblings' contract).
 
     Cross-corpus LSH: corpus band rows join ONLY the heldout band rows
     (never corpus↔corpus), so the work is O(corpus bands) + candidate
@@ -394,6 +397,8 @@ def decontaminate(
         .select("corpus_id", "heldout_id")
         .dropDuplicates()
     )
+    if eager:
+        cand = cand.localCheckpoint(eager=True)
     c_sh = (
         corpus.join(
             cand.select(F.col("corpus_id").alias("__cid")).distinct(),
