@@ -69,6 +69,26 @@ def test_topk_uses_take_ordered(spark):
     plan = plan_of(spark, "o1_topk")
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
 
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """Substantiates the SCALE.md claim: the IVF assigned table written
+    partitionBy(list_id) prunes to the probed lists at read time — a
+    query touches nprobe partitions, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from hogzilla_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _model, assigned = SIM.ivf_index(emb, n_lists=4)
+    path = str(tmp_path / "ivf")
+    assigned.write.partitionBy("list_id").parquet(path)
+
+    idx = spark.read.parquet(path)
+    probed = idx.filter(F.col("list_id").isin(0, 1))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "list_id" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert 0 < probed.count() < idx.count()
+
 def test_hopping_window_single_shuffle(spark):
     plan = plan_of(spark, "hopping_window")
     # explode-to-2-windows + one aggregate shuffle; no join, no sort-all
