@@ -733,6 +733,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-mix assembly: sessionization, sampling, interleave, packing
 # ---------------------------------------------------------------------------
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity
+    .label_centroids): posexplode → one (label, dim) groupBy; the class
+    prototypes of a nearest-class-mean classifier."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.label_centroids(emb, "label", "embedding")
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group discrete quantiles (p50/p95/p99) via Spark's
     distributed percentile_disc.  At 100 TB the same plan swaps to
@@ -1037,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "token_count_bpe": q_token_count_bpe,
+        "label_centroids": q_label_centroids,
         "quantiles": q_quantiles,
         "hopping_window": q_hopping_window,
         "scrub_pii": q_scrub_pii,
@@ -1492,6 +1500,14 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_minhash_incremental"] = (
         sql["dedup_minhash_lsh"] + "\n          AND (id_a % 5 = 0 OR id_b % 5 = 0)"
     )
+
+    sql["label_centroids"] = """
+        SELECT label, CAST(i - 1 AS INT) AS dim,
+               ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY 1, 2
+    """
 
     sql["quantiles"] = """
         SELECT o_orderpriority,

@@ -232,3 +232,28 @@ def ivf_index(
     km = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id")
     model = km.fit(feat)
     return model, model.transform(feat).select(id_col, vec_col, "list_id")
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding (class prototypes — the nearest-class-
+    mean / prototype-classifier building block, and the per-cluster
+    centroid refresh of an IVF rebuild).
+
+    Shape: posexplode to (label, dim, value) then ONE groupBy — the
+    shuffle carries (label, dim) partial sums, never vectors, and the
+    dimension axis parallelizes the aggregation (a 4096-dim corpus
+    spreads over 4096·|labels| keys instead of |labels| hot keys).
+    Output rows (label, dim, mean, n) rather than re-assembled arrays:
+    downstream joins consume the long form directly, and re-assembly is
+    a collect_list away when needed."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(vec_col)).alias("dim", "v"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -100,6 +100,24 @@ def test_knn_self_consistency(spark):
     got = [(r.neighbor_id, r.rank) for r in out.collect()]
     assert got[0] == (2, 1)  # nearest is the 0.9/0.1 vector
 
+def test_label_centroids_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]),
+            (0, [3.0, 6.0]),
+            (1, [10.0, 0.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    got = {
+        (r.label, r.dim): (r.mean, r.n)
+        for r in SIM.label_centroids(df).collect()
+    }
+    assert got == {
+        (0, 0): (2.0, 2), (0, 1): (4.0, 2),
+        (1, 0): (10.0, 1), (1, 1): (0.0, 1),
+    }
+
 def test_text_quality_and_lang(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat and it was that good for all of the")],
