@@ -517,9 +517,16 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs (word 3-gram shingles,
     jaccard >= 0.3) via the relational intersection-count plan — the
-    recall-1 companion to the LSH approximation."""
+    recall-1 companion to the LSH approximation.
+
+    max_shingle_freq=None: the DuckDB oracle computes fully-uncapped
+    Jaccard, so the oracle-checked entry must too — otherwise a
+    boilerplate shingle crossing the 10k default at a larger sf would
+    silently diverge.  Production keeps the operator's capped default
+    (the m² guard); the cap-vs-uncapped equality on surviving pairs is
+    pinned by tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, min_jaccard=0.3)
+    return DD.ngram_jaccard_pairs(docs, min_jaccard=0.3, max_shingle_freq=None)
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token stats, punctuation/stopword

@@ -86,17 +86,6 @@ DC_LUMA_VALS = list(range(12))
 DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
 DC_CHROMA_VALS = list(range(12))
 
-def _ac_vals(extra_first: list[int], rows_last: list[int]) -> list[int]:
-    """AC value tables share a run/size layout: the irregular prefix
-    differs per table, the (run,size) tail is systematic."""
-    vals = list(extra_first)
-    for run in range(1, 16):
-        for size in range(1, 11):
-            v = (run << 4) | size
-            if v not in vals:
-                rows_last.append(v)
-    return vals
-
 # Encoder AC tables: canonical Annex-K ordering matters only for coding
 # efficiency, not correctness, so build a VALID table with the standard
 # code-length histogram shape replaced by a flat assignment: every
@@ -432,6 +421,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         # else: APPn/COM — skip
 
+    if len(scan) == 1:
+        # Non-interleaved single-component scan: one 8×8 block per MCU
+        # regardless of the component's declared sampling factors
+        # (ITU-T T.81 §A.2.2) — a libjpeg grayscale file may declare
+        # 2x2 factors but its scan data is still one block per MCU.
+        scan[0]["h"] = scan[0]["v"] = 1
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

@@ -619,7 +619,12 @@ def decode_and_featurize(
             return image_features(decode_image(payload))
         if codec == "gif" and modality == "video":
             # real demux: featurize the first composited frame
-            return image_features(decode_gif(payload)[0][1])
+            frames = decode_gif(payload)
+            if not frames:
+                # trailer before any image descriptor: structurally
+                # valid, zero frames — match decode_image's contract
+                raise ValueError("GIF with no frames")
+            return image_features(frames[0][1])
         if codec == "wav" and modality == "audio":
             return audio_features(decode_wav(payload)[0])
         if strict:

@@ -57,29 +57,61 @@ def interleave_mix(
     weights: dict[str, float],
     key_col: str,
     default_weight: float = 1.0,
+    bucket_width: int = 1_048_576,
 ) -> DataFrame:
     """Weighted round-robin mix position: the r-th row of a source with
     weight w gets mix_pos = r / w; consuming rows ordered by mix_pos
     yields sources at their weight ratios (smooth interleave, the
-    standard data-mixture scheduler).
+    standard data-mixture scheduler), independent of source sizes.
 
-    Only per-source windows are used — the global order is a SORT KEY,
-    never a materialized global row number, so the final ordering
-    distributes via range partitioning at any scale."""
+    The per-source rank is computed in two phases so NO window ever
+    sees a whole source in one task (a naive
+    ``row_number().over(partitionBy(source))`` funnels each source —
+    possibly 10s of TB — through a single sort task):
+
+    1. per-(source, key-range-bucket) counts, cumulated to bucket
+       offsets with a window over the COUNTS table (n/bucket_width
+       rows — a few thousand at 100 TB, trivially one task);
+    2. rank = bucket offset + row_number within (source, bucket) —
+       each window partition holds at most ~bucket_width rows.
+
+    ``key_col`` must be numeric and unique per row (doc ids).  Ranks
+    are exact integers, so mix_pos = rank/w is reproducible bit-for-bit
+    across engines for power-of-two weights."""
     spark = df.sparkSession
     w_df = spark.createDataFrame(
         [(k, float(v)) for k, v in weights.items()],
         f"{source_col} string, __w double",
     )
-    rank_w = Window.partitionBy(source_col).orderBy(key_col)
+    bucket = F.floor(F.col(key_col) / F.lit(bucket_width)).cast("long")
+    counts = df.groupBy(F.col(source_col), bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        source_col,
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in_bucket = Window.partitionBy(source_col, "__b").orderBy(key_col)
     return (
-        df.join(F.broadcast(w_df), source_col, "left")
+        df.withColumn("__b", bucket)
+        .join(F.broadcast(offsets), [source_col, "__b"])
+        .join(F.broadcast(w_df), source_col, "left")
         .withColumn("__w", F.coalesce("__w", F.lit(default_weight)))
         .withColumn(
             "mix_pos",
-            F.round(F.row_number().over(rank_w) / F.col("__w"), 6),
+            F.round(
+                (F.col("__off") + F.row_number().over(w_in_bucket))
+                / F.col("__w"),
+                6,
+            ),
         )
-        .drop("__w")
+        .drop("__b", "__off", "__w")
     )
 
 def pack_token_shards(

@@ -38,6 +38,21 @@ def test_jpeg_odd_dimensions_and_grayscale():
     assert backg.shape == (16, 16, 3)
     assert np.abs(backg[:, :, 0].astype(int) - g.astype(int)).max() <= 6
 
+def test_jpeg_grayscale_ignores_sampling_factors():
+    """A single-component (non-interleaved) scan is one block per MCU
+    regardless of declared sampling factors (T.81 §A.2.2): patching the
+    SOF HV byte from 1x1 to 2x2 must not change the decode."""
+    g = _gradient(24, 24)[:, :, 0]
+    payload = bytearray(J.encode_jpeg(g, quality=95))
+    sof = payload.index(b"\xff\xc0")
+    # FFC0 len(2) prec(1) h(2) w(2) ncomp(1) compid(1) -> HV byte
+    hv = sof + 11
+    assert payload[hv] == 0x11
+    payload[hv] = 0x22
+    assert np.array_equal(
+        J.decode_jpeg(bytes(payload)), J.decode_jpeg(J.encode_jpeg(g, quality=95))
+    )
+
 def test_jpeg_flat_color_exact():
     img = np.full((8, 8, 3), 128, dtype=np.uint8)
     back = J.decode_jpeg(J.encode_jpeg(img, quality=90))

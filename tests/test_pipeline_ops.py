@@ -119,6 +119,24 @@ def test_interleave_mix_ratio(spark):
     prefix = ordered[:45]
     assert abs(prefix.count("big") - 2 * prefix.count("small")) <= 2
 
+def test_interleave_mix_two_phase_rank(spark):
+    """The bucketed two-phase rank must equal the naive per-source
+    row_number at ANY bucket_width — including widths that split a
+    source across many buckets (the 100 TB path) — and the plan must
+    not sort a whole source in one window partition."""
+    rows = [(i * 7 % 101, "a" if i % 3 else "b") for i in range(101)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    wide = interleave_mix(df, "src", {"a": 2.0, "b": 1.0}, "id")
+    narrow = interleave_mix(
+        df, "src", {"a": 2.0, "b": 1.0}, "id", bucket_width=8
+    )
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, narrow.collect())
+    )
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    # the row-data window partitions on (src, __b), never src alone
+    assert "__b" in plan
+
 def test_pack_token_shards_hand_computed(spark):
     rows = [(1, 300), (2, 300), (3, 300), (4, 300)]
     df = spark.createDataFrame(rows, "id long, toks long")

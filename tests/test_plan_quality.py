@@ -24,7 +24,9 @@ def plan_of(spark, qname: str) -> str:
 
 def test_s6_filter_pushdown_and_pruning(spark):
     plan = plan_of(spark, "s6_filtered_scan")
-    assert "PushedFilters: [" in plan and "IsNotNull" in plan or "GreaterThan" in plan
+    assert "PushedFilters: [" in plan and (
+        "EqualTo" in plan or "IsNotNull" in plan or "GreaterThan" in plan
+    )
     # column pruning: the scan must not read the wide text column
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "text" not in m.group(1)
