@@ -883,17 +883,38 @@ def q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synth_sflows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → sflow-shaped packets (pure deterministic mapping): each
     event is one sampled packet between a per-user internal host and a
-    per-type alien service; direction alternates on event_id parity."""
+    per-type alien service; direction alternates on event_id parity.
+
+    The mapping is shaped so every oracle-checked detector has signal:
+      - alien IPs fan out over 10 slots via (event_id div 2) % 10 —
+        div 2 keeps the slot parity-independent, so outbound (even
+        event_id) and inbound (odd) packets land in the SAME flow
+        group and two-sided volume filters (dns_tunnel) see both
+        directions;
+      - signup → high ports both sides (client 30000/40000, service
+        19999): P2P method-1 universe + the HIST07 portscan port;
+      - error → mid-range UDP mesh (client 4000, service
+        2000..4000 step 500): P2P method-2 universe with a real
+        distinct-alien-port gate;
+      - the event_id%7 slice keeps the LOW client port (514) so the
+        direction heuristic's port branch (srcPort beats dstPort,
+        HogSFlow.scala:838-845) stays oracle-observable."""
     ev = _t(spark, sf_dir, "events")
     internal = F.concat(F.lit("10.1.0."), (F.col("user_id") % 250).cast("string"))
-    external = F.concat(F.lit("8.8.8."), (F.col("user_id") % 250).cast("string"))
+    slot = (F.expr("event_id div 2") % 10).cast("string")
+    external = F.concat(
+        F.lit("8.8."), slot, F.lit("."), (F.col("user_id") % 250).cast("string")
+    )
     outbound = F.col("event_id") % 2 == 0
     svc_port = (
-        F.when(F.col("event_type") == "click", "53")
-        .when(F.col("event_type") == "view", "80")
-        .when(F.col("event_type") == "error", "25")
-        .when(F.col("event_type") == "purchase", "443")
-        .otherwise("9999")
+        F.when(F.col("event_type") == "click", F.lit("53"))
+        .when(F.col("event_type") == "view", F.lit("80"))
+        .when(
+            F.col("event_type") == "error",
+            (F.lit(2000) + (F.expr("event_id div 2") % 5) * 500).cast("string"),
+        )
+        .when(F.col("event_type") == "purchase", F.lit("443"))
+        .otherwise(F.lit("19999"))
     )
     flags = (
         F.when(F.col("event_type") == "error", "0x02")
@@ -901,18 +922,24 @@ def _synth_sflows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "view", "0x18")
         .otherwise("0x00")
     )
-    # one slice of rows uses a LOW client port (514) so both ports are
-    # <1024 and the direction heuristic's last-write-wins order (srcPort
-    # beats dstPort, HogSFlow.scala:838-845) is oracle-observable
-    client_port = F.when(F.col("event_id") % 7 == 0, F.lit("514")).otherwise(
-        F.lit("40000")
+    client_port = (
+        F.when(F.col("event_type") == "error", F.lit("4000"))
+        .when(F.col("event_id") % 7 == 0, F.lit("514"))
+        .when(
+            F.col("event_type") == "signup",
+            (F.lit(30000) + (F.expr("event_id div 4") % 2) * 10000).cast("string"),
+        )
+        .otherwise(F.lit("40000"))
     )
+    proto = F.when(
+        F.col("event_type").isin("click", "error"), "17"
+    ).otherwise("6")
     return ev.select(
         F.when(outbound, internal).otherwise(external).alias("srcIP"),
         F.when(outbound, client_port).otherwise(svc_port).alias("srcPort"),
         F.when(outbound, external).otherwise(internal).alias("dstIP"),
         F.when(outbound, svc_port).otherwise(client_port).alias("dstPort"),
-        F.when(F.col("event_type") == "click", "17").otherwise("6").alias("IPprotocol"),
+        proto.alias("IPprotocol"),
         _cents(F.col("value")).alias("packetSize"),
         F.lit(1024).cast("long").alias("samplingRate"),
         flags.alias("tcpFlags"),
@@ -920,26 +947,32 @@ def _synth_sflows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 _SYNTH_SQL = """
+        ev2 AS (
+          SELECT *,
+                 '10.1.0.' || CAST(user_id % 250 AS VARCHAR) AS internal_ip,
+                 '8.8.' || CAST((event_id // 2) % 10 AS VARCHAR) || '.'
+                        || CAST(user_id % 250 AS VARCHAR) AS external_ip,
+                 CASE event_type WHEN 'click' THEN '53' WHEN 'view' THEN '80'
+                      WHEN 'error' THEN CAST(2000 + ((event_id // 2) % 5) * 500 AS VARCHAR)
+                      WHEN 'purchase' THEN '443' ELSE '19999' END AS svc_port,
+                 CASE WHEN event_type = 'error' THEN '4000'
+                      WHEN event_id % 7 = 0 THEN '514'
+                      WHEN event_type = 'signup'
+                        THEN CAST(30000 + ((event_id // 4) % 2) * 10000 AS VARCHAR)
+                      ELSE '40000' END AS client_port
+          FROM events),
         packets AS (
-          SELECT CASE WHEN event_id % 2 = 0 THEN '10.1.0.' || CAST(user_id % 250 AS VARCHAR)
-                      ELSE '8.8.8.' || CAST(user_id % 250 AS VARCHAR) END AS srcIP,
-                 CASE WHEN event_id % 2 = 0 THEN
-                      CASE WHEN event_id % 7 = 0 THEN '514' ELSE '40000' END ELSE
-                      CASE event_type WHEN 'click' THEN '53' WHEN 'view' THEN '80'
-                           WHEN 'error' THEN '25' WHEN 'purchase' THEN '443' ELSE '9999' END END AS srcPort,
-                 CASE WHEN event_id % 2 = 0 THEN '8.8.8.' || CAST(user_id % 250 AS VARCHAR)
-                      ELSE '10.1.0.' || CAST(user_id % 250 AS VARCHAR) END AS dstIP,
-                 CASE WHEN event_id % 2 = 0 THEN
-                      CASE event_type WHEN 'click' THEN '53' WHEN 'view' THEN '80'
-                           WHEN 'error' THEN '25' WHEN 'purchase' THEN '443' ELSE '9999' END
-                      ELSE CASE WHEN event_id % 7 = 0 THEN '514' ELSE '40000' END END AS dstPort,
-                 CASE WHEN event_type = 'click' THEN '17' ELSE '6' END AS IPprotocol,
+          SELECT CASE WHEN event_id % 2 = 0 THEN internal_ip ELSE external_ip END AS srcIP,
+                 CASE WHEN event_id % 2 = 0 THEN client_port ELSE svc_port END AS srcPort,
+                 CASE WHEN event_id % 2 = 0 THEN external_ip ELSE internal_ip END AS dstIP,
+                 CASE WHEN event_id % 2 = 0 THEN svc_port ELSE client_port END AS dstPort,
+                 CASE WHEN event_type IN ('click', 'error') THEN '17' ELSE '6' END AS IPprotocol,
                  CAST(ROUND(value*100) AS BIGINT) AS packetSize,
                  1024 AS samplingRate,
                  CASE event_type WHEN 'error' THEN '0x02' WHEN 'purchase' THEN '0x12'
                       WHEN 'view' THEN '0x18' ELSE '0x00' END AS tcpFlags,
                  epoch_ms(ts) // 1000 AS ts_s
-          FROM events),
+          FROM ev2),
         oriented AS (
           SELECT CASE WHEN starts_with(srcIP,'10.1.') THEN srcIP ELSE dstIP END AS myIP,
                  CASE WHEN starts_with(srcIP,'10.1.') THEN srcPort ELSE dstPort END AS myPort,
@@ -997,6 +1030,86 @@ def q_hz_dns_tunnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("data", "bytesDown").try_cast("long").alias("bytes_down"),
         F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
         F.element_at("data", "connections").try_cast("long").alias("connections"),
+    )
+
+def q_hz_p2p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL detector (826001008, detectors/sflow.p2p_talkers) scored
+    against a SQL oracle: BOTH reference methods — high-port pair mesh
+    (HogSFlow.scala:1144-1216) and mid-range UDP mesh with the
+    distinct-alien-port gate (:1221-1285), method-2 suppressing
+    method-1 hosts.  FTP-talker/-server suppressions run but are empty
+    under the synth mapping (no port-21 traffic), which the oracle
+    mirrors by omission."""
+    from hogzilla_spark.config import SFlowConfig
+    from hogzilla_spark.detectors.sflow import ftp_talkers, p2p_talkers
+    from hogzilla_spark.operators.rollup import sflow_summary
+
+    cfg = SFlowConfig(
+        p2p_min_pairs=3,
+        p2p_min_ports=1,
+        p2p_min_pairs_2nd=5,
+        p2p_min_ports_2nd=3,
+        p2p_min_bytes_2nd=50_000,
+    )
+    summary = sflow_summary(_synth_sflows(spark, sf_dir), ["10.1."])
+    ftp_pairs = ftp_talkers(summary)
+    ftp_servers = spark.createDataFrame([], "myIP string")
+    alerts, _talkers = p2p_talkers(
+        summary, ["10.1."], cfg, ftp_pairs, ftp_servers
+    )
+    return alerts.select(
+        F.col("lower_ip_str").alias("hostname"),
+        F.element_at("data", "numberOfPairs").try_cast("long").alias("n_pairs"),
+        F.element_at("data", "bytesUp").try_cast("long").alias("bytes_up"),
+        F.element_at("data", "bytesDown").try_cast("long").alias("bytes_down"),
+        F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
+    )
+
+def q_hz_portscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stateful detector (826001014, detectors/stateful
+    .horizontal_portscan) scored against a SQL oracle with a PRE-SEEDED
+    HIST07 state table — the learn-gate / saved-magnitude comparison
+    cycle (HogSFlow.scala:2389-2533) becomes oracle-evidenced, not just
+    golden-tested.
+
+    Seeding: every internal host gets a mature HIST07 (size 150 ≥ gate
+    100) whose saved count for port 19999 is 5 on even last octets and
+    1000 on odd — so odd hosts are suppressed on 19999 (typical) while
+    the error-mesh ports (absent from saved state) score wherever the
+    distinct-alien count clears hps_min_flows."""
+    from hogzilla_spark.config import HistogramConfig, SFlowConfig
+    from hogzilla_spark.detectors.stateful import horizontal_portscan
+    from hogzilla_spark.operators.rollup import sflow_summary
+
+    cfg = SFlowConfig(hps_min_flows=5)
+    hcfg = HistogramConfig()
+    summary = sflow_summary(_synth_sflows(spark, sf_dir), ["10.1."])
+    octet = F.element_at(F.split(F.col("myIP"), r"\."), 4).try_cast("int")
+    hists = (
+        summary.select("myIP")
+        .distinct()
+        .select(
+            F.concat(F.lit("HIST07-"), F.col("myIP")).alias("hist_name"),
+            F.lit(150).cast("long").alias("size"),
+            F.map_from_arrays(
+                F.array(F.lit("19999")),
+                F.array(
+                    F.when(octet % 2 == 0, F.lit(5.0)).otherwise(F.lit(1000.0))
+                ),
+            ).alias("values"),
+        )
+    )
+    p2p_ips = spark.createDataFrame([], "myIP string")
+    alerts, _updates = horizontal_portscan(
+        summary, ["10.1."], cfg, hcfg, hists, p2p_ips
+    )
+    return alerts.select(
+        F.col("lower_ip_str").alias("hostname"),
+        F.element_at("data", "numberOfFlows").try_cast("long").alias("n_flows"),
+        F.element_at("data", "numberOfFlowsPerPort").alias("per_port"),
+        F.element_at("data", "bytesUp").try_cast("long").alias("bytes_up"),
+        F.element_at("data", "bytesDown").try_cast("long").alias("bytes_down"),
+        F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
     )
 
 # ---------------------------------------------------------------------------
@@ -1065,6 +1178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "hz_sflow_summary": q_hz_sflow_summary,
         "hz_dns_tunnel": q_hz_dns_tunnel,
+        "hz_p2p": q_hz_p2p,
+        "hz_portscan": q_hz_portscan,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1824,6 +1939,103 @@ def oracle_sql() -> dict[str, str]:
                CAST(bytesDown * rate AS BIGINT) AS bytes_down,
                number_pkts, connections
         FROM hosts
+    """
+
+    # Full relational replication of BOTH P2P methods (thresholds match
+    # q_hz_p2p's SFlowConfig; strict > gates as in the reference).  The
+    # FTP suppressions are provably empty (no port-21 traffic in the
+    # synth mapping) and therefore omitted.
+    sql["hz_p2p"] = "WITH " + _SYNTH_SQL + """
+        , m1_flows AS (
+          SELECT * FROM summary
+          WHERE TRY_CAST(myPort AS INTEGER) > 10000
+            AND TRY_CAST(alienPort AS INTEGER) > 10000
+            AND numberPkts > 1
+            AND NOT starts_with(alienIP, '10.1.')),
+        m1_pairs AS (
+          SELECT myIP, alienIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 SUM(numberPkts) AS np, AVG(sampleRate) AS sr
+          FROM m1_flows GROUP BY myIP, alienIP),
+        m1_ports AS (
+          SELECT myIP, COUNT(DISTINCT myPort) AS n_my_ports
+          FROM m1_flows GROUP BY myIP),
+        m1_hosts AS (
+          SELECT myIP, SUM(bu) AS bytesUp, SUM(bd) AS bytesDown,
+                 SUM(np) AS numberPkts, COUNT(*) AS pairs, AVG(sr) AS sampleRate
+          FROM m1_pairs GROUP BY myIP),
+        m1 AS (
+          SELECT h.* FROM m1_hosts h JOIN m1_ports o ON h.myIP = o.myIP
+          WHERE h.pairs > 3 AND o.n_my_ports > 1),
+        m2_flows AS (
+          SELECT * FROM summary
+          WHERE proto = 'UDP'
+            AND TRY_CAST(myPort AS INTEGER) > 1000
+            AND TRY_CAST(myPort AS INTEGER) < 10000
+            AND TRY_CAST(alienPort AS INTEGER) > 1000
+            AND TRY_CAST(alienPort AS INTEGER) < 10000
+            AND numberPkts > 1
+            AND NOT starts_with(alienIP, '10.1.')
+            AND myIP NOT IN (SELECT myIP FROM m1)),
+        m2_pairs AS (
+          SELECT myIP, alienIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 SUM(numberPkts) AS np, AVG(sampleRate) AS sr
+          FROM m2_flows GROUP BY myIP, alienIP),
+        m2_ports AS (
+          SELECT myIP, COUNT(DISTINCT alienPort) AS n_alien_ports
+          FROM m2_flows GROUP BY myIP),
+        m2_hosts AS (
+          SELECT myIP, SUM(bu) AS bytesUp, SUM(bd) AS bytesDown,
+                 SUM(np) AS numberPkts, COUNT(*) AS pairs, AVG(sr) AS sampleRate
+          FROM m2_pairs GROUP BY myIP),
+        m2 AS (
+          SELECT h.* FROM m2_hosts h JOIN m2_ports o ON h.myIP = o.myIP
+          WHERE h.pairs > 5 AND o.n_alien_ports > 3
+            AND h.bytesUp + h.bytesDown > 50000)
+        SELECT myIP AS hostname, pairs AS n_pairs,
+               CAST(bytesUp * sampleRate AS BIGINT) AS bytes_up,
+               CAST(bytesDown * sampleRate AS BIGINT) AS bytes_down,
+               CAST(numberPkts AS BIGINT) AS number_pkts
+        FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+    """
+
+    # Horizontal portscan with the pre-seeded HIST07 replicated in SQL:
+    # per-(myIP, alienPort) distinct-alien counts on tiny flows, scored
+    # against saved magnitudes (port 19999 seeded 5/1000 by last-octet
+    # parity; unseen ports score at saved=0).
+    sql["hz_portscan"] = "WITH " + _SYNTH_SQL + """
+        , ps_flows AS (
+          SELECT * FROM summary
+          WHERE alienPort NOT IN ('80', '443', '53')
+            AND (NOT starts_with(alienIP, '10.1.') OR alienPort <> '123')
+            AND numberPkts < 5),
+        ppp AS (
+          SELECT myIP, alienIP, alienPort, SUM(bytesUp) AS bu,
+                 SUM(bytesDown) AS bd, SUM(numberPkts) AS np,
+                 COUNT(*) AS n_flows, AVG(sampleRate) AS sr
+          FROM ps_flows GROUP BY myIP, alienIP, alienPort),
+        pp AS (
+          SELECT myIP, alienPort, SUM(bu) AS bu, SUM(bd) AS bd,
+                 SUM(np) AS np, SUM(n_flows) AS n_flows,
+                 COUNT(*) AS n_pairs, AVG(sr) AS sr
+          FROM ppp GROUP BY myIP, alienPort),
+        hot AS (SELECT * FROM pp WHERE n_pairs > 5),
+        seeded AS (
+          SELECT myIP,
+                 CASE WHEN TRY_CAST(string_split(myIP, '.')[4] AS INTEGER) % 2 = 0
+                      THEN 5.0 ELSE 1000.0 END AS saved19999
+          FROM (SELECT DISTINCT myIP FROM summary)),
+        scored AS (
+          SELECT h.* FROM hot h JOIN seeded s ON h.myIP = s.myIP
+          WHERE (CASE WHEN h.alienPort = '19999'
+                      THEN CAST(s.saved19999 AS BIGINT) ELSE 0 END) < h.n_pairs)
+        SELECT myIP AS hostname,
+               CAST(SUM(n_flows) AS BIGINT) AS n_flows,
+               string_agg(alienPort || '=' || CAST(n_pairs AS VARCHAR), ', '
+                          ORDER BY alienPort || '=' || CAST(n_pairs AS VARCHAR)) AS per_port,
+               CAST(SUM(bu) * AVG(sr) AS BIGINT) AS bytes_up,
+               CAST(SUM(bd) * AVG(sr) AS BIGINT) AS bytes_down,
+               CAST(SUM(np) AS BIGINT) AS number_pkts
+        FROM scored GROUP BY myIP
     """
 
     return sql
