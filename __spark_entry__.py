@@ -637,18 +637,45 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.ann_lsh_topk(emb, queries, planes, k=5)
 
+#: the media fixture both engines read (written idempotently by either
+#: side's first caller — payload bytes are fully deterministic)
+_MEDIA_PARQUET = "/root/repo/spark-warehouse/hz_media32.parquet"
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata surface, ORACLE-CHECKED: both engines read
+    the same materialized parquet and must agree on every payload's
+    identity (sha256 over the hex encoding — this DuckDB build only
+    hashes VARCHAR), byte length, and typed metadata.  This is the
+    binary-column plumbing proven end-to-end; the decode stage stays in
+    multimodal_features (rows-only, DuckDB cannot run codecs)."""
+    from hogzilla_spark.operators.multimodal import write_media_parquet
+
+    m = spark.read.parquet(write_media_parquet(_MEDIA_PARQUET))
+    return m.select(
+        "media_id",
+        "modality",
+        "codec",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.hex("payload"), 256).alias("payload_sha"),
+        "width",
+        "height",
+        "duration_ms",
+    )
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: synthetic media (real PPM/PNG/
-    WAV payloads) → Arrow-batched decode/featurize (real codecs; MP4
-    stubbed) → metadata rollup.  Rows-only."""
+    JPEG/GIF/WAV payloads, same parquet fixture as multimodal_meta) →
+    Arrow-batched decode/featurize (real codecs; MP4 stubbed) →
+    feature rollup.  Rows-only: DuckDB cannot replay the codecs."""
     from hogzilla_spark.operators import multimodal as MM
+    from hogzilla_spark.operators.multimodal import write_media_parquet
 
     # repartition(4): 32 items over 32 default partitions would spin up
     # 32 Python workers for the decode stage — worker startup, not
     # decode, dominates a cold run.  broadcast the id→modality lookup:
     # the decode output never shuffles (a 100 TB pipeline keeps
     # modality in the decode output; partition count follows splits)
-    media = MM.synthetic_media(spark, 32).repartition(4)
+    media = spark.read.parquet(write_media_parquet(_MEDIA_PARQUET)).repartition(4)
     feats = MM.decode_and_featurize(media)
     return (
         feats.join(F.broadcast(media.select("media_id", "modality")), "media_id")
@@ -1162,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "token_count_bpe": q_token_count_bpe,
         "label_centroids": q_label_centroids,
@@ -1185,6 +1213,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     eps = 1e-7
     sql: dict[str, str] = {}
+
+    # ensure the media fixture exists no matter which side the driver
+    # evaluates first (idempotent; deterministic bytes)
+    from hogzilla_spark.operators.multimodal import write_media_parquet
+
+    write_media_parquet(_MEDIA_PARQUET)
+    sql["multimodal_meta"] = f"""
+        SELECT media_id, modality, codec,
+               octet_length(payload) AS n_bytes,
+               sha256(hex(payload)) AS payload_sha,
+               width, height, duration_ms
+        FROM read_parquet('{_MEDIA_PARQUET}')
+    """
 
     sql["a1_lineitem_rollup"] = """
         SELECT l_returnflag, l_linestatus,

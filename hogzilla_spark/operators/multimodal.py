@@ -739,12 +739,10 @@ def media_summary(media: DataFrame) -> DataFrame:
         F.avg("duration_ms").alias("avg_duration_ms"),
     )
 
-def synthetic_media(spark, n: int = 32) -> DataFrame:
-    """Deterministic media table with REAL payloads where the codec is
-    real: images cycle P6 PPM → PNG (all five scanline filters) →
-    baseline JPEG, audio is valid 16-bit PCM WAV; videos alternate real
-    animated GIFs (LZW-compressed, one frame per second of duration)
-    and opaque MP4 fakes (demux needs ffmpeg)."""
+def synthetic_media_rows(n: int = 32) -> list[tuple]:
+    """Rows of the deterministic media table (see synthetic_media) as
+    plain tuples — usable without a SparkSession (parquet fixtures,
+    DuckDB oracles)."""
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
@@ -801,4 +799,42 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
                     )
                 payload, codec = encode_gif(frames, delay_ms=1000), "gif"
         rows.append((i, modality, codec, w, h, dur, payload))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+def synthetic_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic media table with REAL payloads where the codec is
+    real: images cycle P6 PPM → PNG (all five scanline filters) →
+    baseline JPEG, audio is valid 16-bit PCM WAV; videos alternate real
+    animated GIFs (LZW-compressed, one frame per second of duration)
+    and opaque MP4 fakes (demux needs ffmpeg)."""
+    return spark.createDataFrame(synthetic_media_rows(n), MEDIA_SCHEMA)
+
+def write_media_parquet(path: str, n: int = 32) -> str:
+    """Materialize the synthetic media table as ONE parquet file so a
+    Spark query and a DuckDB oracle read byte-identical payloads.
+    Idempotent and atomic (temp file + rename); payload bytes are fully
+    deterministic, so an existing file is always current."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = synthetic_media_rows(n)
+    table = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "modality": pa.array([r[1] for r in rows], pa.string()),
+            "codec": pa.array([r[2] for r in rows], pa.string()),
+            "width": pa.array([r[3] for r in rows], pa.int32()),
+            "height": pa.array([r[4] for r in rows], pa.int32()),
+            "duration_ms": pa.array([r[5] for r in rows], pa.int64()),
+            "payload": pa.array([r[6] for r in rows], pa.binary()),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp, version="2.6")
+    os.replace(tmp, path)
+    return path
