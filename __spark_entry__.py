@@ -146,16 +146,25 @@ def q_a5_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return AGG.distinct_count_per_group(li, ["l_suppkey"], "l_partkey", "n_parts")
 
-def q_a7_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 StatCounter equivalent over l_extendedprice.  Stdev via exact
-    integer Σx/Σx² (cents) so both engines do the identical final double
-    math (population stdev, like RDD.stats())."""
+def q_a7_a8_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 StatCounter equivalent + A8 column-wise Σx/Σx² (z-score prep,
+    HogDNS.scala:169-183) in ONE single-pass global aggregate over
+    lineitem.  Stdev via exact integer Σx/Σx² (cents) so both engines
+    do the identical final double math (population stdev, like
+    RDD.stats()); Σx² stays integer end-to-end (cents² exceeds
+    float64's exact range at sf≥0.1) and floor-divides back to
+    whole-unit² BIGINT."""
     li = _t(spark, sf_dir, "lineitem")
     cents = _cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+    q = _cents(F.col("l_quantity"))
     agg = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s"),
         F.sum(cents * cents).alias("ss"),
+        F.sum(q).alias("sum_qty_c"),
+        F.floor(F.sum((q * q).cast("decimal(38,0)")) / 10000)
+        .cast("long")
+        .alias("sumsq_qty"),
     )
     n = F.col("n").cast("double")
     s = F.col("s").cast("double")
@@ -166,6 +175,10 @@ def q_a7_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(ss / n - (s / n) * (s / n)) / 100.0, 6
         ).alias("stdev_price"),
+        F.col("s").cast("long").alias("sum_price_c"),
+        F.floor(F.col("ss") / 10000).cast("long").alias("sumsq_price"),
+        "sum_qty_c",
+        "sumsq_qty",
     )
 
 def q_a9_freq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,78 +210,59 @@ def q_w1_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = W.group_share(cnt, ["user_id"], "n")
     return cnt.select("user_id", "event_type", "n", F.round(share, 6).alias("share"))
 
-def q_w2_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 top-N per group with deterministic tiebreak: top-3 orders per
-    customer by totalprice."""
+def q_w2_w4_topn_groupmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 top-N per group with deterministic tiebreak + W4
+    max-within-group annotation (BigProvider promotion shape,
+    HogSFlow.scala:2022-2030) over the SAME per-customer window: top-3
+    orders per customer, each annotated with the customer's max total
+    and the is-the-max flag."""
     orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    mx = F.max("o_totalprice").over(w)
+    annotated = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        _cents(mx).alias("cust_max_c"),
+        (F.col("o_totalprice") == mx).alias("is_max"),
+    )
     top = W.top_n_per_group(
-        orders,
+        annotated,
         ["o_custkey"],
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
         3,
     )
-    return top.select("o_custkey", "o_orderkey", _cents(F.col("o_totalprice")).alias("price_c"))
+    return top.select(
+        "o_custkey",
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("price_c"),
+        "cust_max_c",
+        "is_max",
+    )
 
 # ---------------------------------------------------------------------------
 # J-family: joins
 # ---------------------------------------------------------------------------
 
-def q_w4_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 max-within-group as a window (BigProvider promotion shape,
-    HogSFlow.scala:2022-2030): each order annotated with its customer's
-    max total, plus the is-the-max flag."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey")
-    mx = F.max("o_totalprice").over(w)
-    return orders.select(
-        "o_orderkey",
-        "o_custkey",
-        _cents(F.col("o_totalprice")).alias("price_c"),
-        _cents(mx).alias("cust_max_c"),
-        (F.col("o_totalprice") == mx).alias("is_max"),
-    )
-
-def q_a8_sum_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 column-wise Σx and Σx² in one pass (z-score prep,
-    HogDNS.scala:169-183), exact via cents-scaled integers.
-
-    Σx² stays integer end-to-end: the cents² sum exceeds float64's
-    exact range at sf≥0.1 and DuckDB's int128→double cast can differ
-    from Spark's decimal→double by 1 ulp, so the output floor-divides
-    back to whole-unit² and ships as BIGINT (no doubles anywhere)."""
-    li = _t(spark, sf_dir, "lineitem")
-    q = _cents(F.col("l_quantity"))
-    p = _cents(F.col("l_extendedprice"))
-    return li.agg(
-        F.sum(q).alias("sum_qty_c"),
-        F.floor(F.sum((q * q).cast("decimal(38,0)")) / 10000)
-        .cast("long")
-        .alias("sumsq_qty"),
-        F.sum(p).alias("sum_price_c"),
-        F.floor(F.sum((p * p).cast("decimal(38,0)")) / 10000)
-        .cast("long")
-        .alias("sumsq_price"),
-    )
-
-def q_j1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J2/J6 broadcast anti-join: orders whose customer is NOT in the
-    negative-balance "talker" set."""
+def q_j1_j2_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2/J6 broadcast anti- AND semi-join in one tagged union:
+    'anti' = orders whose customer is NOT in the negative-balance
+    "talker" set; 'semi' = orders of BUILDING-segment customers."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     neg = cust.filter(F.col("c_acctbal") < 0).select(
         F.col("c_custkey").alias("o_custkey")
     )
-    out = J.anti_join(orders, neg, ["o_custkey"])
-    return out.select("o_orderkey", "o_custkey")
-
-def q_j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join keep-side: orders of BUILDING-segment customers."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
+    anti = J.anti_join(orders, neg, ["o_custkey"]).select(
+        F.lit("anti").alias("op"), "o_orderkey", "o_custkey"
+    )
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("o_custkey")
     )
-    return J.semi_join(orders, seg, ["o_custkey"]).select("o_orderkey", "o_custkey")
+    semi = J.semi_join(orders, seg, ["o_custkey"]).select(
+        F.lit("semi").alias("op"), "o_orderkey", "o_custkey"
+    )
+    return anti.unionByName(semi)
 
 def q_j3_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 prefix-match membership (C&C blacklist semantics,
@@ -316,9 +310,12 @@ def q_o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = top_k(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 100)
     return top.select("o_orderkey", _cents(F.col("o_totalprice")).alias("price_c"))
 
-def q_u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1/U3 union of detector outputs + distinct: big-spender customers
-    ∪ deep-negative-balance customers."""
+def q_u_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U3/U4/U5 in one tagged union: 'u1' = union+distinct of
+    big-spender ∪ deep-negative-balance customers; 'u4' = set EXCEPT
+    (customers with orders but no urgent ones — subtract semantics: any
+    urgent order removes the customer entirely); 'u5' = INTERSECT of
+    big spenders and BUILDING segment."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     a = orders.filter(F.col("o_totalprice") > 400000).select(
@@ -327,7 +324,24 @@ def q_u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cust.filter(F.col("c_acctbal") < -900).select(
         F.col("c_custkey").alias("custkey")
     )
-    return a.union(b).distinct()
+    u1 = a.union(b).distinct()
+    all_cust = orders.select(F.col("o_custkey").alias("custkey"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    u4 = all_cust.distinct().subtract(urgent.distinct())
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    u5 = big.intersect(bld)
+    return (
+        u1.select(F.lit("u1").alias("op"), "custkey")
+        .unionByName(u4.select(F.lit("u4").alias("op"), "custkey"))
+        .unionByName(u5.select(F.lit("u5").alias("op"), "custkey"))
+    )
 
 # ---------------------------------------------------------------------------
 # P/S-family: scans, predicates, projections
@@ -364,23 +378,12 @@ def q_f5_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
-def q_f6_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6 haversine (HogGeograph.scala:35-58) on synthesized coordinates:
-    customer site vs nation site, km rounded to 1e-4."""
-    cust = _t(spark, sf_dir, "customer")
-    lat1 = (F.col("c_custkey") % 180 - 90).cast("double")
-    lon1 = (F.col("c_custkey") % 360 - 180).cast("double")
-    lat2 = (F.col("c_nationkey") * 7 % 180 - 90).cast("double")
-    lon2 = (F.col("c_nationkey") * 13 % 360 - 180).cast("double")
-    return cust.select(
-        "c_custkey",
-        F.round(HF.haversine_km(lat1, lon1, lat2, lon2), 4).alias("dist_km"),
-    )
-
-def q_f2_f3_ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2/F3 IP helpers over synthesized dotted-quads: significant
-    network (drop last octet) + 4-byte hex encoding, with the
-    reference's bogus-input sentinel."""
+def q_f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F6 scalar-function suite in one per-customer projection:
+    significant network (drop last octet) + 4-byte hex encoding over
+    synthesized dotted-quads with the reference's bogus-input sentinel,
+    plus haversine km (HogGeograph.scala:35-58) on synthesized
+    coordinates, rounded to 1e-4."""
     cust = _t(spark, sf_dir, "customer")
     ip = F.concat_ws(
         ".",
@@ -390,10 +393,15 @@ def q_f2_f3_ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_nationkey") % 256).cast("string"),
     )
     ipcol = F.when(F.col("c_custkey") % 97 == 0, F.lit("not-an-ip")).otherwise(ip)
+    lat1 = (F.col("c_custkey") % 180 - 90).cast("double")
+    lon1 = (F.col("c_custkey") % 360 - 180).cast("double")
+    lat2 = (F.col("c_nationkey") * 7 % 180 - 90).cast("double")
+    lon2 = (F.col("c_nationkey") * 13 % 360 - 180).cast("double")
     return cust.select(
         "c_custkey",
         HF.ip_significant_network(ipcol).alias("net"),
         F.lower(F.hex(HF.ip_to_bytes(ipcol))).alias("ip_hex"),
+        F.round(HF.haversine_km(lat1, lon1, lat2, lon2), 4).alias("dist_km"),
     )
 
 # ---------------------------------------------------------------------------
@@ -450,10 +458,13 @@ def q_h2_atypical_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(H.atypical_keys("old_values", "new_values")).alias("bucket"),
     )
 
-def q_h5_merge_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h5_h6_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H5 weighted merge with decay (Histograms.scala:103-138,
-    decay_after=100 to exercise the halving on this data): merged
-    per-user histograms, exploded to (user, bucket, weight)."""
+    decay_after=100 to exercise the halving on this data) AND H6
+    pointwise-max merge (count-valued HIST07 semantics,
+    Histograms.scala:141-168), joined on the identical
+    (user, event_type-bucket) key universe: (user_id, bucket,
+    share-merge weight, merged size, count-merge max)."""
     joined = _user_hists(spark, sf_dir)
     merged = joined.select(
         "user_id",
@@ -462,13 +473,9 @@ def q_h5_merge_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket", "weight"),
         H.merged_size("old_size", "new_size", decay_after=100).alias("new_size"),
     )
-    return merged.select(
+    h5 = merged.select(
         "user_id", "bucket", F.round("weight", 6).alias("weight"), "new_size"
     )
-
-def q_h6_merge_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H6 pointwise-max merge (count-valued HIST07 semantics,
-    Histograms.scala:141-168) on per-user event counts."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", _ev_ms().alias("t_ms")
     )
@@ -483,10 +490,14 @@ def q_h6_merge_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     old = counts(ev.filter(F.col("t_ms") < _SPLIT_MS)).withColumnRenamed("m", "old_m")
     new = counts(ev.filter(F.col("t_ms") >= _SPLIT_MS)).withColumnRenamed("m", "new_m")
-    joined = old.join(new, "user_id", "inner")
-    return joined.select(
-        "user_id", F.explode(H.merge_max("old_m", "new_m")).alias("bucket", "max_n")
+    h6 = (
+        old.join(new, "user_id", "inner")
+        .select(
+            "user_id",
+            F.explode(H.merge_max("old_m", "new_m")).alias("bucket", "max_n"),
+        )
     )
+    return h5.join(h6, ["user_id", "bucket"], "inner")
 
 # ---------------------------------------------------------------------------
 # Dedup / text / similarity (training-data pipeline operators)
@@ -530,7 +541,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token stats, punctuation/stopword
-    ratios, quality score, fingerprint, heuristic language ID."""
+    ratios, quality score, fingerprint, heuristic language ID, and the
+    BPE-ish LLM-token budget estimate (text.token_count_bpe — identical
+    \\p{L}/\\p{N} regex classes in Java regex and RE2)."""
     docs = _t(spark, sf_dir, "documents")
     prof = TXT.text_profile(docs)
     return prof.select(
@@ -542,6 +555,11 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         "fp",
         "lang_pred",
+    ).join(
+        docs.select(
+            "doc_id", TXT.token_count_bpe("text").alias("n_bpe_tokens")
+        ),
+        "doc_id",
     )
 
 def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,24 +571,41 @@ def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
-def q_x1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (free via Spark SQL, SURVEY §2.4 note): per-user event-type
-    matrix with fixed columns."""
+def q_x_pivot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot + ROLLUP grouping sets (both free via Spark SQL, SURVEY
+    §2.4/§2.7 notes) in one tagged union.  The pivot part builds the
+    per-user event-type matrix with groupBy().pivot() (fixed columns —
+    the wide plan shape), then stacks it back to rows so the two parts
+    share one comparable schema; the rollup part coalesces the NULL
+    subtotal keys to '(all)'."""
     ev = _t(spark, sf_dir, "events")
     p = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
-    return p.select(
+    wide = p.select(
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
     )
-
-def q_x2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets over orders (free via Spark SQL): subtotals
-    by (status, priority), by status, and grand total."""
+    stack = ", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES)
+    x1 = wide.selectExpr(
+        "'pivot' AS part",
+        "CAST(user_id AS STRING) AS k1",
+        f"stack({len(EVENT_TYPES)}, {stack}) AS (k2, n)",
+    ).selectExpr("part", "k1", "k2", "n", "CAST(0 AS BIGINT) AS total_c")
     orders = _t(spark, sf_dir, "orders")
-    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(_cents(F.col("o_totalprice"))).alias("total_c"),
+    x2 = (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_c"),
+        )
+        .select(
+            F.lit("rollup").alias("part"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("k1"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("k2"),
+            "n",
+            "total_c",
+        )
     )
+    return x1.unionByName(x2)
 
 #: coarse-quantizer seeds for the IVF gate query: the embeddings of these
 #: fixed vec_ids (all < 500, so present at every SF).  Data-derived
@@ -593,30 +628,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return SIM.ann_ivf_topk(emb, queries, n_lists=8, nprobe=2, k=5, centroids=centroids)
-
-def q_u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U4 set-difference: customers with orders but no urgent ones."""
-    orders = _t(spark, sf_dir, "orders")
-    all_cust = orders.select(F.col("o_custkey").alias("custkey"))
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("custkey")
-    )
-    # set EXCEPT (subtract), not EXCEPT ALL: a customer with any urgent
-    # order is removed entirely
-    return all_cust.distinct().subtract(urgent.distinct())
-
-def q_u5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection (free via Spark SQL, SURVEY §2.7): customers who
-    are both big spenders and BUILDING segment."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    a = orders.filter(F.col("o_totalprice") > 300000).select(
-        F.col("o_custkey").alias("custkey")
-    )
-    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_custkey").alias("custkey")
-    )
-    return a.intersect(b)
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (32-bit, pigeonhole-blocked candidates).
@@ -693,12 +704,6 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return DD.embedding_neardup_pairs(emb, min_cosine=0.4)
 
-def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish LLM-token budget estimate per document (text.token_count_bpe)
-    — identical \\p{L}/\\p{N} regex classes in Java regex and RE2."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TXT.token_count_bpe("text").alias("n_bpe_tokens"))
-
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-bucketed range join (operators/rangejoin.py): orders matched
     to price bands — equi-join on (key, bin) + residual instead of a
@@ -718,26 +723,6 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_cents(F.col("price"))).alias("total_c"),
-    )
-
-def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-bucketed continuous aggregate (TimescaleDB time_bucket
-    semantics): daily per-event-type rollup of the events stream."""
-    from hogzilla_spark.operators.rangejoin import hypertable_rollup
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", _ev_ms().alias("t_ms"), "value"
-    )
-    return hypertable_rollup(
-        ev,
-        "t_ms",
-        width_s=86400,
-        dims=["event_type"],
-        aggs={
-            "n": F.count(F.lit(1)),
-            "sum_value_c": F.sum(_cents(F.col("value"))),
-        },
-        epoch_unit="ms",
     )
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,10 +778,15 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
 
-def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding/hopping event-time windows via native F.window (10-minute
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two time-bucketing grains in one tagged union: 'hop10m' =
+    sliding/hopping event-time windows via native F.window (10-minute
     window, 5-minute hop — every event lands in exactly 2 windows) on a
-    TIMESTAMP_NTZ column so the window grid is timezone-independent."""
+    TIMESTAMP_NTZ column so the window grid is timezone-independent;
+    'day' = tumbling daily continuous-aggregate rollup (TimescaleDB
+    time_bucket semantics via operators/rangejoin.hypertable_rollup)."""
+    from hogzilla_spark.operators.rangejoin import hypertable_rollup
+
     ev = _t(spark, sf_dir, "events").select(
         "event_type", _ev_ms().alias("t_ms"), "value"
     )
@@ -807,16 +797,38 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     start_ms = F.expr(
         "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', window.start)"
     ) * 1000
-    return (
+    hop = (
         ev.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(_cents(F.col("value"))).alias("sum_value_c"),
         )
         .select(
-            start_ms.alias("window_start_ms"), "event_type", "n", "sum_value_c"
+            F.lit("hop10m").alias("grain"),
+            start_ms.alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value_c",
         )
     )
+    day = hypertable_rollup(
+        ev,
+        "t_ms",
+        width_s=86400,
+        dims=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_value_c": F.sum(_cents(F.col("value"))),
+        },
+        epoch_unit="ms",
+    ).select(
+        F.lit("day").alias("grain"),
+        (F.col("bucket_start") * 1000).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "sum_value_c",
+    )
+    return hop.unionByName(day)
 
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/text.scrub_pii): URL/email/IPv4/long-digit
@@ -1148,66 +1160,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_a1_lineitem_rollup(spark, SF_DEFAULT)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 entries, ordered newest/riskiest FIRST: the driver records
+    CORRECTNESS rows for at most the first 50 registry entries (r4
+    recorded exactly 50 of 56), so anything that must show hard
+    evidence sits at the top and the longest-stable basics at the
+    bottom.  Keep the count ≤ 50; consolidate near-duplicates before
+    adding."""
     return {
-        "a1_lineitem_rollup": q_a1_lineitem_rollup,
-        "a2_events_rollup": q_a2_events_rollup,
-        "a3_two_level_rollup": q_a3_two_level_rollup,
-        "a5_distinct_count": q_a5_distinct_count,
-        "a7_global_stats": q_a7_global_stats,
-        "a9_freq_count": q_a9_freq_count,
-        "a14_interarrival": q_a14_interarrival,
-        "w1_group_share": q_w1_group_share,
-        "w2_topn_per_group": q_w2_topn_per_group,
-        "w4_group_max": q_w4_group_max,
-        "a8_sum_sumsq": q_a8_sum_sumsq,
-        "j1_anti_join": q_j1_anti_join,
-        "j2_semi_join": q_j2_semi_join,
-        "j3_prefix_join": q_j3_prefix_join,
-        "j5_lookup_join": q_j5_lookup_join,
-        "o1_topk": q_o1_topk,
-        "u1_union_distinct": q_u1_union_distinct,
-        "s6_filtered_scan": q_s6_filtered_scan,
-        "p2_null_defaulting": q_p2_null_defaulting,
-        "f5_log_bins": q_f5_log_bins,
-        "f6_haversine": q_f6_haversine,
-        "f2_f3_ip_functions": q_f2_f3_ip_functions,
-        "h1_kl_divergence": q_h1_kl_divergence,
-        "h2_atypical_keys": q_h2_atypical_keys,
-        "h5_merge_decay": q_h5_merge_decay,
-        "h6_merge_max": q_h6_merge_max,
-        "x1_pivot": q_x1_pivot,
-        "x2_rollup": q_x2_rollup,
-        "u4_except": q_u4_except,
-        "u5_intersect": q_u5_intersect,
+        # new/changed this round — need fresh driver evidence
+        "hz_p2p": q_hz_p2p,
+        "hz_portscan": q_hz_portscan,
+        "hz_sflow_summary": q_hz_sflow_summary,
+        "hz_dns_tunnel": q_hz_dns_tunnel,
+        "multimodal_meta": q_multimodal_meta,
+        "pack_token_shards": q_pack_token_shards,
+        "range_join": q_range_join,
+        "asof_join": q_asof_join,
+        "interleave_mix": q_interleave_mix,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # consolidated entries (merged shapes, new oracles)
+        "time_buckets": q_time_buckets,
+        "u_setops": q_u_setops,
+        "x_pivot_rollup": q_x_pivot_rollup,
+        "f_scalar_suite": q_f_scalar_suite,
+        "h5_h6_merges": q_h5_h6_merges,
+        "w2_w4_topn_groupmax": q_w2_w4_topn_groupmax,
+        "a7_a8_global_stats": q_a7_a8_global_stats,
+        "j1_j2_anti_semi": q_j1_j2_anti_semi,
+        "text_profile": q_text_profile,
+        # dedup / similarity family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_profile": q_text_profile,
         "dedup_simhash": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
         "knn_brute_force": q_knn_brute_force,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "token_count_bpe": q_token_count_bpe,
         "label_centroids": q_label_centroids,
-        "quantiles": q_quantiles,
-        "hopping_window": q_hopping_window,
+        # training-mix / text pipeline
         "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
-        "interleave_mix": q_interleave_mix,
-        "pack_token_shards": q_pack_token_shards,
-        "range_join": q_range_join,
-        "hypertable_rollup": q_hypertable_rollup,
-        "asof_join": q_asof_join,
-        "hz_sflow_summary": q_hz_sflow_summary,
-        "hz_dns_tunnel": q_hz_dns_tunnel,
-        "hz_p2p": q_hz_p2p,
-        "hz_portscan": q_hz_portscan,
+        "quantiles": q_quantiles,
+        # long-stable basics
+        "a1_lineitem_rollup": q_a1_lineitem_rollup,
+        "a2_events_rollup": q_a2_events_rollup,
+        "a3_two_level_rollup": q_a3_two_level_rollup,
+        "a5_distinct_count": q_a5_distinct_count,
+        "a9_freq_count": q_a9_freq_count,
+        "a14_interarrival": q_a14_interarrival,
+        "w1_group_share": q_w1_group_share,
+        "j3_prefix_join": q_j3_prefix_join,
+        "j5_lookup_join": q_j5_lookup_join,
+        "o1_topk": q_o1_topk,
+        "s6_filtered_scan": q_s6_filtered_scan,
+        "p2_null_defaulting": q_p2_null_defaulting,
+        "f5_log_bins": q_f5_log_bins,
+        "h1_kl_divergence": q_h1_kl_divergence,
+        "h2_atypical_keys": q_h2_atypical_keys,
+        # rows-only (no oracle possible) — keep last
+        "multimodal_features": q_multimodal_features,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1269,16 +1283,22 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem GROUP BY l_suppkey
     """
 
-    sql["a7_global_stats"] = """
+    sql["a7_a8_global_stats"] = """
         WITH t AS (
           SELECT COUNT(*) AS n,
                  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS s,
-                 SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS ss
+                 SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS ss,
+                 SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sq,
+                 SUM(CAST(ROUND(l_quantity*100) AS BIGINT)*CAST(ROUND(l_quantity*100) AS BIGINT)) AS ssq
           FROM lineitem)
         SELECT n,
                ROUND(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/100.0, 6) AS mean_price,
                ROUND(SQRT(CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
-                     - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)))/100.0, 6) AS stdev_price
+                     - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)))/100.0, 6) AS stdev_price,
+               CAST(s AS BIGINT) AS sum_price_c,
+               CAST(ss // 10000 AS BIGINT) AS sumsq_price,
+               CAST(sq AS BIGINT) AS sum_qty_c,
+               CAST(ssq // 10000 AS BIGINT) AS sumsq_qty
         FROM t
     """
 
@@ -1307,42 +1327,24 @@ def oracle_sql() -> dict[str, str]:
         FROM cnt
     """
 
-    sql["w2_topn_per_group"] = """
+    sql["w2_w4_topn_groupmax"] = """
         WITH r AS (
           SELECT o_custkey, o_orderkey, o_totalprice,
+                 MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS mx,
                  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders)
-        SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+        SELECT o_custkey, o_orderkey,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
+               CAST(ROUND(mx*100) AS BIGINT) AS cust_max_c,
+               o_totalprice = mx AS is_max
         FROM r WHERE rn <= 3
     """
 
-    sql["w4_group_max"] = """
-        SELECT o_orderkey, o_custkey,
-               CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
-               CAST(ROUND(MAX(o_totalprice) OVER (PARTITION BY o_custkey)*100) AS BIGINT) AS cust_max_c,
-               o_totalprice = MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS is_max
-        FROM orders
-    """
-
-    sql["a8_sum_sumsq"] = """
-        WITH c AS (
-          SELECT CAST(ROUND(l_quantity*100) AS BIGINT) AS q,
-                 CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p
-          FROM lineitem)
-        SELECT CAST(SUM(q) AS BIGINT) AS sum_qty_c,
-               CAST(SUM(q*q) // 10000 AS BIGINT) AS sumsq_qty,
-               CAST(SUM(p) AS BIGINT) AS sum_price_c,
-               CAST(SUM(p*p) // 10000 AS BIGINT) AS sumsq_price
-        FROM c
-    """
-
-    sql["j1_anti_join"] = """
-        SELECT o_orderkey, o_custkey FROM orders o
+    sql["j1_j2_anti_semi"] = """
+        SELECT 'anti' AS op, o_orderkey, o_custkey FROM orders o
         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)
-    """
-
-    sql["j2_semi_join"] = """
-        SELECT o_orderkey, o_custkey FROM orders o
+        UNION ALL
+        SELECT 'semi' AS op, o_orderkey, o_custkey FROM orders o
         WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
     """
 
@@ -1367,25 +1369,38 @@ def oracle_sql() -> dict[str, str]:
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """
 
-    sql["u1_union_distinct"] = """
-        SELECT DISTINCT custkey FROM (
-          SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
-          UNION ALL
-          SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < -900)
+    sql["u_setops"] = """
+        SELECT 'u1' AS op, custkey FROM (
+          SELECT DISTINCT custkey FROM (
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+            UNION ALL
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < -900))
+        UNION ALL
+        SELECT 'u4' AS op, custkey FROM (
+          SELECT DISTINCT o_custkey AS custkey FROM orders
+          EXCEPT
+          SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT 'u5' AS op, custkey FROM (
+          SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+          INTERSECT
+          SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
     """
 
-    sql["x1_pivot"] = """
-        SELECT user_id,
-               CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-               CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-               CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-               CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-               CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
-        FROM events GROUP BY user_id
-    """
-
-    sql["x2_rollup"] = """
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+    sql["x_pivot_rollup"] = """
+        SELECT 'pivot' AS part, CAST(u.user_id AS VARCHAR) AS k1,
+               t.event_type AS k2, COALESCE(c.n, 0) AS n,
+               CAST(0 AS BIGINT) AS total_c
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) t
+        LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS n
+                   FROM events GROUP BY 1, 2) c
+          ON c.user_id = u.user_id AND c.event_type = t.event_type
+        UNION ALL
+        SELECT 'rollup' AS part,
+               COALESCE(o_orderstatus, '(all)') AS k1,
+               COALESCE(o_orderpriority, '(all)') AS k2,
+               COUNT(*) AS n,
                CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """
@@ -1426,18 +1441,6 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
     """
 
-    sql["u4_except"] = """
-        SELECT DISTINCT o_custkey AS custkey FROM orders
-        EXCEPT
-        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    """
-
-    sql["u5_intersect"] = """
-        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
-        INTERSECT
-        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    """
-
     sql["s6_filtered_scan"] = """
         SELECT o_orderkey, o_custkey FROM orders
         WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
@@ -1454,22 +1457,9 @@ def oracle_sql() -> dict[str, str]:
         FROM orders GROUP BY 1
     """
 
-    sql["f6_haversine"] = """
-        SELECT c_custkey,
-               ROUND(2.0*6371.0*ASIN(SQRT(
-                 SIN(RADIANS(CAST((c_nationkey*7)%180 - 90 AS DOUBLE) - CAST(c_custkey%180 - 90 AS DOUBLE))/2)
-                 * SIN(RADIANS(CAST((c_nationkey*7)%180 - 90 AS DOUBLE) - CAST(c_custkey%180 - 90 AS DOUBLE))/2)
-                 + COS(RADIANS(CAST(c_custkey%180 - 90 AS DOUBLE)))
-                 * COS(RADIANS(CAST((c_nationkey*7)%180 - 90 AS DOUBLE)))
-                 * SIN(RADIANS(CAST((c_nationkey*13)%360 - 180 AS DOUBLE) - CAST(c_custkey%360 - 180 AS DOUBLE))/2)
-                 * SIN(RADIANS(CAST((c_nationkey*13)%360 - 180 AS DOUBLE) - CAST(c_custkey%360 - 180 AS DOUBLE))/2)
-               )), 4) AS dist_km
-        FROM customer
-    """
-
-    sql["f2_f3_ip_functions"] = """
+    sql["f_scalar_suite"] = """
         WITH base AS (
-          SELECT c_custkey,
+          SELECT c_custkey, c_nationkey,
                  CASE WHEN c_custkey % 97 = 0 THEN 'not-an-ip'
                       ELSE '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
                            || CAST((c_custkey // 256) % 256 AS VARCHAR) || '.'
@@ -1486,7 +1476,15 @@ def oracle_sql() -> dict[str, str]:
                       || lpad(to_hex(CAST(string_split(ip,'.')[3] AS INTEGER)),2,'0')
                       || lpad(to_hex(CAST(string_split(ip,'.')[4] AS INTEGER)),2,'0')
                     WHEN contains(ip, ':') THEN 'ffff0606'
-                    ELSE 'ffff0101' END) AS ip_hex
+                    ELSE 'ffff0101' END) AS ip_hex,
+               ROUND(2.0*6371.0*ASIN(SQRT(
+                 SIN(RADIANS(CAST((c_nationkey*7)%180 - 90 AS DOUBLE) - CAST(c_custkey%180 - 90 AS DOUBLE))/2)
+                 * SIN(RADIANS(CAST((c_nationkey*7)%180 - 90 AS DOUBLE) - CAST(c_custkey%180 - 90 AS DOUBLE))/2)
+                 + COS(RADIANS(CAST(c_custkey%180 - 90 AS DOUBLE)))
+                 * COS(RADIANS(CAST((c_nationkey*7)%180 - 90 AS DOUBLE)))
+                 * SIN(RADIANS(CAST((c_nationkey*13)%360 - 180 AS DOUBLE) - CAST(c_custkey%360 - 180 AS DOUBLE))/2)
+                 * SIN(RADIANS(CAST((c_nationkey*13)%360 - 180 AS DOUBLE) - CAST(c_custkey%360 - 180 AS DOUBLE))/2)
+               )), 4) AS dist_km
         FROM base
     """
 
@@ -1550,7 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE n.p > {eps} AND COALESCE(o.p, 0) <= {eps}
     """
 
-    sql["h5_merge_decay"] = hist_cte + """
+    sql["h5_h6_merges"] = hist_cte + """
         , sizes AS (
           SELECT b.user_id,
                  ot.tot AS old_size, nt.tot AS new_size,
@@ -1561,29 +1559,26 @@ def oracle_sql() -> dict[str, str]:
         keys AS (
           SELECT user_id, event_type FROM old_sh
           UNION
-          SELECT user_id, event_type FROM new_sh)
-        SELECT k.user_id, k.event_type AS bucket,
-               ROUND((COALESCE(o.p,0)*s.n1_eff + COALESCE(n.p,0)*s.new_size)
-                     / (s.n1_eff + s.new_size), 6) AS weight,
-               CAST(CASE WHEN s.old_size > 100 THEN CAST(FLOOR(s.old_size/2) AS BIGINT) ELSE CAST(s.old_size AS BIGINT) END
-                    + CAST(s.new_size AS BIGINT) AS BIGINT) AS new_size
-        FROM keys k
-        JOIN sizes s ON s.user_id = k.user_id
-        LEFT JOIN old_sh o ON o.user_id = k.user_id AND o.event_type = k.event_type
-        LEFT JOIN new_sh n ON n.user_id = k.user_id AND n.event_type = k.event_type
-    """
-
-    sql["h6_merge_max"] = hist_cte + """
-        , keys AS (
-          SELECT user_id, event_type FROM old_cnt
-          UNION
-          SELECT user_id, event_type FROM new_cnt)
-        SELECT k.user_id, k.event_type AS bucket,
-               GREATEST(COALESCE(o.n,0), COALESCE(n.n,0)) AS max_n
-        FROM keys k
-        JOIN both_users b ON b.user_id = k.user_id
-        LEFT JOIN old_cnt o ON o.user_id = k.user_id AND o.event_type = k.event_type
-        LEFT JOIN new_cnt n ON n.user_id = k.user_id AND n.event_type = k.event_type
+          SELECT user_id, event_type FROM new_sh),
+        h5 AS (
+          SELECT k.user_id, k.event_type AS bucket,
+                 ROUND((COALESCE(o.p,0)*s.n1_eff + COALESCE(n.p,0)*s.new_size)
+                       / (s.n1_eff + s.new_size), 6) AS weight,
+                 CAST(CASE WHEN s.old_size > 100 THEN CAST(FLOOR(s.old_size/2) AS BIGINT) ELSE CAST(s.old_size AS BIGINT) END
+                      + CAST(s.new_size AS BIGINT) AS BIGINT) AS new_size
+          FROM keys k
+          JOIN sizes s ON s.user_id = k.user_id
+          LEFT JOIN old_sh o ON o.user_id = k.user_id AND o.event_type = k.event_type
+          LEFT JOIN new_sh n ON n.user_id = k.user_id AND n.event_type = k.event_type),
+        h6 AS (
+          SELECT k.user_id, k.event_type AS bucket,
+                 GREATEST(COALESCE(o.n,0), COALESCE(n.n,0)) AS max_n
+          FROM keys k
+          JOIN both_users b ON b.user_id = k.user_id
+          LEFT JOIN old_cnt o ON o.user_id = k.user_id AND o.event_type = k.event_type
+          LEFT JOIN new_cnt n ON n.user_id = k.user_id AND n.event_type = k.event_type)
+        SELECT h5.user_id, h5.bucket, h5.weight, h5.new_size, h6.max_n
+        FROM h5 JOIN h6 ON h5.user_id = h6.user_id AND h5.bucket = h6.bucket
     """
 
     # --- dedup / text / similarity ----------------------------------------
@@ -1681,19 +1676,28 @@ def oracle_sql() -> dict[str, str]:
         FROM orders GROUP BY o_orderpriority
     """
 
-    # hopping windows: every event belongs to exactly two 10-min windows
-    # on the 5-min hop grid — start = (t//hop - k)*hop for k in {0,1}
-    sql["hopping_window"] = """
+    # time_buckets: hopping part — every event belongs to exactly two
+    # 10-min windows on the 5-min hop grid, start = (t//hop - k)*hop for
+    # k in {0,1}; daily part mirrors hypertable_rollup's second-grain
+    # bucket floor ×1000
+    sql["time_buckets"] = """
         WITH t AS (SELECT event_type, epoch_ms(ts) AS t_ms,
                           CAST(ROUND(value*100) AS BIGINT) AS v_c
                    FROM events),
         w AS (SELECT event_type, v_c,
                      ((t_ms // 300000) - k) * 300000 AS window_start_ms
               FROM t, unnest([0, 1]) AS u(k))
-        SELECT window_start_ms, event_type,
+        SELECT 'hop10m' AS grain, window_start_ms, event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(v_c) AS BIGINT) AS sum_value_c
-        FROM w GROUP BY 1, 2
+        FROM w GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day' AS grain,
+               ((epoch_ms(ts) // 1000) - ((epoch_ms(ts) // 1000) % 86400)) * 1000 AS window_start_ms,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM events GROUP BY 2, 3
     """
 
     # scrub_pii: the regexp_replace chain is GENERATED from the same
@@ -1767,7 +1771,8 @@ def oracle_sql() -> dict[str, str]:
                     WHEN s_en >= GREATEST(s_es,s_fr,s_pt) THEN 'en'
                     WHEN s_es >= GREATEST(s_fr,s_pt) THEN 'es'
                     WHEN s_fr >= s_pt THEN 'fr'
-                    ELSE 'pt' END AS lang_pred
+                    ELSE 'pt' END AS lang_pred,
+               len(regexp_extract_all(text, ' ?[\\p{{L}}]+| ?[\\p{{N}}]+| ?[^\\s\\p{{L}}\\p{{N}}]+')) AS n_bpe_tokens
         FROM feat
     """
 
@@ -1869,11 +1874,6 @@ def oracle_sql() -> dict[str, str]:
                     / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))), 6) >= 0.4
     """
 
-    sql["token_count_bpe"] = r"""
-        SELECT doc_id,
-               len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens
-        FROM documents
-    """
 
     # sessionize: gaps-and-islands — new session iff the gap to the
     # previous event EXCEEDS 30 min (session_window merges when the next
@@ -1935,13 +1935,6 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY band
     """
 
-    sql["hypertable_rollup"] = """
-        SELECT (epoch_ms(ts) // 1000) - ((epoch_ms(ts) // 1000) % 86400) AS bucket_start,
-               event_type,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
-        FROM events GROUP BY 1, 2
-    """
 
     sql["asof_join"] = """
         WITH clicks AS (

@@ -142,108 +142,33 @@ def strip_accents(c: Column | str) -> Column:
 
 # --- F9: user-agent family (HogAuth.scala:293-298) --------------------------
 
-# Ordered first-match-wins regex rules, the uap-core matching model
-# (the reference runs uap-scala's Parser.default over the uap-core
-# data set and keeps only `family`, HogAuth.scala:293-298).  These are
-# curated rules written against publicly documented UA token layouts —
-# most-specific first, exactly like the upstream data file is ordered;
-# family names follow uap-core's conventions.  Spark-side they compile
-# into one chained CASE of `rlike`s — whole-stage codegen, no UDF.
-_UA_BROWSER_RULES: list[tuple[str, str]] = [
-    # --- bots / tooling (checked first: many spoof browser tokens) ----
-    (r"Googlebot", "Googlebot"),
-    (r"bingbot", "bingbot"),
-    (r"DuckDuckBot", "DuckDuckBot"),
-    (r"Baiduspider", "Baiduspider"),
-    (r"YandexBot", "YandexBot"),
-    (r"Slackbot", "Slackbot"),
-    (r"facebookexternalhit", "FacebookBot"),
-    (r"HeadlessChrome", "HeadlessChrome"),
-    (r"curl/", "curl"),
-    (r"Wget", "Wget"),
-    (r"python-requests", "Python Requests"),
-    (r"Python-urllib", "Python-urllib"),
-    (r"Go-http-client", "Go-http-client"),
-    (r"okhttp", "okhttp"),
-    (r"Apache-HttpClient", "Apache-HttpClient"),
-    (r"PostmanRuntime", "PostmanRuntime"),
-    (r"Java/", "Java"),
-    # --- niche before mainstream (token layering) ---------------------
-    (r"Opera Mini", "Opera Mini"),
-    (r"Opera Mobi", "Opera Mobile"),
-    (r"OPR/", "Opera"),
-    (r"Opera", "Opera"),
-    (r"EdgiOS/", "Edge Mobile"),
-    (r"EdgA/", "Edge Mobile"),
-    (r"Edge?/", "Edge"),
-    (r"SamsungBrowser/", "Samsung Internet"),
-    (r"YaBrowser/", "Yandex Browser"),
-    (r"(UCBrowser|UCWEB)", "UC Browser"),
-    (r"Vivaldi/", "Vivaldi"),
-    (r"QQBrowser", "QQ Browser"),
-    (r"MiuiBrowser/", "MiuiBrowser"),
-    (r"CriOS/", "Chrome Mobile iOS"),
-    (r"FxiOS/", "Firefox iOS"),
-    (r"Iceweasel", "Iceweasel"),
-    (r"SeaMonkey/", "SeaMonkey"),
-    (r"Thunderbird/", "Thunderbird"),
-    (r"Firefox/.*Mobile", "Firefox Mobile"),
-    (r"Mobile.*Firefox/", "Firefox Mobile"),
-    (r"Firefox/", "Firefox"),
-    (r"Silk/", "Amazon Silk"),  # carries "like Chrome/…" — before Chrome
-    (r"Chromium/", "Chromium"),
-    (r"Chrome/.*Mobile", "Chrome Mobile"),
-    (r"Chrome/", "Chrome"),
-    (r"Konqueror", "Konqueror"),
-    (r"Epiphany/", "Epiphany"),
-    # Safari ships the version in "Version/x.y ... Safari"; every
-    # Chrome-family UA also carries "Safari", so these come last
-    (r"(iPhone|iPad|iPod).*Mobile/\S+ Safari", "Mobile Safari"),
-    (r"Version/.*Mobile.*Safari", "Mobile Safari"),
-    (r"Version/.*Safari", "Safari"),
-    (r"Safari", "Safari"),
-    # --- IE: MSIE token up to 10, Trident/rv: from 11 -----------------
-    (r"IEMobile", "IE Mobile"),
-    (r"MSIE", "IE"),
-    (r"Trident/.*rv[: ]?11", "IE"),
-    (r"Lynx", "Lynx"),
-]
+# The reference runs uap-scala's Parser.default over the public
+# uap-core regexes.yaml data set and keeps only `family`
+# (HogAuth.scala:293-298).  Here the same model is DATA-DRIVEN: the
+# ordered parser tables live in functions/ua_data.py in uap-core's
+# regexes.yaml shape ({regex, family_replacement?/os_replacement?},
+# first match wins, missing replacement -> first capture group, "$1"
+# substitutes it), and compile at plan-build time into one chained
+# CASE of `rlike`s / `regexp_extract`s — whole-stage codegen, no UDF.
+# Swapping in the full uap-core dataset is a ua_data.py-only change.
 
-_UA_OS_RULES: list[tuple[str, str]] = [
-    (r"Windows Phone", "Windows Phone"),
-    (r"Windows (NT|XP|ME|98|95|CE)", "Windows"),
-    (r"Windows", "Windows"),
-    (r"CrOS", "Chrome OS"),
-    # KaiOS builds are Firefox-OS descendants and still say "Android"
-    (r"KaiOS|KAIOS", "KaiOS"),
-    # Android carries a Linux token — match it first
-    (r"Android", "Android"),
-    (r"(iPhone|iPad|iPod).*like Mac OS X", "iOS"),
-    (r"(iPhone|iPad|iPod)", "iOS"),
-    (r"Mac OS X", "Mac OS X"),
-    (r"Macintosh", "Mac OS X"),
-    (r"Darwin", "Darwin"),
-    # appliance/console OSes carry a Linux token — before the catch-all
-    (r"Tizen", "Tizen"),
-    (r"PlayStation", "PlayStation"),
-    (r"Nintendo", "Nintendo"),
-    # distro tokens before the generic Linux catch-all, as uap-core does
-    (r"Ubuntu", "Ubuntu"),
-    (r"Fedora", "Fedora"),
-    (r"Debian", "Debian"),
-    (r"CentOS", "CentOS"),
-    (r"Red Hat", "Red Hat"),
-    (r"Linux|linux-gnu", "Linux"),  # tooling UAs say "(linux-gnu)"
-    (r"FreeBSD", "FreeBSD"),
-    (r"OpenBSD", "OpenBSD"),
-    (r"NetBSD", "NetBSD"),
-    (r"SunOS", "Solaris"),
-]
-
-def _first_match(c: Column, rules: list[tuple[str, str]]) -> Column:
+def _compile_parsers(
+    c: Column, parsers: list[dict[str, str]], replacement_key: str
+) -> Column:
     out = F.lit("Other")
-    for pattern, family in reversed(rules):
-        out = F.when(c.rlike(pattern), F.lit(family)).otherwise(out)
+    for p in reversed(parsers):
+        rx = p["regex"]
+        repl = p.get(replacement_key)
+        if repl is None:
+            fam: Column = F.regexp_extract(c, rx, 1)
+        elif "$1" in repl:
+            pre, post = repl.split("$1", 1)
+            fam = F.concat(
+                F.lit(pre), F.regexp_extract(c, rx, 1), F.lit(post)
+            )
+        else:
+            fam = F.lit(repl)
+        out = F.when(c.rlike(rx), fam).otherwise(out)
     return out
 
 def ua_family(c: Column | str) -> Column:
@@ -252,14 +177,16 @@ def ua_family(c: Column | str) -> Column:
     only, HogAuth.scala:293-298).  Ordered first-match-wins regex rules
     in the uap-core style; unknown sides → "Other"; empty/null → ""
     (the reference short-circuits length==0 to "")."""
+    from hogzilla_spark.functions.ua_data import OS_PARSERS, USER_AGENT_PARSERS
+
     c = _col(c)
     return F.when(
         c.isNull() | (c == ""), F.lit("")
     ).otherwise(
         F.concat(
-            _first_match(c, _UA_OS_RULES),
+            _compile_parsers(c, OS_PARSERS, "os_replacement"),
             F.lit("/"),
-            _first_match(c, _UA_BROWSER_RULES),
+            _compile_parsers(c, USER_AGENT_PARSERS, "family_replacement"),
         )
     )
 

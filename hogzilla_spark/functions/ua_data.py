@@ -1,0 +1,123 @@
+"""User-agent parser tables in uap-core's regexes.yaml data format.
+
+The reference resolves UA families through uap-scala's
+``Parser.default`` (HogAuth.scala:293-298), i.e. the public uap-core
+``regexes.yaml`` dataset: an ORDERED list of entries, first match wins,
+each entry ``{regex, family_replacement?}`` (browser) /
+``{regex, os_replacement?}`` (OS).  uap-core semantics reproduced here:
+
+  - entries are tried top-to-bottom; the first whose regex matches
+    (unanchored search) decides the family;
+  - a missing ``*_replacement`` means the family is the regex's FIRST
+    capture group;
+  - a ``$1`` inside the replacement substitutes the first capture group.
+
+This module vendors a curated subset covering the reference's auth
+traffic (mainstream browsers, mobile variants, bots, CLI tooling) in
+uap-core's layering order — niche families whose UAs embed mainstream
+tokens come first (Edge before Chrome, Chrome before Safari, Android
+before Linux, distros before the Linux catch-all).  To swap in the full
+public dataset, translate each ``user_agent_parsers`` /
+``os_parsers`` entry of regexes.yaml into one dict below (the compiler
+in functions/scalar.py consumes them unchanged; regexes must stay in
+the Java∩RE2-safe subset — no lookbehind).
+"""
+
+from __future__ import annotations
+
+#: uap-core ``user_agent_parsers`` shape: regex + optional
+#: family_replacement ("$1" substitutes capture group 1).
+USER_AGENT_PARSERS: list[dict[str, str]] = [
+    # --- bots / tooling (first: many spoof browser tokens) ------------
+    {"regex": r"(Googlebot)"},
+    {"regex": r"(bingbot)"},
+    {"regex": r"(DuckDuckBot)"},
+    {"regex": r"(Baiduspider)"},
+    {"regex": r"(YandexBot)"},
+    {"regex": r"(Slackbot)"},
+    {"regex": r"facebookexternalhit", "family_replacement": "FacebookBot"},
+    {"regex": r"(HeadlessChrome)"},
+    {"regex": r"(curl)/"},
+    {"regex": r"(Wget)"},
+    {"regex": r"python-requests", "family_replacement": "Python Requests"},
+    {"regex": r"(Python-urllib)"},
+    {"regex": r"(Go-http-client)"},
+    {"regex": r"(okhttp)"},
+    {"regex": r"(Apache-HttpClient)"},
+    {"regex": r"(PostmanRuntime)"},
+    {"regex": r"(Java)/"},
+    # --- niche before mainstream (token layering) ---------------------
+    {"regex": r"(Opera Mini)"},
+    {"regex": r"Opera Mobi", "family_replacement": "Opera Mobile"},
+    {"regex": r"OPR/", "family_replacement": "Opera"},
+    {"regex": r"(Opera)"},
+    {"regex": r"EdgiOS/", "family_replacement": "Edge Mobile"},
+    {"regex": r"EdgA/", "family_replacement": "Edge Mobile"},
+    {"regex": r"Edge?/", "family_replacement": "Edge"},
+    {"regex": r"SamsungBrowser/", "family_replacement": "Samsung Internet"},
+    {"regex": r"YaBrowser/", "family_replacement": "Yandex Browser"},
+    {"regex": r"(UCBrowser|UCWEB)", "family_replacement": "UC Browser"},
+    {"regex": r"(Vivaldi)/"},
+    {"regex": r"QQBrowser", "family_replacement": "QQ Browser"},
+    {"regex": r"(MiuiBrowser)/"},
+    {"regex": r"CriOS/", "family_replacement": "Chrome Mobile iOS"},
+    {"regex": r"FxiOS/", "family_replacement": "Firefox iOS"},
+    {"regex": r"(Iceweasel)"},
+    {"regex": r"(SeaMonkey)/"},
+    {"regex": r"(Thunderbird)/"},
+    {"regex": r"(Firefox)/.*Mobile", "family_replacement": "$1 Mobile"},
+    {"regex": r"Mobile.*(Firefox)/", "family_replacement": "$1 Mobile"},
+    {"regex": r"(Firefox)/"},
+    {"regex": r"Silk/", "family_replacement": "Amazon Silk"},
+    {"regex": r"(Chromium)/"},
+    {"regex": r"(Chrome)/.*Mobile", "family_replacement": "$1 Mobile"},
+    {"regex": r"(Chrome)/"},
+    {"regex": r"(Konqueror)"},
+    {"regex": r"(Epiphany)/"},
+    # Safari ships the version in "Version/x.y ... Safari"; every
+    # Chrome-family UA also carries "Safari", so these come last
+    {
+        "regex": r"(iPhone|iPad|iPod).*Mobile/\S+ Safari",
+        "family_replacement": "Mobile Safari",
+    },
+    {"regex": r"Version/.*Mobile.*Safari", "family_replacement": "Mobile Safari"},
+    {"regex": r"Version/.*(Safari)"},
+    {"regex": r"(Safari)"},
+    # --- IE: MSIE token up to 10, Trident/rv: from 11 -----------------
+    {"regex": r"IEMobile", "family_replacement": "IE Mobile"},
+    {"regex": r"MSIE", "family_replacement": "IE"},
+    {"regex": r"Trident/.*rv[: ]?11", "family_replacement": "IE"},
+    {"regex": r"(Lynx)"},
+]
+
+#: uap-core ``os_parsers`` shape: regex + optional os_replacement.
+OS_PARSERS: list[dict[str, str]] = [
+    {"regex": r"(Windows Phone)"},
+    {"regex": r"Windows (NT|XP|ME|98|95|CE)", "os_replacement": "Windows"},
+    {"regex": r"(Windows)"},
+    {"regex": r"CrOS", "os_replacement": "Chrome OS"},
+    # KaiOS builds are Firefox-OS descendants and still say "Android"
+    {"regex": r"KaiOS|KAIOS", "os_replacement": "KaiOS"},
+    # Android carries a Linux token — match it first
+    {"regex": r"(Android)"},
+    {"regex": r"(iPhone|iPad|iPod).*like Mac OS X", "os_replacement": "iOS"},
+    {"regex": r"(iPhone|iPad|iPod)", "os_replacement": "iOS"},
+    {"regex": r"(Mac OS X)"},
+    {"regex": r"Macintosh", "os_replacement": "Mac OS X"},
+    {"regex": r"(Darwin)"},
+    # appliance/console OSes carry a Linux token — before the catch-all
+    {"regex": r"(Tizen)"},
+    {"regex": r"(PlayStation)"},
+    {"regex": r"(Nintendo)"},
+    # distro tokens before the generic Linux catch-all, as uap-core does
+    {"regex": r"(Ubuntu)"},
+    {"regex": r"(Fedora)"},
+    {"regex": r"(Debian)"},
+    {"regex": r"(CentOS)"},
+    {"regex": r"(Red Hat)"},
+    {"regex": r"Linux|linux-gnu", "os_replacement": "Linux"},
+    {"regex": r"(FreeBSD)"},
+    {"regex": r"(OpenBSD)"},
+    {"regex": r"(NetBSD)"},
+    {"regex": r"SunOS", "os_replacement": "Solaris"},
+]

@@ -134,6 +134,25 @@ _UA_FIXTURE = [
     ("Mozilla/5.0 (compatible; Konqueror/4.5; FreeBSD) KHTML/4.5.4 (like Gecko)", "FreeBSD/Konqueror"),
 ]
 
+def test_ua_data_contract():
+    """Every ua_data entry honors the uap-core shape the compiler
+    assumes: regexes compile, and any entry whose family comes from a
+    capture group (no replacement, or a `$1` substitution) actually has
+    one."""
+    import re
+
+    from hogzilla_spark.functions.ua_data import OS_PARSERS, USER_AGENT_PARSERS
+
+    for parsers, key in (
+        (USER_AGENT_PARSERS, "family_replacement"),
+        (OS_PARSERS, "os_replacement"),
+    ):
+        assert len(parsers) > 0
+        for p in parsers:
+            rx = re.compile(p["regex"])  # Java∩RE2-safe subset sanity
+            if key not in p or "$1" in p.get(key, ""):
+                assert rx.groups >= 1, p
+
 def test_ua_family_realistic_fixture(spark):
     df = spark.createDataFrame([(ua,) for ua, _ in _UA_FIXTURE], "ua string")
     got = [r.f for r in df.select(ua_family("ua").alias("f")).collect()]

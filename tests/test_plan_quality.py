@@ -91,8 +91,10 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert "list_id" in plan.split("PartitionFilters:")[1].split("]")[0]
     assert 0 < probed.count() < idx.count()
 
-def test_hopping_window_single_shuffle(spark):
-    plan = plan_of(spark, "hopping_window")
-    # explode-to-2-windows + one aggregate shuffle; no join, no sort-all
+def test_time_buckets_no_join_no_cartesian(spark):
+    plan = plan_of(spark, "time_buckets")
+    # hopping part: explode-to-2-windows + aggregate shuffle; daily
+    # part: plain rollup — union of the two, no join anywhere
     assert "Exchange" in plan
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan
