@@ -1090,7 +1090,12 @@ def q_hz_p2p(spark: SparkSession, sf_dir: str) -> DataFrame:
         p2p_min_ports_2nd=3,
         p2p_min_bytes_2nd=50_000,
     )
-    summary = sflow_summary(_synth_sflows(spark, sf_dir), ["10.1."])
+    # materialize the shared rollup once, as the production batch DAG
+    # does (plans/batch.py:60) — m1, m2 and the ftp suppression would
+    # otherwise each re-derive the full synth+rollup subtree
+    summary = sflow_summary(
+        _synth_sflows(spark, sf_dir), ["10.1."]
+    ).localCheckpoint(eager=True)
     ftp_pairs = ftp_talkers(summary)
     ftp_servers = spark.createDataFrame([], "myIP string")
     alerts, _talkers = p2p_talkers(
@@ -1122,7 +1127,11 @@ def q_hz_portscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = SFlowConfig(hps_min_flows=5)
     hcfg = HistogramConfig()
-    summary = sflow_summary(_synth_sflows(spark, sf_dir), ["10.1."])
+    # shared-rollup materialization as in plans/batch.py:60: the flow
+    # tree and the seeded-state build both consume it
+    summary = sflow_summary(
+        _synth_sflows(spark, sf_dir), ["10.1."]
+    ).localCheckpoint(eager=True)
     octet = F.element_at(F.split(F.col("myIP"), r"\."), 4).try_cast("int")
     hists = (
         summary.select("myIP")
