@@ -539,6 +539,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(docs, min_jaccard=0.3, max_shingle_freq=None)
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 rule-based corpus quality filter (Rae et al. 2021 App.
+    A1.1; Raffel et al. 2020 §2.2): word/line stats, symbol and bullet
+    ratios, duplicate-line fractions, top-bigram coverage, and the
+    combined gopher_pass flag.  Pure per-row array expressions — zero
+    shuffles (see operators/quality.py docstring for the 100 TB plan)."""
+    from hogzilla_spark.operators import quality as QL
+
+    docs = _t(spark, sf_dir, "documents")
+    return QL.doc_quality_signals(docs)
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token stats, punctuation/stopword
     ratios, quality score, fingerprint, heuristic language ID, and the
@@ -1169,7 +1180,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_a1_lineitem_rollup(spark, SF_DEFAULT)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries, ordered newest/riskiest FIRST: the driver records
+    """50 entries, ordered newest/riskiest FIRST: the driver records
     CORRECTNESS rows for at most the first 50 registry entries (r4
     recorded exactly 50 of 56), so anything that must show hard
     evidence sits at the top and the longest-stable basics at the
@@ -1177,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     adding."""
     return {
         # new/changed this round — need fresh driver evidence
+        "doc_quality": q_doc_quality,
         "hz_p2p": q_hz_p2p,
         "hz_portscan": q_hz_portscan,
         "hz_sflow_summary": q_hz_sflow_summary,
@@ -1744,6 +1756,95 @@ def oracle_sql() -> dict[str, str]:
 
     stop = ",".join(f"'{s}'" for s in TXT.STOPWORDS_EN)
     markers = {k: ",".join(f"'{m}'" for m in v) for k, v in TXT.LANG_MARKERS.items()}
+    # Independent relational derivation of operators/quality.py's
+    # expression-side signals: unnest lines/bigrams -> group -> join,
+    # vs Spark's per-row sorted-array fold scans.
+    sql["doc_quality"] = """
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+                 list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                             l -> l <> '') AS lines
+          FROM documents),
+        lines_e AS (
+          SELECT doc_id, unnest(lines) AS l FROM t),
+        lc AS (
+          SELECT doc_id, l, COUNT(*) AS c FROM lines_e GROUP BY doc_id, l),
+        ls AS (
+          SELECT doc_id,
+                 SUM(c) AS n_lines,
+                 SUM(c * length(l)) AS line_chars,
+                 SUM(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END) AS dup_chars,
+                 COUNT(*) AS n_distinct,
+                 SUM(CASE WHEN substr(l, 1, 1) IN ('-', '*', '•') THEN c ELSE 0 END) AS bullets,
+                 SUM(CASE WHEN l LIKE '%...' OR l LIKE '%…' THEN c ELSE 0 END) AS ellipses
+          FROM lc GROUP BY doc_id),
+        bi_e AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(2, len(toks) + 1),
+                                       i -> toks[i - 1] || ' ' || toks[i])) AS bg
+          FROM t WHERE len(toks) >= 2),
+        bc AS (
+          SELECT doc_id, bg, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY COUNT(*) DESC, bg ASC) AS rk
+          FROM bi_e GROUP BY doc_id, bg),
+        topbg AS (
+          SELECT doc_id, bg AS top_bigram, c AS top_cnt FROM bc WHERE rk = 1),
+        feat AS (
+          SELECT t.doc_id,
+                 len(t.toks) AS n_tok,
+                 COALESCE(ls.n_lines, 0) AS n_lines,
+                 CAST(list_sum(list_transform(t.toks, x -> length(x))) AS BIGINT) AS tok_chars,
+                 len(list_filter(t.toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+                 (length(t.text) - length(replace(t.text, '#', '')))
+                   + (length(t.text) - length(replace(t.text, '...', ''))) // 3
+                   + (length(t.text) - length(replace(t.text, '…', ''))) AS symbols,
+                 len(list_filter(['the','be','to','of','and','that','have','with'],
+                                 s -> list_contains(list_transform(t.toks, x -> lower(x)), s)))
+                   AS stop_distinct,
+                 COALESCE(ls.line_chars, 0) AS line_chars,
+                 COALESCE(ls.dup_chars, 0) AS dup_chars,
+                 COALESCE(ls.n_distinct, 0) AS n_distinct,
+                 COALESCE(ls.bullets, 0) AS bullets,
+                 COALESCE(ls.ellipses, 0) AS ellipses,
+                 topbg.top_bigram,
+                 COALESCE(topbg.top_cnt, 0) AS top_cnt
+          FROM t LEFT JOIN ls ON t.doc_id = ls.doc_id
+                 LEFT JOIN topbg ON t.doc_id = topbg.doc_id),
+        sigs AS (
+          SELECT doc_id, n_tok, n_lines,
+                 CASE WHEN n_tok > 0 THEN CAST(symbols AS DOUBLE)/n_tok ELSE 0.0 END AS swr,
+                 CASE WHEN n_tok > 0 THEN CAST(alpha_words AS DOUBLE)/n_tok ELSE 0.0 END AS awf,
+                 stop_distinct,
+                 CASE WHEN n_lines > 0 THEN CAST(bullets AS DOUBLE)/n_lines ELSE 0.0 END AS bf,
+                 CASE WHEN n_lines > 0 THEN CAST(ellipses AS DOUBLE)/n_lines ELSE 0.0 END AS ef,
+                 CASE WHEN n_lines > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE)/n_lines ELSE 0.0 END AS dlf,
+                 CASE WHEN line_chars > 0 THEN CAST(dup_chars AS DOUBLE)/line_chars ELSE 0.0 END AS dlcf,
+                 CASE WHEN n_tok >= 2 THEN top_bigram ELSE NULL END AS top_bigram,
+                 CASE WHEN n_tok >= 2
+                      THEN CAST(top_cnt * length(top_bigram) AS DOUBLE)/(tok_chars + n_tok - 1)
+                      ELSE 0.0 END AS tbf,
+                 CASE WHEN n_tok > 0 THEN CAST(tok_chars AS DOUBLE)/n_tok ELSE 0.0 END AS atl
+          FROM feat)
+        SELECT doc_id, CAST(n_tok AS INT) AS n_tok, CAST(n_lines AS INT) AS n_lines,
+               ROUND(swr, 6) AS symbol_word_ratio,
+               ROUND(awf, 6) AS alpha_word_frac,
+               CAST(stop_distinct AS INT) AS stop_distinct,
+               ROUND(bf, 6) AS bullet_frac,
+               ROUND(ef, 6) AS ellipsis_frac,
+               ROUND(dlf, 6) AS dup_line_frac,
+               ROUND(dlcf, 6) AS dup_line_char_frac,
+               top_bigram,
+               ROUND(tbf, 6) AS top2gram_char_frac,
+               (n_tok >= 50 AND n_tok <= 100000
+                AND atl >= 3.0 AND atl <= 10.0
+                AND swr < 0.1 AND bf < 0.9 AND ef < 0.3
+                AND awf > 0.8 AND stop_distinct >= 2
+                AND dlf < 0.3 AND dlcf < 0.2 AND tbf < 0.2) AS gopher_pass
+        FROM sigs
+    """
+
     sql["text_profile"] = f"""
         WITH t AS (
           SELECT doc_id, text,

@@ -1,0 +1,96 @@
+"""Unit tests for operators/quality.py (Gopher/C4 quality signals).
+
+Hand-computed expectations on crafted documents covering every signal
+and the degenerate shapes (empty text, single token, all-duplicate
+lines).
+"""
+
+from __future__ import annotations
+
+from hogzilla_spark.operators.quality import doc_quality_signals
+
+
+def _rows(spark, docs):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = doc_quality_signals(df).collect()
+    return {r["doc_id"]: r.asDict() for r in out}
+
+
+def test_degenerate_docs(spark):
+    r = _rows(spark, [(0, ""), (1, "word"), (2, "   \n  \n")])
+    for d in (0, 2):
+        assert r[d]["n_tok"] == 0
+        assert r[d]["n_lines"] == 0
+        assert r[d]["top_bigram"] is None
+        assert r[d]["dup_line_frac"] == 0.0
+        assert r[d]["top2gram_char_frac"] == 0.0
+        assert not r[d]["gopher_pass"]
+    assert r[1]["n_tok"] == 1
+    assert r[1]["top_bigram"] is None
+    assert r[1]["alpha_word_frac"] == 1.0
+
+
+def test_dup_line_stats(spark):
+    # 4 lines, "aa" twice (2 chars each), "bbb" and "c" once.
+    text = "aa\nbbb\naa\nc"
+    r = _rows(spark, [(0, text)])[0]
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == round(1 - 3 / 4, 6)
+    # dup chars = 2+2 = 4; total line chars = 2+3+2+1 = 8
+    assert r["dup_line_char_frac"] == 0.5
+
+
+def test_top_bigram_and_tiebreak(spark):
+    # bigrams: "a b","b a","a b","b a" -> both count 2; 'a b' < 'b a'
+    r = _rows(spark, [(0, "a b a b a")])[0]
+    assert r["top_bigram"] == "a b"
+    # count 2 * len 3 / (5 chars + 4 spaces) = 6/9
+    assert r["top2gram_char_frac"] == round(6 / 9, 6)
+
+
+def test_bullet_ellipsis_symbol(spark):
+    text = "- item one\n- item two\nplain line...\n# tag … end"
+    r = _rows(spark, [(0, text)])[0]
+    assert r["bullet_frac"] == 0.5
+    assert r["ellipsis_frac"] == 0.25
+    # symbols: one '#', one '...', one '…' = 3 over 12 tokens
+    # (the '-' bullets and '#'/'…' marks are whitespace tokens too)
+    assert r["n_tok"] == 12
+    assert r["symbol_word_ratio"] == 0.25
+
+
+def test_stopwords_and_alpha(spark):
+    r = _rows(spark, [(0, "The cat sat of 123 45 !!")])[0]
+    # distinct stop hits: the, of
+    assert r["stop_distinct"] == 2
+    # alpha words: The cat sat of = 4 of 7
+    assert r["alpha_word_frac"] == round(4 / 7, 6)
+
+
+def test_gopher_pass_on_clean_doc(spark):
+    words = []
+    for i in range(60):
+        words.append(["the", "quick", "brown", "fox", "jumps", "with",
+                      "energy", "over", "lazy", "dogs"][i % 10] + str(i))
+    # append plain stopwords so stop_distinct >= 2 and atl stays in range
+    text = " ".join(words) + " the cat and dog have fun to be sure"
+    r = _rows(spark, [(0, text)])[0]
+    assert r["gopher_pass"], r
+
+
+def test_gopher_fail_reasons(spark):
+    too_short = "only three words"
+    all_dups = "\n".join(["same line"] * 10) + " " + " ".join(
+        f"w{i}" for i in range(60)
+    )
+    r = _rows(spark, [(0, too_short), (1, all_dups)])
+    assert not r[0]["gopher_pass"]
+    assert not r[1]["gopher_pass"]
+    assert r[1]["dup_line_char_frac"] > 0.2
+
+
+def test_no_shuffle_plan(spark):
+    """The whole operator must stay a narrow map: no exchange in the plan."""
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    plan = doc_quality_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
