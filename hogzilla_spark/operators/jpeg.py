@@ -1,9 +1,13 @@
-"""Baseline JFIF (JPEG) codec in pure numpy + stdlib — no PIL/libjpeg.
+"""Baseline + progressive JFIF (JPEG) codec in pure numpy + stdlib —
+no PIL/libjpeg.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, generic per-component
-sampling factors (4:4:4, 4:2:0, 4:2:2, grayscale), multiple DQT/DHT
-segments, restart intervals (DRI/RSTn), byte-stuffed entropy stream.
-Progressive (SOF2) / arithmetic / 12-bit raise NotImplementedError.
+Decoder: baseline sequential DCT (SOF0/SOF1) and progressive DCT
+(SOF2, ITU-T T.81 Annex G: spectral selection + successive
+approximation — DC first/refine, AC first/refine with EOB runs), 8-bit,
+generic per-component sampling factors (4:4:4, 4:2:0, 4:2:2,
+grayscale), multiple DQT/DHT segments, tables redefined between scans,
+restart intervals (DRI/RSTn), byte-stuffed entropy stream.
+Arithmetic coding / 12-bit / hierarchical raise NotImplementedError.
 
 Encoder: quality-scaled Annex-K-style quantization, 4:4:4 (no chroma
 subsampling), standard-shape Huffman tables written into DHT segments.
@@ -286,6 +290,226 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
+# --- progressive encoder (T.81 Annex G, jcphuff-style control flow) ---------
+
+# Progressive AC scans additionally need EOBn symbols (r<<4, r=0..14)
+# for end-of-band run lengths; still fits a flat 8-bit code (176 < 255).
+AC_PROG_SYMBOLS = [r << 4 for r in range(15)] + [0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+AC_PROG_BITS, AC_PROG_VALS = _flat_huff_spec(AC_PROG_SYMBOLS)
+
+def _quantized_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) int32 zigzag-ordered quantized DCT coefficients."""
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,xyjk,kl->xyil", _D, blocks - 128.0, _D.T)
+    q = np.round(coef / qt).astype(np.int32)
+    return q.reshape(h8, w8, 64)[:, :, ZIGZAG]
+
+class _ProgACWriter:
+    """AC-scan entropy state: EOB-run + pending correction bits."""
+
+    def __init__(self, bwr: _BitWriter, ac_codes: dict) -> None:
+        self.bwr = bwr
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be_bits: list[int] = []
+
+    def sym(self, s: int) -> None:
+        c, ln = self.ac[s]
+        self.bwr.write(c, ln)
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bwr.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.be_bits:
+            self.bwr.write(b, 1)
+        self.be_bits = []
+
+def _encode_ac_first(
+    w: _ProgACWriter, blk: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(blk[k])
+        t2 = (t if t >= 0 else -t) >> al
+        if t2 == 0:
+            r += 1
+            continue
+        w.emit_eobrun()
+        while r > 15:
+            w.sym(0xF0)
+            r -= 16
+        nbits = t2.bit_length()
+        w.sym((r << 4) | nbits)
+        extra = t2 if t >= 0 else (~t2) & ((1 << nbits) - 1)
+        w.bwr.write(extra, nbits)
+        r = 0
+    if r > 0:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.emit_eobrun()
+
+def _encode_ac_refine(
+    w: _ProgACWriter, blk: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    absv = [(int(v) if v >= 0 else -int(v)) >> al for v in blk[ss : se + 1]]
+    eob = ss - 1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            w.emit_eobrun()
+            w.sym(0xF0)
+            r -= 16
+            for b in br_bits:
+                w.bwr.write(b, 1)
+            br_bits = []
+        if t > 1:
+            br_bits.append(t & 1)
+            continue
+        w.emit_eobrun()
+        w.sym((r << 4) | 1)
+        r = 0
+        w.bwr.write(1 if int(blk[k]) >= 0 else 0, 1)
+        for b in br_bits:
+            w.bwr.write(b, 1)
+        br_bits = []
+    if r > 0 or br_bits:
+        w.eobrun += 1
+        w.be_bits.extend(br_bits)
+        if w.eobrun == 0x7FFF or len(w.be_bits) > 900:
+            w.emit_eobrun()
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """RGB HxWx3 (or grayscale HxW) uint8 → progressive JFIF (SOF2),
+    4:4:4, libjpeg-simple-progression-style scan script exercising DC
+    first/refine and AC first/refine with successive approximation."""
+    gray = img.ndim == 2
+    if gray:
+        img = img[:, :, None]
+    h, w = img.shape[:2]
+    ncomp = 1 if gray else 3
+    qts = [_quality_scale(QT_LUMA, quality)]
+    if not gray:
+        qts.append(_quality_scale(QT_CHROMA, quality))
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128
+        cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128
+        planes = [y, cb, cr]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+    coefs = [
+        _quantized_blocks(planes[ci], qts[0 if ci == 0 else 1])
+        for ci in range(ncomp)
+    ]
+    bh, bw_ = coefs[0].shape[:2]
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += _dqt_segment(0, qts[0])
+    if not gray:
+        out += _dqt_segment(1, qts[1])
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_FLAT_BITS, DC_FLAT_VALS)
+    out += _dht_segment(1, 0, AC_PROG_BITS, AC_PROG_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_FLAT_BITS, DC_FLAT_VALS)
+        out += _dht_segment(1, 1, AC_PROG_BITS, AC_PROG_VALS)
+
+    dc_codes = _build_codes(DC_FLAT_BITS, DC_FLAT_VALS)
+    ac_codes = _build_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            tid = 0 if cid == 1 else 1
+            body += bytes([cid, (tid << 4) | tid])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bwr = _BitWriter()
+        preds = [0] * ncomp
+        for by in range(bh):
+            for bx in range(bw_):
+                for ci in range(ncomp):
+                    dc = int(coefs[ci][by, bx, 0])
+                    if ah == 0:
+                        v = dc >> al
+                        s, extra = _magnitude(v - preds[ci])
+                        preds[ci] = v
+                        code, ln = dc_codes[s]
+                        bwr.write(code, ln)
+                        if s:
+                            bwr.write(extra, s)
+                    else:
+                        bwr.write((dc >> al) & 1, 1)
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        bwr = _BitWriter()
+        wtr = _ProgACWriter(bwr, ac_codes)
+        for by in range(bh):
+            for bx in range(bw_):
+                if ah == 0:
+                    _encode_ac_first(wtr, coefs[ci][by, bx], ss, se, al)
+                else:
+                    _encode_ac_refine(wtr, coefs[ci][by, bx], ss, se, al)
+        wtr.emit_eobrun()
+        bwr.flush()
+        return bytes(bwr.out)
+
+    all_ids = list(range(1, ncomp + 1))
+    if gray:
+        script = [
+            (sos_header(all_ids, 0, 0, 0, 1), dc_scan(0, 1)),
+            (sos_header([1], 1, 63, 0, 1), ac_scan(0, 1, 63, 0, 1)),
+            (sos_header(all_ids, 0, 0, 1, 0), dc_scan(1, 0)),
+            (sos_header([1], 1, 63, 1, 0), ac_scan(0, 1, 63, 1, 0)),
+        ]
+    else:
+        script = [
+            (sos_header(all_ids, 0, 0, 0, 1), dc_scan(0, 1)),
+            (sos_header([1], 1, 5, 0, 2), ac_scan(0, 1, 5, 0, 2)),
+            (sos_header([2], 1, 63, 0, 1), ac_scan(1, 1, 63, 0, 1)),
+            (sos_header([3], 1, 63, 0, 1), ac_scan(2, 1, 63, 0, 1)),
+            (sos_header([1], 6, 63, 0, 2), ac_scan(0, 6, 63, 0, 2)),
+            (sos_header([1], 1, 63, 2, 1), ac_scan(0, 1, 63, 2, 1)),
+            (sos_header(all_ids, 0, 0, 1, 0), dc_scan(1, 0)),
+            (sos_header([2], 1, 63, 1, 0), ac_scan(1, 1, 63, 1, 0)),
+            (sos_header([3], 1, 63, 1, 0), ac_scan(2, 1, 63, 1, 0)),
+            (sos_header([1], 1, 63, 1, 0), ac_scan(0, 1, 63, 1, 0)),
+        ]
+    for header, data in script:
+        out += header + data
+    out += b"\xff\xd9"
+    return bytes(out)
+
 # --- decoder ----------------------------------------------------------------
 
 class _BitReader:
@@ -347,8 +571,27 @@ def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
+def _skip_to_marker(payload: bytes, pos: int) -> int:
+    """Advance past any residual entropy bytes / fill bytes to the next
+    real marker (0xFF followed by neither 0x00 stuffing, RSTn, nor
+    another 0xFF fill byte)."""
+    n = len(payload)
+    while pos < n - 1:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    raise ValueError("ran off end of JPEG looking for a marker")
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF → HxWx3 uint8 RGB (grayscale replicated)."""
+    """Baseline or progressive JFIF → HxWx3 uint8 RGB (gray replicated)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -358,12 +601,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    scans_done = 0
+    scan: list[dict] = []
     while True:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and scans_done:
+                return _reconstruct_progressive(comps, qts, h, w)
             raise ValueError("no scan data before EOI")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -393,7 +641,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 sp += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -402,10 +651,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "q": qid}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if progressive:
+                _init_progressive_geometry(comps, h, w)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); "
-                "progressive/arithmetic need libjpeg"
+                f"unsupported SOF marker 0xFF{marker:02X}; "
+                "arithmetic/lossless/hierarchical JPEG need libjpeg"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -415,9 +666,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tabs = seg[1 + si * 2], seg[2 + si * 2]
                 comp = next(c for c in comps if c["id"] == cid)
-                comp["dc"] = dc_tabs[tabs >> 4]
-                comp["ac"] = ac_tabs[tabs & 0x0F]
+                comp["dc"] = dc_tabs.get(tabs >> 4)
+                comp["ac"] = ac_tabs.get(tabs & 0x0F)
                 scan.append(comp)
+            if progressive:
+                ss, se, ahal = seg[1 + ns * 2 : 4 + ns * 2]
+                pos = _decode_prog_scan(
+                    payload, pos, scan, ss, se, ahal >> 4, ahal & 0x0F,
+                    restart_interval,
+                )
+                pos = _skip_to_marker(payload, pos)
+                scans_done += 1
+                continue
             break
         # else: APPn/COM — skip
 
@@ -480,9 +740,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    # upsample each component to full resolution (nearest neighbor)
+    return _planes_to_rgb(scan, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(
+    comps: list[dict], h: int, w: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Upsample per-component planes (nearest neighbor) and color-convert."""
     full = []
-    for c in scan:
+    for c in comps:
         p = c["plane"]
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
@@ -497,3 +763,201 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive decoding (T.81 Annex G) ------------------------------------
+
+def _init_progressive_geometry(comps: list[dict], h: int, w: int) -> None:
+    """Allocate per-component zigzag-order coefficient planes.
+
+    Interleaved (DC) scans address the MCU-padded grid
+    (mcuy*v × mcux*h blocks); non-interleaved (AC / single-component)
+    scans address only the component's true block grid
+    (ceil(comp_h/8) × ceil(comp_w/8)) — both live in the same array.
+    """
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        comp_w = (w * c["h"] + hmax - 1) // hmax
+        comp_h = (h * c["v"] + vmax - 1) // vmax
+        c["bw"] = (comp_w + 7) // 8
+        c["bh"] = (comp_h + 7) // 8
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        c["pred"] = 0
+    comps[0]["_geom"] = (hmax, vmax, mcux, mcuy)
+
+
+def _refine_nonzero(br: _BitReader, blk: np.ndarray, k: int, se: int, p1: int, m1: int) -> None:
+    """Correction bits for already-nonzero coefficients in blk[k..se]."""
+    for i in range(k, se + 1):
+        if blk[i]:
+            if br.bit() and (blk[i] & p1) == 0:
+                blk[i] += p1 if blk[i] >= 0 else m1
+
+
+def _decode_prog_scan(
+    payload: bytes,
+    pos: int,
+    scan: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan into the components' coef planes;
+    returns the stream position after the scan's entropy data."""
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "corrupt progressive scan: Ss=0 requires Se=0 (T.81 G.1.1.1.1)"
+        )
+    br = _BitReader(payload, pos)
+    # geometry lives on the first SOF component; fetch from any comp dict
+    hmax = vmax = mcux = mcuy = 0
+    for c in scan:
+        if "_geom" in c:
+            hmax, vmax, mcux, mcuy = c["_geom"]
+            break
+    else:
+        # single-component scan of a non-first component: geometry is on
+        # the first component of the frame — reachable via coef shape
+        c0 = scan[0]
+        by, bx, _ = c0["coef"].shape
+        mcuy, mcux = by // c0["v"], bx // c0["h"]
+    state = {"eobrun": 0}
+
+    def dc_block(c: dict, by: int, bx: int) -> None:
+        blk = c["coef"][by, bx]
+        if ah == 0:
+            s = _decode_huff(br, c["dc"])
+            diff = _extend(br.bits(s), s) if s else 0
+            c["pred"] += diff
+            blk[0] = c["pred"] << al
+        else:
+            if br.bit():
+                blk[0] |= 1 << al
+
+    def ac_block(c: dict, by: int, bx: int) -> None:
+        blk = c["coef"][by, bx]
+        if ah == 0:  # AC first scan (G.1.2.2)
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _decode_huff(br, c["ac"])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow in progressive scan")
+                blk[k] = _extend(br.bits(s), s) << al
+                k += 1
+        else:  # AC refinement scan (G.1.2.3, libjpeg-style control flow)
+            p1, m1 = 1 << al, -(1 << al)
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = _decode_huff(br, c["ac"])
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            state["eobrun"] = 1 << r
+                            if r:
+                                state["eobrun"] += br.bits(r)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        # s is always 1 in a refinement scan
+                        val = p1 if br.bit() else m1
+                    while k <= se:
+                        if blk[k]:
+                            if br.bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s:
+                        if k > se:
+                            raise ValueError("refinement overran block end")
+                        blk[k] = val
+                    k += 1
+            if state["eobrun"] > 0:
+                _refine_nonzero(br, blk, k, se, p1, m1)
+                state["eobrun"] -= 1
+
+    def handle_restart(unit_count: int) -> None:
+        if (
+            restart_interval
+            and unit_count
+            and unit_count % restart_interval == 0
+        ):
+            while True:
+                if (
+                    payload[br.pos] == 0xFF
+                    and 0xD0 <= payload[br.pos + 1] <= 0xD7
+                ):
+                    break
+                br.pos += 1
+            br.align_past_restart()
+            for c in scan:
+                c["pred"] = 0
+            state["eobrun"] = 0
+
+    if ss == 0:  # DC scan
+        if len(scan) > 1:  # interleaved MCU order
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    handle_restart(n)
+                    for c in scan:
+                        for byi in range(c["v"]):
+                            for bxi in range(c["h"]):
+                                dc_block(c, my * c["v"] + byi, mx * c["h"] + bxi)
+                    n += 1
+        else:  # single-component: true block grid
+            c = scan[0]
+            n = 0
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    handle_restart(n)
+                    dc_block(c, by, bx)
+                    n += 1
+    else:  # AC scan — always non-interleaved (T.81 G.1.1.1.1)
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan with multiple components")
+        c = scan[0]
+        n = 0
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                handle_restart(n)
+                ac_block(c, by, bx)
+                n += 1
+    return br.pos
+
+
+def _reconstruct_progressive(
+    comps: list[dict], qts: dict[int, np.ndarray], h: int, w: int
+) -> np.ndarray:
+    """Dequantize + batch-IDCT all accumulated coefficient planes."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        nat = c["coef"][:, :, UNZIGZAG].astype(np.float64)
+        by, bx = nat.shape[:2]
+        deq = nat.reshape(by, bx, 8, 8) * qts[c["q"]]
+        blocks = np.einsum("ij,xyjk,kl->xyil", _D.T, deq, _D) + 128.0
+        c["plane"] = blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return _planes_to_rgb(comps, h, w, hmax, vmax)

@@ -18,9 +18,10 @@ tested.  Codecs that need only the stdlib + numpy are REAL:
     crossings / band energies
 
 Formats that genuinely require external libraries absent from this
-container (progressive JPEG, MP4 demux) fall back to a deterministic
-fake embedding — or raise NotImplementedError in strict mode — with
-the swap point marked for PIL/ffmpeg in a real deployment.
+container (MP4 decode) fall back to a deterministic fake embedding —
+or raise NotImplementedError in strict mode — with the swap point
+marked for ffmpeg in a real deployment.  JPEG (baseline AND
+progressive) is decoded for real by operators/jpeg.py.
 
 Scale notes:
   - mapInPandas streams Arrow record batches; peak executor memory is
@@ -527,8 +528,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     raise NotImplementedError(
-        "PNG/GIF/JPEG-baseline/PPM/BMP decode without PIL; progressive "
-        "JPEG and exotic formats need PIL here"
+        "PNG/GIF/JPEG (baseline+progressive)/PPM/BMP decode without PIL; "
+        "exotic formats need PIL here"
     )
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -757,15 +758,21 @@ def synthetic_media_rows(n: int = 32) -> list[tuple]:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            kind = (i // 3) % 3
+            kind = (i // 3) % 4
             if kind == 0:
                 payload, codec = encode_ppm(img), "ppm"
             elif kind == 1:
                 payload, codec = encode_png(img, filter_type=(i // 6) % 5), "png"
-            else:
+            elif kind == 2:
                 from hogzilla_spark.operators.jpeg import encode_jpeg
 
                 payload, codec = encode_jpeg(img, quality=92), "jpeg"
+            else:
+                from hogzilla_spark.operators.jpeg import encode_jpeg_progressive
+
+                # progressive (SOF2) variant; still codec "jpeg" — the
+                # decoder sniffs the SOF marker
+                payload, codec = encode_jpeg_progressive(img, quality=92), "jpeg"
             dur = 0
         elif modality == "audio":
             rate = 8000

@@ -58,13 +58,18 @@ def test_jpeg_flat_color_exact():
     back = J.decode_jpeg(J.encode_jpeg(img, quality=90))
     assert np.abs(back.astype(int) - 128).max() <= 1
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_mangled_and_garbage():
     img = _gradient(8, 8)
     good = bytearray(J.encode_jpeg(img))
-    # rewrite the SOF0 marker (FF C0) to SOF2 (progressive)
+    # rewriting SOF0 -> SOF2 makes the baseline SOS header (Ss=0,
+    # Se=63) illegal under progressive rules (T.81 G.1.1.1.1)
     sof = bytes(good).find(b"\xff\xc0")
     good[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
+        J.decode_jpeg(bytes(good))
+    # arithmetic-coded SOF still refuses
+    good[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         J.decode_jpeg(bytes(good))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x00\x01\x02")
@@ -133,3 +138,44 @@ def test_jpeg_in_media_pipeline(spark):
         for r in MM.decode_and_featurize(media, strict=True).collect()
     }
     assert feats[0][0] == pytest.approx(feats[1][0], abs=0.01)  # gray mean
+
+
+# --- progressive (SOF2) -----------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(40, 56), (17, 23), (8, 8), (64, 64)])
+def test_progressive_matches_baseline(shape):
+    """Progressive and baseline encodes quantize identical coefficients,
+    so their decodes must agree to IDCT rounding (<=1 count)."""
+    img = _gradient(*shape)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=90))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=90))
+    assert prog.shape == base.shape
+    assert np.abs(prog.astype(int) - base.astype(int)).max() <= 1
+
+
+def test_progressive_grayscale_roundtrip():
+    g = (_gradient(24, 40)[:, :, 0]).copy()
+    back = J.decode_jpeg(J.encode_jpeg_progressive(g, quality=100))
+    assert back.shape == (24, 40, 3)
+    assert np.abs(back[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+    # gray replicated across channels
+    assert np.array_equal(back[:, :, 0], back[:, :, 1])
+
+
+def test_progressive_eobrun_accumulation():
+    """A flat image makes every AC block an EOB run: dozens of
+    consecutive blocks fold into multi-block EOBn symbols."""
+    img = np.full((64, 64, 3), 77, dtype=np.uint8)
+    payload = J.encode_jpeg_progressive(img, quality=90)
+    back = J.decode_jpeg(payload)
+    assert np.abs(back.astype(int) - 77).max() <= 2
+    # progressive stream really is SOF2 with multiple scans
+    assert payload.find(b"\xff\xc2") > 0
+    assert payload.count(b"\xff\xda") == 10
+
+
+def test_progressive_quality_sweep():
+    img = _gradient(32, 48, seed=1)
+    for q, tol in [(100, 4), (90, 14), (75, 26)]:
+        back = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=q))
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= tol

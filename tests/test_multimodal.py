@@ -98,10 +98,11 @@ def test_frame_sampling_rows(spark):
 def test_media_summary_sql_only(spark):
     media = MM.synthetic_media(spark, 12)
     summ = {(r.modality, r.codec): r.n_items for r in MM.media_summary(media).collect()}
+    # images at i=0,3,6,9 cycle ppm, png, jpeg, jpeg-progressive
     assert summ == {
-        ("image", "ppm"): 2,
+        ("image", "ppm"): 1,
         ("image", "png"): 1,
-        ("image", "jpeg"): 1,
+        ("image", "jpeg"): 2,
         ("audio", "wav"): 4,
         ("video", "mp4"): 2,
         ("video", "gif"): 2,
