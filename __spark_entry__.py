@@ -661,7 +661,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: the media fixture both engines read (written idempotently by either
 #: side's first caller — payload bytes are fully deterministic)
-_MEDIA_PARQUET = "/root/repo/spark-warehouse/hz_media32_v2.parquet"
+_MEDIA_PARQUET = "/root/repo/spark-warehouse/hz_media32_v3.parquet"
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata surface, ORACLE-CHECKED: both engines read

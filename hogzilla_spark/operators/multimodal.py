@@ -628,6 +628,17 @@ def decode_and_featurize(
             return image_features(frames[0][1])
         if codec == "wav" and modality == "audio":
             return audio_features(decode_wav(payload)[0])
+        if codec == "mp4" and modality == "video":
+            from hogzilla_spark.operators.mp4 import decode_mp4_frames
+
+            try:
+                frames = decode_mp4_frames(payload)
+            except NotImplementedError:
+                pass  # compressed codec (avc1/...) → strict/fake below
+            else:
+                if not frames:
+                    raise ValueError("MP4 with no video samples")
+                return image_features(frames[0][1])
         if strict:
             raise NotImplementedError(
                 f"codec {codec!r} not decodable in this environment; "
@@ -691,10 +702,12 @@ def sample_frames(
     """Video → frame rows (one row per sampled frame).
 
     GIF videos are REALLY demuxed (LZW decode, composited canvas,
-    graphic-control timestamps): each sample instant emits the frame
-    active at that time, re-encoded as PPM.  MP4 stays a stub slice
-    (demux needs ffmpeg); the exploding row-shape and timestamps are
-    real for both."""
+    graphic-control timestamps), and so are MJPEG MP4s (ISO BMFF
+    sample tables + the in-repo JPEG decoder): each sample instant
+    emits the frame active at that time, re-encoded as PPM.
+    Compressed MP4 codecs (avc1/...) stay a stub slice (decode needs
+    ffmpeg); the exploding row-shape and timestamps are real for
+    all."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -704,19 +717,26 @@ def sample_frames(
                     continue
                 n = min(max_frames, max(1, int((r["duration_ms"] or 0) // every_ms)))
                 payload = r["payload"] or b""
-                gif_frames = (
+                real_frames = (
                     decode_gif(payload)
                     if payload[:6] in (b"GIF87a", b"GIF89a")
                     else None
                 )
+                if real_frames is None and payload[4:8] == b"ftyp":
+                    from hogzilla_spark.operators.mp4 import decode_mp4_frames
+
+                    try:
+                        real_frames = decode_mp4_frames(payload)
+                    except (NotImplementedError, ValueError):
+                        real_frames = None
                 for i in range(n):
                     t = i * every_ms
                     rows["media_id"].append(r["media_id"])
                     rows["frame_idx"].append(i)
                     rows["frame_ms"].append(t)
-                    if gif_frames:
-                        active = gif_frames[0][1]
-                        for start, img in gif_frames:
+                    if real_frames:
+                        active = real_frames[0][1]
+                        for start, img in real_frames:
                             if start <= t:
                                 active = img
                         rows["frame"].append(encode_ppm(active))
@@ -785,26 +805,41 @@ def synthetic_media_rows(n: int = 32) -> list[tuple]:
         else:
             dur = max(1, i % 10) * 1000
             w, h = 16, 12
-            if (i // 3) % 2 == 0:
-                payload = bytes((i * 7 + j) % 256 for j in range(128 + (i % 5) * 32))
-                codec = "mp4"
-                w, h = 64 + i, 48 + i
-            else:
-                n_frames = dur // 1000
-                frames = []
-                for f in range(n_frames):
-                    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
-                    frames.append(
-                        np.stack(
-                            [
-                                ((xs + f * 3 + i) % 8) * 32,
-                                ((ys + f) % 8) * 32,
-                                np.full_like(xs, (f * 40 + i) % 256),
-                            ],
-                            axis=2,
-                        ).astype(np.uint8)
-                    )
+            n_frames = dur // 1000
+            frames = []
+            for f in range(n_frames):
+                xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+                frames.append(
+                    np.stack(
+                        [
+                            ((xs + f * 3 + i) % 8) * 32,
+                            ((ys + f) % 8) * 32,
+                            np.full_like(xs, (f * 40 + i) % 256),
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                )
+            vkind = (i // 3) % 3
+            if vkind == 1:
                 payload, codec = encode_gif(frames, delay_ms=1000), "gif"
+            else:
+                from hogzilla_spark.operators.jpeg import encode_jpeg
+                from hogzilla_spark.operators.mp4 import encode_mp4_mjpeg
+
+                payload = encode_mp4_mjpeg(
+                    [encode_jpeg(fr, quality=92) for fr in frames], fps=1
+                )
+                codec = "mp4"
+                if vkind == 2:
+                    # patch the stsd sample-entry fourcc to a compressed
+                    # codec: structurally valid MP4 that demuxes but
+                    # cannot decode without ffmpeg — keeps the honest
+                    # strict-mode/fallback path exercised by real data
+                    payload = payload.replace(
+                        struct.pack(">I", 86) + b"jpeg",
+                        struct.pack(">I", 86) + b"avc1",
+                        1,
+                    )
         rows.append((i, modality, codec, w, h, dur, payload))
     return rows
 

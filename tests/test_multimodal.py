@@ -71,13 +71,14 @@ def test_decode_and_featurize_real_codecs(spark):
     again = {r.media_id: r.feature for r in MM.decode_and_featurize(media).collect()}
     assert all(again[r.media_id] == r.feature for r in rows)
 
-def test_strict_mode_surfaces_stub_for_video_only(spark):
-    media = MM.synthetic_media(spark, 3)  # image(ppm), audio(wav), video(mp4)
+def test_strict_mode_surfaces_stub_for_compressed_video_only(spark):
+    # videos at i=2,5,8 cycle mjpeg-mp4, gif, avc1-mp4: only the avc1
+    # row (media_id 8) is genuinely undecodable without ffmpeg
+    media = MM.synthetic_media(spark, 9)
     with pytest.raises(Exception, match="NotImplementedError|not decodable"):
         MM.decode_and_featurize(media, strict=True).collect()
-    # without the undecodable video row, strict mode decodes for real
-    ia = media.filter("modality != 'video'")
-    assert MM.decode_and_featurize(ia, strict=True).count() == 2
+    decodable = media.filter("media_id != 8")
+    assert MM.decode_and_featurize(decodable, strict=True).count() == 8
 
 def test_resize_images_spark_path(spark):
     media = MM.synthetic_media(spark, 12)
@@ -104,8 +105,9 @@ def test_media_summary_sql_only(spark):
         ("image", "png"): 1,
         ("image", "jpeg"): 2,
         ("audio", "wav"): 4,
-        ("video", "mp4"): 2,
-        ("video", "gif"): 2,
+        # videos at i=2,5,8,11 cycle mjpeg-mp4, gif, avc1-mp4, mjpeg-mp4
+        ("video", "mp4"): 3,
+        ("video", "gif"): 1,
     }
 
 # --- PNG codec --------------------------------------------------------------
