@@ -868,3 +868,80 @@ def _embedding_neardup_blocked(
     return fanned.groupBy("ba", "bb").applyInPandas(
         kernel, "id_a long, id_b long, cosine double"
     )
+
+# --- cross-document line dedup (C4-style) -----------------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove lines duplicated ACROSS the corpus, keeping the first
+    occurrence (C4, Raffel et al. 2020 §2.2 — their span dedup applied
+    at line granularity).
+
+    A line is removed when its trimmed form occurs >= `min_count` times
+    corpus-wide and this occurrence is not the first (ordered by
+    (id, line position)).  Blank lines are never dedup candidates.
+
+    Returns one row per document: id, `text_clean`, `n_removed`.
+
+    Scale design — skew-proof by construction: the natural plan (a
+    window over line-hash) would funnel EVERY occurrence of a hot
+    boilerplate line ("(c) 2024 ...", cookie banners) through one
+    task.  Instead the first-occurrence and count are computed with a
+    plain groupBy(line_hash) — map-side partial aggregation collapses
+    each hash to ONE row per map task before the shuffle, so a line
+    occurring 10^9 times moves ~n_tasks rows, not 10^9 — then joined
+    back to the exploded lines (shuffle keyed by hash, values spread
+    over all occurrences' partitions).  Reassembly groups by document
+    id: the per-document line count is bounded, so sort-within-group
+    is safe.
+    """
+    text = F.col(text_col)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(text, r"\n")).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    keyed = lines.withColumn(
+        "lh", F.when(norm != "", F.md5(norm)).otherwise(F.lit(None))
+    )
+    firsts = (
+        keyed.filter(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(id_col, "pos")).alias("first"),
+        )
+        .filter(F.col("c") >= min_count)
+        .select("lh", "first")
+    )
+    marked = keyed.join(firsts, on="lh", how="left").withColumn(
+        "drop",
+        F.col("first").isNotNull()
+        & ~(
+            (F.col("first")[id_col] == F.col(id_col))
+            & (F.col("first")["pos"] == F.col("pos"))
+        ),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
+            F.sum(F.col("drop").cast("int")).alias("n_removed"),
+        )
+    )

@@ -94,3 +94,49 @@ def test_no_shuffle_plan(spark):
     df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     plan = doc_quality_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# --- cross-document line dedup (operators/dedup.dedup_lines) ---------------
+
+def test_dedup_lines_keep_first_semantics(spark):
+    from hogzilla_spark.operators.dedup import dedup_lines
+
+    docs = [
+        (1, "alpha\nshared line\nbeta"),
+        (2, "shared line\ngamma\n\ndelta"),
+        (3, "shared line\nshared line\nunique"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in dedup_lines(df).collect()}
+    # doc 1 holds the first occurrence -> untouched
+    assert out[1]["text_clean"] == "alpha\nshared line\nbeta"
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses its copy, keeps the blank line verbatim
+    assert out[2]["text_clean"] == "gamma\n\ndelta"
+    assert out[2]["n_removed"] == 1
+    # doc 3 loses both copies
+    assert out[3]["text_clean"] == "unique"
+    assert out[3]["n_removed"] == 2
+
+
+def test_dedup_lines_trim_matching_preserves_original(spark):
+    from hogzilla_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "  padded  \nkeep"), (2, "padded\nother")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in dedup_lines(df).collect()}
+    # trimmed forms match; first occurrence keeps its ORIGINAL spacing
+    assert out[1]["text_clean"] == "  padded  \nkeep"
+    assert out[2]["text_clean"] == "other"
+    assert out[2]["n_removed"] == 1
+
+
+def test_dedup_lines_no_dups_identity(spark):
+    from hogzilla_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame([(1, "a\nb"), (2, "c\nd"), (3, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in dedup_lines(df).collect()}
+    assert out[1]["text_clean"] == "a\nb"
+    assert out[3]["text_clean"] == ""
+    assert all(r["n_removed"] == 0 for r in out.values())
