@@ -98,3 +98,17 @@ def test_time_buckets_no_join_no_cartesian(spark):
     assert "Exchange" in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+def test_dedup_lines_no_window_skew_funnel(spark):
+    """dedup_lines must find first occurrences with a map-side-combining
+    aggregate, never a per-line-hash Window (which would funnel every
+    occurrence of a hot boilerplate line through one sort task)."""
+    plan = plan_of(spark, "dedup_lines")
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+def test_doc_quality_single_narrow_map(spark):
+    """All Gopher/C4 signals fold per-row: the only exchange allowed is
+    none at all — the operator pipelines into the scan."""
+    plan = plan_of(spark, "doc_quality")
+    assert "Exchange" not in plan, plan
