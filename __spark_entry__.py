@@ -187,6 +187,25 @@ def q_a9_freq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
 
+def q_a5_a9_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 distinct-count per group + A9 frequency count in one tagged
+    union (merged to keep the registry within the driver's 50-row
+    recording budget): 'a5' = distinct parts per supplier, 'a9' =
+    (user, event_type) counts with the string key in key2."""
+    a5 = q_a5_distinct_count(spark, sf_dir).select(
+        F.lit("a5").alias("part"),
+        F.col("l_suppkey").cast("long").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        F.col("n_parts").alias("n"),
+    )
+    a9 = q_a9_freq_count(spark, sf_dir).select(
+        F.lit("a9").alias("part"),
+        F.col("user_id").cast("long").alias("key1"),
+        F.col("event_type").alias("key2"),
+        F.col("n"),
+    )
+    return a5.unionByName(a9)
+
 def q_a14_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14/W3 inter-arrival regularity (DDoS test, HogSFlow.scala:2695-2722):
     per user, adjacent event-time diffs ordered by time, drop the 4
@@ -297,6 +316,26 @@ def q_j5_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents(F.col("c_acctbal"))).alias("sum_acctbal_c"),
     )
 
+def q_j3_j5_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 prefix semi-join + J5 broadcast lookup chain, tagged union:
+    'j3' rows = (name=c_name, id=c_custkey), 'j5' rows = per-region
+    rollup (name=r_name, n, sum_c)."""
+    j3 = q_j3_prefix_join(spark, sf_dir).select(
+        F.lit("j3").alias("part"),
+        F.col("c_name").alias("name"),
+        F.col("c_custkey").cast("long").alias("id"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("sum_c"),
+    )
+    j5 = q_j5_lookup_join(spark, sf_dir).select(
+        F.lit("j5").alias("part"),
+        F.col("r_name").alias("name"),
+        F.lit(None).cast("long").alias("id"),
+        F.col("n_customers").alias("n"),
+        F.col("sum_acctbal_c").alias("sum_c"),
+    )
+    return j3.unionByName(j5)
+
 # ---------------------------------------------------------------------------
 # O/U-family: top-k, set ops
 # ---------------------------------------------------------------------------
@@ -363,6 +402,22 @@ def q_p2_null_defaulting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("props", r'"k":\s*(\d+)', 1).try_cast("long"), F.lit(-1)
     )
     return ev.select(k.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+def q_s6_p2_scan_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 pushdown scan + P2 lenient-parse histogram, tagged union with
+    an all-BIGINT payload: 's6' = (a=o_orderkey, b=o_custkey), 'p2' =
+    (a=parsed k or -1, b=count)."""
+    s6 = q_s6_filtered_scan(spark, sf_dir).select(
+        F.lit("s6").alias("part"),
+        F.col("o_orderkey").cast("long").alias("a"),
+        F.col("o_custkey").cast("long").alias("b"),
+    )
+    p2 = q_p2_null_defaulting(spark, sf_dir).select(
+        F.lit("p2").alias("part"),
+        F.col("k").cast("long").alias("a"),
+        F.col("n").alias("b"),
+    )
+    return s6.unionByName(p2)
 
 # ---------------------------------------------------------------------------
 # F-family: scalar functions
@@ -458,6 +513,24 @@ def q_h2_atypical_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(H.atypical_keys("old_values", "new_values")).alias("bucket"),
     )
 
+def q_h1_h2_hist_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 KL divergence + H2 atypical-key extraction in one tagged
+    union: 'h1' rows carry kl, 'h2' rows carry the novel bucket (the
+    two halves use different histogram universes by design)."""
+    h1 = q_h1_kl_divergence(spark, sf_dir).select(
+        F.lit("h1").alias("part"),
+        "user_id",
+        "kl",
+        F.lit(None).cast("string").alias("bucket"),
+    )
+    h2 = q_h2_atypical_keys(spark, sf_dir).select(
+        F.lit("h2").alias("part"),
+        "user_id",
+        F.lit(None).cast("double").alias("kl"),
+        "bucket",
+    )
+    return h1.unionByName(h2)
+
 def q_h5_h6_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H5 weighted merge with decay (Histograms.scala:103-138,
     decay_after=100 to exercise the halving on this data) AND H6
@@ -525,6 +598,17 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return DD.minhash_lsh_pairs_incremental(new, corpus, min_jaccard=0.3)
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER extraction: the MinHash-LSH verified pair set
+    (same edges as dedup_minhash_lsh) closed transitively into canonical
+    groups — component_id = min doc id, the keep-id every dedup consumer
+    joins on.  Engine side: log-round min-label propagation with
+    pointer jumping (operators/dedup.connected_components); oracle side:
+    a recursive-CTE reachability closure over the identical edge SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, min_jaccard=0.3)
+    return DD.connected_components(pairs)
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs (word 3-gram shingles,
     jaccard >= 0.3) via the relational intersection-count plan — the
@@ -563,6 +647,20 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_join(lines, "\n").alias("text2")
     )
     return DD.dedup_lines(structured, id_col="doc_id", text_col="text2")
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / long-doc training prep):
+    64-token windows every 48 tokens, short final window, empty docs
+    emit nothing.  Pure narrow projection + posexplode — zero shuffles
+    (operators/text.chunk_documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = TXT.chunk_documents(docs, chunk_tokens=64, stride=48)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 rule-based corpus quality filter (Rae et al. 2021 App.
@@ -664,6 +762,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return SIM.ann_ivf_topk(emb, queries, n_lists=8, nprobe=2, k=5, centroids=centroids)
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): the ann_ivf
+    fixed-centroid quantizer buckets the corpus, intra-cluster cosine
+    dominance (round-6, >= 0.35 — tuned so the synthetic corpus exercises
+    the drop path) drops the higher id.  The pairwise join
+    is cluster-keyed — Σ|cluster|² candidates, never n²."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return SIM.semantic_dedup(emb, centroids, threshold=0.35)
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (32-bit, pigeonhole-blocked candidates).
@@ -1205,15 +1318,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_a1_lineitem_rollup(spark, SF_DEFAULT)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """51 entries; the FIRST 50 are all oracle-checkable and ordered
-    newest/riskiest FIRST: the driver records CORRECTNESS rows for at
-    most the first 50 registry entries (r4 recorded exactly 50 of 56),
-    so every oracle-checkable query sits in the recorded window and the
-    single rows-only entry (multimodal_features, whose binary decode
-    DuckDB cannot replay — covered by codec round-trip unit suites)
-    takes the unrecorded 51st slot."""
+    """Exactly 50 entries (the driver records CORRECTNESS rows for at
+    most the first 50 registry entries — r4 recorded exactly 50 of 56),
+    ordered newest/riskiest FIRST; 49 are oracle-checked and the single
+    rows-only entry (multimodal_features, whose binary decode DuckDB
+    cannot replay — covered by codec round-trip unit suites) sits last.
+    Near-duplicate basics are tagged unions of their originals
+    (a5+a9, j3+j5, s6+p2, h1+h2) to stay inside the budget."""
     return {
         # new/changed this round — need fresh driver evidence
+        "dedup_components": q_dedup_components,
+        "semantic_dedup": q_semantic_dedup,
+        "chunk_documents": q_chunk_documents,
         "dedup_lines": q_dedup_lines,
         "doc_quality": q_doc_quality,
         "hz_p2p": q_hz_p2p,
@@ -1256,18 +1372,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_lineitem_rollup": q_a1_lineitem_rollup,
         "a2_events_rollup": q_a2_events_rollup,
         "a3_two_level_rollup": q_a3_two_level_rollup,
-        "a5_distinct_count": q_a5_distinct_count,
-        "a9_freq_count": q_a9_freq_count,
+        "a5_a9_counts": q_a5_a9_counts,
         "a14_interarrival": q_a14_interarrival,
         "w1_group_share": q_w1_group_share,
-        "j3_prefix_join": q_j3_prefix_join,
-        "j5_lookup_join": q_j5_lookup_join,
+        "j3_j5_joins": q_j3_j5_joins,
         "o1_topk": q_o1_topk,
-        "s6_filtered_scan": q_s6_filtered_scan,
-        "p2_null_defaulting": q_p2_null_defaulting,
+        "s6_p2_scan_parse": q_s6_p2_scan_parse,
         "f5_log_bins": q_f5_log_bins,
-        "h1_kl_divergence": q_h1_kl_divergence,
-        "h2_atypical_keys": q_h2_atypical_keys,
+        "h1_h2_hist_scores": q_h1_h2_hist_scores,
         # rows-only (no oracle possible) — keep last
         "multimodal_features": q_multimodal_features,
     }
@@ -1326,9 +1438,17 @@ def oracle_sql() -> dict[str, str]:
         FROM lvl1 GROUP BY c_nationkey
     """
 
-    sql["a5_distinct_count"] = """
-        SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
+    # A5 + A9 in one tagged union (both are plain group-count shapes;
+    # merged to keep the registry within the driver's 50-row recording
+    # budget): 'a5' = distinct parts per supplier, 'a9' = (user, event
+    # type) frequency with the string key in key2.
+    sql["a5_a9_counts"] = """
+        SELECT 'a5' AS part, l_suppkey AS key1, CAST(NULL AS VARCHAR) AS key2,
+               COUNT(DISTINCT l_partkey) AS n
         FROM lineitem GROUP BY l_suppkey
+        UNION ALL
+        SELECT 'a9' AS part, user_id AS key1, event_type AS key2, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
     """
 
     sql["a7_a8_global_stats"] = """
@@ -1348,10 +1468,6 @@ def oracle_sql() -> dict[str, str]:
                CAST(sq AS BIGINT) AS sum_qty_c,
                CAST(ssq // 10000 AS BIGINT) AS sumsq_qty
         FROM t
-    """
-
-    sql["a9_freq_count"] = """
-        SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type
     """
 
     sql["a14_interarrival"] = """
@@ -1396,16 +1512,20 @@ def oracle_sql() -> dict[str, str]:
         WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
     """
 
-    sql["j3_prefix_join"] = """
-        SELECT c_custkey, c_name FROM customer
+    # J3 prefix semi-join + J5 broadcast lookup chain, tagged: 'j3' rows
+    # carry (name=c_name, id=c_custkey), 'j5' rows carry the per-region
+    # rollup in (name=r_name, n, sum_c).
+    sql["j3_j5_joins"] = """
+        SELECT 'j3' AS part, c_name AS name, CAST(c_custkey AS BIGINT) AS id,
+               CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS sum_c
+        FROM customer
         WHERE starts_with(c_name, 'Customer#00000001')
            OR starts_with(c_name, 'Customer#0000002')
            OR starts_with(c_name, 'Customer#00000030')
-    """
-
-    sql["j5_lookup_join"] = """
-        SELECT r_name, COUNT(*) AS n_customers,
-               CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
+        UNION ALL
+        SELECT 'j5' AS part, r_name AS name, CAST(NULL AS BIGINT) AS id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_c
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -1489,15 +1609,18 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
     """
 
-    sql["s6_filtered_scan"] = """
-        SELECT o_orderkey, o_custkey FROM orders
+    # S6 pushdown scan + P2 lenient-parse histogram, tagged: 's6' rows
+    # are (a=o_orderkey, b=o_custkey) projections, 'p2' rows are
+    # (a=parsed k or -1, b=count) — all-BIGINT payload either way.
+    sql["s6_p2_scan_parse"] = """
+        SELECT 's6' AS part, o_orderkey AS a, CAST(o_custkey AS BIGINT) AS b
+        FROM orders
         WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
-    """
-
-    sql["p2_null_defaulting"] = """
-        SELECT COALESCE(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT), -1) AS k,
-               COUNT(*) AS n
-        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'p2' AS part,
+               COALESCE(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT), -1) AS a,
+               COUNT(*) AS b
+        FROM events GROUP BY 1, 2
     """
 
     sql["f5_log_bins"] = """
@@ -1558,7 +1681,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT o.user_id FROM old_tot o JOIN new_tot n ON o.user_id = n.user_id)
     """
 
-    sql["h1_kl_divergence"] = hist_cte + f"""
+    # H1 KL + H2 atypical keys in one tagged union ('h1' rows carry kl,
+    # 'h2' rows carry the novel bucket); the two histogram universes
+    # differ (event_type vs value-banded buckets) so each half keeps its
+    # own CTE chain.
+    _h1_sql = hist_cte + """
         SELECT b.user_id,
                ROUND(COALESCE(SUM(
                  CASE WHEN n.p > 0 AND o.p > 0 THEN n.p * LN(n.p / o.p) ELSE 0 END), 0), 6) AS kl
@@ -1568,7 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY b.user_id
     """
 
-    sql["h2_atypical_keys"] = f"""
+    _h2_sql = f"""
         WITH ev AS (
           SELECT user_id,
                  event_type || ':' || CAST(CAST(FLOOR(value/10) AS BIGINT) AS VARCHAR) AS bucket,
@@ -1594,6 +1721,14 @@ def oracle_sql() -> dict[str, str]:
         JOIN both_users b ON b.user_id = n.user_id
         LEFT JOIN old_sh o ON o.user_id = n.user_id AND o.bucket = n.bucket
         WHERE n.p > {eps} AND COALESCE(o.p, 0) <= {eps}
+    """
+
+    sql["h1_h2_hist_scores"] = f"""
+        SELECT 'h1' AS part, user_id, kl, CAST(NULL AS VARCHAR) AS bucket
+        FROM ({_h1_sql})
+        UNION ALL
+        SELECT 'h2' AS part, user_id, CAST(NULL AS DOUBLE) AS kl, bucket
+        FROM ({_h2_sql})
     """
 
     sql["h5_h6_merges"] = hist_cte + """
@@ -1643,8 +1778,11 @@ def oracle_sql() -> dict[str, str]:
         f"list_min(list_transform(bs, h -> ({_ma[i]}*h + {_mb[i]}) % {_p}))"
         for i in range(16)
     )
-    sql["dedup_minhash_lsh"] = f"""
-        WITH toks AS (
+    # Shared CTE body: the full MinHash-LSH candidate+verify pipeline up
+    # to the verified pair set `mh_pairs` — reused verbatim by the pair
+    # query, the incremental restriction, and the connected-components
+    # transitive closure, so all three oracles replay identical edges.
+    _mh_body = f"""toks AS (
           SELECT doc_id,
                  list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS w
           FROM documents),
@@ -1668,13 +1806,18 @@ def oracle_sql() -> dict[str, str]:
         cand AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                  l.shingles AS sh_a, r.shingles AS sh_b
-          FROM bands l JOIN bands r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
-        SELECT id_a, id_b,
-               ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                     / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6) AS jaccard
-        FROM cand
-        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-              / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.3
+          FROM bands l JOIN bands r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+        mh_pairs AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6) AS jaccard
+          FROM cand
+          WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.3)"""
+
+    sql["dedup_minhash_lsh"] = f"""
+        WITH {_mh_body}
+        SELECT id_a, id_b, jaccard FROM mh_pairs
     """
 
     sql["dedup_ngram_jaccard"] = """
@@ -1703,9 +1846,83 @@ def oracle_sql() -> dict[str, str]:
     # the new batch (doc_id % 5 == 0): candidate generation via the band
     # index is provably that restriction, so the oracle is the full
     # relational pipeline plus the membership filter.
-    sql["dedup_minhash_incremental"] = (
-        sql["dedup_minhash_lsh"] + "\n          AND (id_a % 5 = 0 OR id_b % 5 = 0)"
-    )
+    sql["dedup_minhash_incremental"] = f"""
+        WITH {_mh_body}
+        SELECT id_a, id_b, jaccard FROM mh_pairs
+        WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """
+
+    # Transitive closure of the SAME verified edge set: component id =
+    # min reachable node.  The recursive CTE materializes full
+    # reachability — fine at oracle scale (dup components are tiny);
+    # the engine side replaces it with log-round label propagation.
+    sql["dedup_components"] = f"""
+        WITH RECURSIVE {_mh_body},
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM mh_pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS node_id,
+               LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    """
+
+    # SemDeDup: the ann_ivf fixed-centroid quantizer (same round-6 +
+    # list-id tie-break argmin), then intra-cluster cosine dominance —
+    # kept=false iff a lower-id same-cluster vector has ROUND(cos,6) >=
+    # the threshold.
+    sql["semantic_dedup"] = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, e AS ce
+          FROM v WHERE vec_id IN (3, 67, 131, 195, 259, 323, 387, 451)),
+        dist AS (
+          SELECT v.vec_id, v.e, c.list_id,
+                 ROUND(list_dot_product(
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i]),
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i])), 6) AS d
+          FROM v CROSS JOIN cent c),
+        assign AS (
+          SELECT vec_id, e, list_id AS cluster_id FROM (
+            SELECT vec_id, e, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+            FROM dist)
+          WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assign a JOIN assign b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ROUND(list_dot_product(a.e, b.e)
+                      / (SQRT(list_dot_product(a.e, a.e))
+                         * SQRT(list_dot_product(b.e, b.e))), 6) >= 0.35)
+        SELECT s.vec_id, s.cluster_id,
+               d.vec_id IS NULL AS kept
+        FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """
+
+    # chunking: same whitespace tokens as the text family; windows of 64
+    # starting every 48, last window short, empty docs emit nothing.
+    sql["chunk_documents"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
+          FROM documents),
+        sized AS (
+          SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+        idx AS (
+          SELECT doc_id, w,
+                 unnest(range(CAST(CEIL(GREATEST(n - 64, 0) / 48.0) AS BIGINT) + 1)) AS chunk_id
+          FROM sized)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(w[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT) AS n_tokens,
+               array_to_string(w[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text
+        FROM idx
+    """
 
     sql["label_centroids"] = """
         SELECT label, CAST(i - 1 AS INT) AS dim,

@@ -945,3 +945,96 @@ def dedup_lines(
             F.sum(F.col("drop").cast("int")).alias("n_removed"),
         )
     )
+
+# --- duplicate-cluster connected components ---------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: every pair
+    generator in this module (MinHash-LSH, SimHash, n-gram Jaccard,
+    embedding near-dup) emits EDGES, but a dedup pipeline needs GROUPS —
+    "these 14 documents are all one cluster; keep one".  Pairs are not
+    transitively closed (A~B and B~C without A~C), so grouping is graph
+    connectivity, not a groupBy.
+
+    Returns (node_id, component_id) for every node appearing in a pair,
+    with component_id = the minimum node id in the component (the
+    canonical keep-id, matching the keep-smallest-id convention of
+    `exact_dup_groups`).
+
+    Algorithm: iterative min-label propagation with pointer-jumping
+    shortcuts — the DataFrame rendering of the map-reduce CC family
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14; simplified: dup graphs are many tiny cliques/chains, so
+    the adversarial large-star/small-star machinery is unnecessary).
+    Each round:
+
+      1. propagate: every node takes min(own label, neighbors' labels)
+         — one join edges⋈labels (shuffle keyed by node id) + one
+         groupBy(node) min, which partial-aggregates map-side, so a
+         hot node (a boilerplate doc paired with millions) collapses
+         per-task before the shuffle;
+      2. shortcut: label(v) ← label(label(v)) — one self-join, turning
+         O(diameter) convergence into O(log diameter);
+      3. converge: labels only ever decrease, so Σlabels is strictly
+         monotone and equality between rounds IS convergence — one
+         scalar agg per round instead of a change-detection join.
+         Sums are taken in decimal(38,0): at 10^12 nodes with 64-bit
+         ids the long sum would overflow.
+
+    Per-round localCheckpoint truncates the lineage (an iterative plan
+    otherwise doubles per round and chokes the optimizer ~iter 8).
+    Driver holds only one scalar per round; edges/labels never collect.
+    """
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("id"), F.least("src", "m").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _sum(df: DataFrame) -> object:
+        return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = _sum(labels)
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "lbl")
+        prop = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jumping: lbl is itself a node id, so chase one hop
+        shortcut = (
+            prop.alias("p")
+            .join(
+                prop.select(
+                    F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+                ).alias("t"),
+                "lbl",
+                "left",
+            )
+            .select("id", F.least(F.coalesce("lbl2", "lbl"), F.col("lbl")).alias("lbl"))
+        )
+        labels = shortcut.localCheckpoint(eager=True)
+        cur = _sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select(
+        F.col("id").alias("node_id"), F.col("lbl").alias("component_id")
+    )

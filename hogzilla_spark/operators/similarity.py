@@ -257,3 +257,59 @@ def label_centroids(
         F.round(F.avg("v"), 6).alias("mean"),
         F.count(F.lit(1)).alias("n"),
     )
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.995,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
+    WITHIN each cluster drop every vector whose cosine similarity to a
+    lower-id vector in the same cluster exceeds `threshold`.
+
+    Returns (vec_id, cluster_id, kept) for every input row.
+
+    Divergence from the paper, documented: the paper keeps the member
+    farthest from the centroid of each similar group (a greedy,
+    order-dependent rule); this uses the keep-smallest-id dominance rule
+    shared by every dedup operator in this engine (`exact_dup_groups`,
+    `embedding_neardup_pairs` consumers) — deterministic, engine-portable,
+    and independent of visit order.
+
+    Scale shape — the whole point of SemDeDup's clustering: the pairwise
+    cosine join is keyed by cluster_id, so the candidate space is
+    Σ|cluster|² instead of n².  Centroid assignment is a pure Column
+    expression over the broadcast codebook (`assign_lists`) — the corpus
+    is never collected, and the cluster key is available map-side, so the
+    self-join shuffles each vector once.  At 100 TB: persist the assigned
+    table partitioned by cluster_id (same layout as the IVF index) and
+    the join is partition-local; oversized clusters are the skew knob —
+    raise n_lists until max |cluster| fits a task (the paper runs 50k
+    clusters for LAION-440M).
+    """
+    assigned = emb.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("v"),
+        assign_lists(centroids, _as_double(vec_col)).alias("cluster_id"),
+    )
+    left = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cluster_id"
+    )
+    right = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cluster_id"
+    )
+    dropped = (
+        left.join(right, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_expr(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped.withColumn("d", F.lit(True)), id_col, "left").select(
+        id_col,
+        "cluster_id",
+        F.coalesce(~F.col("d"), F.lit(True)).alias("kept"),
+    )

@@ -297,3 +297,52 @@ def _text_profile_expr(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.select("*", *[F.col(f"__prof.{f}").alias(f) for f in fields]).drop(
         "__prof"
     )
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    of RAG indexing and long-document training: each document becomes
+    ceil(max(n - chunk_tokens, 0) / stride) + 1 windows of
+    `chunk_tokens` whitespace tokens, starting every `stride` tokens
+    (so consecutive chunks overlap by chunk_tokens - stride); the last
+    window is allowed to be short.  Empty documents yield no rows.
+
+    Returns (id, chunk_id, n_tokens, chunk_text) — chunk_id is the
+    0-based window index, deterministic from the text alone.
+
+    Scale shape: a single narrow projection + posexplode — no shuffle,
+    no window function, no Python.  The token array is built once per
+    row and sliced per chunk inside whole-stage codegen; output size is
+    ~n/stride rows per doc, produced streaming per input partition, so
+    the operator pipelines straight into a downstream embed/write stage
+    without a repartition.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("require 0 < stride <= chunk_tokens")
+    w = tokens(text_col)
+    n = F.coalesce(F.size(w), F.lit(0))  # NULL text → 0 tokens → no chunks
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.ceil((F.greatest(n - F.lit(chunk_tokens), F.lit(0)))
+               / F.lit(stride)).cast("int") + 1
+    )
+    # sequence(0, -1) would descend — guard the empty-document case
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = df.select(
+        F.col(id_col),
+        w.alias("__w"),
+        F.explode(idx).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("__w"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -509,3 +509,98 @@ def test_embedding_neardup_auto_never_collects_large(spark, monkeypatch):
         emb, min_cosine=0.4, broadcast_threshold=100, block_rows=150
     )
     assert out.count() > 0  # blocked path, driver never materializes corpus
+
+def test_connected_components_chains_and_cliques(spark):
+    """Min-label propagation must transitively close chains (A-B, B-C,
+    C-D → one component) — exactly what raw pair output lacks."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (4, 7), (7, 9)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.node_id, r.component_id)
+        for r in DD.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (7, 1), (9, 1),
+        (10, 10), (11, 10), (20, 20), (21, 20),
+    }
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path graph needs log-round pointer jumping, not just
+    one-hop propagation — converges well inside max_iter."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = DD.connected_components(pairs)
+    assert out.select("component_id").distinct().count() == 1
+    assert out.count() == n + 1
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert DD.connected_components(pairs).count() == 0
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    from hogzilla_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),   # near-dup of 1, same cluster → dropped
+            (3, [0.0, 1.0]),
+            (4, [0.01, 0.999]),   # near-dup of 3 → dropped
+            (5, [0.7, 0.71]),     # cluster 1 but dissimilar → kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_id, r.cluster_id, r.kept)
+        for r in semantic_dedup(
+            emb, [[1.0, 0.0], [0.0, 1.0]], threshold=0.99
+        ).collect()
+    }
+    assert got == {
+        (1, 0, True), (2, 0, False), (3, 1, True), (4, 1, False), (5, 1, True),
+    }
+
+def test_chunk_documents_windows(spark):
+    from hogzilla_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "a b"),
+            (3, ""),        # no chunks
+            (4, None),      # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    )
+    assert rows == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (2, 0, 2, "a b"),
+    ]
+
+def test_chunk_documents_overlap_covers_everything(spark):
+    """Every token index lands in at least one chunk; consecutive chunks
+    overlap by chunk_tokens - stride."""
+    from hogzilla_spark.operators.text import chunk_documents
+
+    text = " ".join(str(i) for i in range(257))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_id, r.chunk_text.split())
+        for r in chunk_documents(docs, chunk_tokens=64, stride=48).collect()
+    )
+    seen = set()
+    for cid, toks in rows:
+        assert len(toks) <= 64
+        seen.update(int(t) for t in toks)
+    assert seen == set(range(257))
+    assert [c for c, _ in rows] == list(range(len(rows)))

@@ -23,13 +23,18 @@ def plan_of(spark, qname: str) -> str:
     )
 
 def test_s6_filter_pushdown_and_pruning(spark):
-    plan = plan_of(spark, "s6_filtered_scan")
+    # s6 lives inside the s6_p2_scan_parse tagged union now; the orders
+    # scan must still push both equality filters and prune to the two
+    # projected + two filtered columns
+    plan = plan_of(spark, "s6_p2_scan_parse")
     assert "PushedFilters: [" in plan and (
         "EqualTo" in plan or "IsNotNull" in plan or "GreaterThan" in plan
     )
-    # column pruning: the scan must not read the wide text column
-    m = re.search(r"ReadSchema: ([^\n]*)", plan)
-    assert m and "text" not in m.group(1)
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    orders_schemas = [s for s in schemas if "o_orderkey" in s]
+    assert orders_schemas and all(
+        "o_comment" not in s and "o_totalprice" not in s for s in orders_schemas
+    )
 
 def test_stratified_sample_broadcasts_fractions(spark):
     plan = plan_of(spark, "stratified_sample")
@@ -112,3 +117,17 @@ def test_doc_quality_single_narrow_map(spark):
     none at all — the operator pipelines into the scan."""
     plan = plan_of(spark, "doc_quality")
     assert "Exchange" not in plan, plan
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is a narrow projection + explode: zero exchanges, so it
+    pipelines straight from the scan into a downstream embed/write."""
+    plan = plan_of(spark, "chunk_documents")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the explode actually happens plan-side
+
+def test_semantic_dedup_cluster_keyed_join(spark):
+    """The SemDeDup pairwise join must be an equi-join keyed by
+    cluster_id — never a cartesian/BNLJ over the corpus."""
+    plan = plan_of(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "cluster_id" in plan
