@@ -151,123 +151,159 @@ def doc_quality_signals(
       gopher_pass               — conjunction of all Gopher thresholds
 
     All fractions are 0.0 for empty documents and rounded to 6 places.
+
+    The computation is STAGED across four narrow selects rather than one
+    expression tree: the token/line arrays and the fold results are
+    named columns that later stages reference by name.  A single inlined
+    tree duplicates every shared subtree per consumer (the token array
+    appeared 6×, each fold twice — once in its signal, once in the pass
+    flag), which blew Catalyst analysis + codegen to ~10 s of constant
+    overhead; CollapseProject declines to merge projections that would
+    re-duplicate non-cheap expressions, so the staging survives
+    optimization and each fold is evaluated once per row.  Still a
+    narrow map with zero shuffles (asserted by the no-Exchange plan
+    test).
     """
-    text = F.col(text_col)
-    tok = tokens(text)
-    n_tok = F.size(tok)
-    lines = _lines(text)
-    n_lines = F.size(lines)
-    nz_tok = n_tok > 0
-    nz_lines = n_lines > 0
+    text = F.col("__text")
+    tok = F.col("__tok")
+    lines = F.col("__lines")
+
+    # stage 1: the expensive array derivations, once each
+    s1 = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        tokens(F.col(text_col)).alias("__tok"),
+        _lines(F.col(text_col)).alias("__lines"),
+    )
 
     symbols = (
         _count_occurrences(text, "#")
         + _count_occurrences(text, "...")
         + _count_occurrences(text, "…")
     )
-    symbol_word_ratio = F.when(
-        nz_tok, symbols.cast("double") / n_tok
-    ).otherwise(F.lit(0.0))
-
-    alpha_words = F.size(F.filter(tok, lambda t: t.rlike("[A-Za-z]")))
-    alpha_word_frac = F.when(
-        nz_tok, alpha_words.cast("double") / n_tok
-    ).otherwise(F.lit(0.0))
-
     tok_lower = F.transform(tok, lambda t: F.lower(t))
-    stop_distinct = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
-            lambda s: F.array_contains(tok_lower, s),
-        )
-    )
-
     first_char = lambda l: F.substring(l, 1, 1)  # noqa: E731
     bullet_set = F.array(*[F.lit(c) for c in BULLET_CHARS])
-    bullet_lines = F.size(
-        F.filter(lines, lambda l: F.array_contains(bullet_set, first_char(l)))
-    )
-    bullet_frac = F.when(
-        nz_lines, bullet_lines.cast("double") / n_lines
-    ).otherwise(F.lit(0.0))
-
-    ellipsis_lines = F.size(
-        F.filter(
-            lines,
-            lambda l: l.endswith("...") | l.endswith("…"),
-        )
-    )
-    ellipsis_frac = F.when(
-        nz_lines, ellipsis_lines.cast("double") / n_lines
-    ).otherwise(F.lit(0.0))
-
-    sorted_lines = F.sort_array(lines)
-    distinct_lines = F.size(F.array_distinct(lines))
-    dup_line_frac = F.when(
-        nz_lines, F.lit(1.0) - distinct_lines.cast("double") / n_lines
-    ).otherwise(F.lit(0.0))
-    line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l).cast("long")
-    )
-    dup_line_char_frac = F.when(
-        line_chars > 0, _dup_line_chars(sorted_lines).cast("double") / line_chars
-    ).otherwise(F.lit(0.0))
-
     # Token bigrams "a b"; coverage denominator is the character length of
     # the whitespace-normalized text: sum(len(tok)) + (n_tok - 1).
     # Guarded: sequence(1, n-1) with n < 2 would auto-descend (step -1)
     # into invalid 0/negative array indices.
     bigrams = F.when(
-        n_tok >= 2,
+        F.size(tok) >= 2,
         F.transform(
-            F.sequence(F.lit(1), n_tok - 1),
+            F.sequence(F.lit(1), F.size(tok) - 1),
             lambda i: F.concat(
                 F.element_at(tok, i), F.lit(" "), F.element_at(tok, i + 1)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top = _top_run(F.sort_array(bigrams))
-    tok_chars = F.aggregate(
-        tok, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+
+    # stage 2: every array scan / fold, once each, as scalar columns
+    s2 = s1.select(
+        id_col,
+        F.size(tok).alias("n_tok"),
+        F.size(lines).alias("n_lines"),
+        symbols.alias("__symbols"),
+        F.size(F.filter(tok, lambda t: t.rlike("[A-Za-z]"))).alias("__alpha_words"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+                lambda s: F.array_contains(tok_lower, s),
+            )
+        ).alias("stop_distinct"),
+        F.size(
+            F.filter(lines, lambda l: F.array_contains(bullet_set, first_char(l)))
+        ).alias("__bullet_lines"),
+        F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).alias("__ellipsis_lines"),
+        F.size(F.array_distinct(lines)).alias("__distinct_lines"),
+        F.aggregate(
+            lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l).cast("long")
+        ).alias("__line_chars"),
+        _dup_line_chars(F.sort_array(lines)).alias("__dup_chars"),
+        _top_run(F.sort_array(bigrams)).alias("__top"),
+        F.aggregate(
+            tok, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+        ).alias("__tok_chars"),
     )
-    norm_chars = tok_chars + (n_tok - 1)
-    top_bigram = F.when(n_tok >= 2, top["best"]).otherwise(F.lit(None).cast("string"))
-    top2gram_char_frac = F.when(
-        n_tok >= 2,
-        (top["cnt"] * F.length(top["best"])).cast("double") / norm_chars,
-    ).otherwise(F.lit(0.0))
 
-    atl = F.when(nz_tok, tok_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    # stage 3: unrounded ratios from the named scalars (cheap arithmetic)
+    n_tok = F.col("n_tok")
+    n_lines = F.col("n_lines")
+    nz_tok = n_tok > 0
+    nz_lines = n_lines > 0
+    top = F.col("__top")
+    norm_chars = F.col("__tok_chars") + (n_tok - 1)
+    s3 = s2.select(
+        id_col,
+        "n_tok",
+        "n_lines",
+        "stop_distinct",
+        F.when(nz_tok, F.col("__symbols").cast("double") / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("__symbol_word_ratio"),
+        F.when(nz_tok, F.col("__alpha_words").cast("double") / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("__alpha_word_frac"),
+        F.when(nz_lines, F.col("__bullet_lines").cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("__bullet_frac"),
+        F.when(nz_lines, F.col("__ellipsis_lines").cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("__ellipsis_frac"),
+        F.when(
+            nz_lines, F.lit(1.0) - F.col("__distinct_lines").cast("double") / n_lines
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__dup_line_frac"),
+        F.when(
+            F.col("__line_chars") > 0,
+            F.col("__dup_chars").cast("double") / F.col("__line_chars"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__dup_line_char_frac"),
+        F.when(n_tok >= 2, top["best"])
+        .otherwise(F.lit(None).cast("string"))
+        .alias("top_bigram"),
+        F.when(
+            n_tok >= 2,
+            (top["cnt"] * F.length(top["best"])).cast("double") / norm_chars,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__top2gram_char_frac"),
+        F.when(nz_tok, F.col("__tok_chars").cast("double") / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("__atl"),
+    )
 
-    sig = {
-        "n_tok": n_tok,
-        "n_lines": n_lines,
-        "symbol_word_ratio": F.round(symbol_word_ratio, 6),
-        "alpha_word_frac": F.round(alpha_word_frac, 6),
-        "stop_distinct": stop_distinct,
-        "bullet_frac": F.round(bullet_frac, 6),
-        "ellipsis_frac": F.round(ellipsis_frac, 6),
-        "dup_line_frac": F.round(dup_line_frac, 6),
-        "dup_line_char_frac": F.round(dup_line_char_frac, 6),
-        "top_bigram": top_bigram,
-        "top2gram_char_frac": F.round(top2gram_char_frac, 6),
-    }
+    # stage 4: rounded output + the pass flag over the UNrounded ratios
     gopher_pass = (
         (n_tok >= MIN_WORDS)
         & (n_tok <= MAX_WORDS)
-        & (atl >= MIN_ATL)
-        & (atl <= MAX_ATL)
-        & (symbol_word_ratio < MAX_SYMBOL_WORD_RATIO)
-        & (bullet_frac < MAX_BULLET_FRAC)
-        & (ellipsis_frac < MAX_ELLIPSIS_FRAC)
-        & (alpha_word_frac > MIN_ALPHA_WORD_FRAC)
-        & (stop_distinct >= MIN_STOP_DISTINCT)
-        & (dup_line_frac < MAX_DUP_LINE_FRAC)
-        & (dup_line_char_frac < MAX_DUP_LINE_CHAR_FRAC)
-        & (top2gram_char_frac < MAX_TOP2GRAM_CHAR_FRAC)
+        & (F.col("__atl") >= MIN_ATL)
+        & (F.col("__atl") <= MAX_ATL)
+        & (F.col("__symbol_word_ratio") < MAX_SYMBOL_WORD_RATIO)
+        & (F.col("__bullet_frac") < MAX_BULLET_FRAC)
+        & (F.col("__ellipsis_frac") < MAX_ELLIPSIS_FRAC)
+        & (F.col("__alpha_word_frac") > MIN_ALPHA_WORD_FRAC)
+        & (F.col("stop_distinct") >= MIN_STOP_DISTINCT)
+        & (F.col("__dup_line_frac") < MAX_DUP_LINE_FRAC)
+        & (F.col("__dup_line_char_frac") < MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("__top2gram_char_frac") < MAX_TOP2GRAM_CHAR_FRAC)
     )
-    return df.select(
-        F.col(id_col),
-        *[c.alias(name) for name, c in sig.items()],
+    return s3.select(
+        id_col,
+        "n_tok",
+        "n_lines",
+        F.round(F.col("__symbol_word_ratio"), 6).alias("symbol_word_ratio"),
+        F.round(F.col("__alpha_word_frac"), 6).alias("alpha_word_frac"),
+        "stop_distinct",
+        F.round(F.col("__bullet_frac"), 6).alias("bullet_frac"),
+        F.round(F.col("__ellipsis_frac"), 6).alias("ellipsis_frac"),
+        F.round(F.col("__dup_line_frac"), 6).alias("dup_line_frac"),
+        F.round(F.col("__dup_line_char_frac"), 6).alias("dup_line_char_frac"),
+        "top_bigram",
+        F.round(F.col("__top2gram_char_frac"), 6).alias("top2gram_char_frac"),
         gopher_pass.alias("gopher_pass"),
     )
