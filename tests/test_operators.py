@@ -604,3 +604,19 @@ def test_chunk_documents_overlap_covers_everything(spark):
         seen.update(int(t) for t in toks)
     assert seen == set(range(257))
     assert [c for c, _ in rows] == list(range(len(rows)))
+
+def test_semantic_dedup_kernel_matches_expr(spark):
+    """The BLAS kernel path and the pure-expression path are the same
+    operator — identical (vec_id, cluster_id, kept) on real testdata."""
+    from hogzilla_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(emb.vec_id.isin(3, 67, 131, 195)).orderBy("vec_id").collect()
+    ]
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    kern = as_set(semantic_dedup(emb, cents, threshold=0.35, strategy="kernel"))
+    expr = as_set(semantic_dedup(emb, cents, threshold=0.35, strategy="expr"))
+    assert kern == expr
+    assert any(not k for _, _, k in kern)  # the drop path is exercised
