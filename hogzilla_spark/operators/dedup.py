@@ -705,6 +705,24 @@ def simhash_pairs(
 
 # --- embedding near-dup -----------------------------------------------------
 
+def _round6_select(sims, min_cosine: float):
+    """(ii, jj, rounded) of matrix entries whose SQL-ROUND-6 value is
+    >= min_cosine — the shared post-matmul step of every cosine kernel.
+
+    round6(x) >= t  ⟺  x >= (round(t·1e6) − 0.5)/1e6, so ONE full-array
+    compare + nonzero selects the candidates (with 1e-9 slack for the
+    float division) and the exact half-away round runs only on that
+    small set.  The naive order — round the whole matrix, then mask —
+    costs ~5 extra full-matrix passes, and the kernels are memory-
+    bandwidth-bound: at sf1 it more than tripled wall time."""
+    import numpy as np
+
+    loose = (round(min_cosine * 1e6) - 0.5) / 1e6 - 1e-9
+    ii, jj = np.nonzero(sims >= loose)
+    s = np.floor(sims[ii, jj] * 1e6 + 0.5) / 1e6
+    keep = s >= min_cosine
+    return ii[keep], jj[keep], s[keep]
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -766,18 +784,13 @@ def _embedding_neardup_broadcast(
             q = q / np.where(qn == 0, 1.0, qn)
             qids = pdf[id_col].to_numpy(dtype=np.int64)
             sims = q @ corpus.T  # one BLAS call per Arrow batch
-            # half-away rounding (numpy's np.round is half-to-even, which
-            # disagrees with SQL ROUND at exact .5 boundaries); kept
-            # values are all positive here.  Whole-matrix mask + nonzero:
-            # no Python per-row loop.
-            s = np.floor(sims * 1e6 + 0.5) / 1e6
-            mask = (s >= min_cosine) & (corpus_ids[None, :] > qids[:, None])
-            ii, jj = np.nonzero(mask)
+            ii, jj, s = _round6_select(sims, min_cosine)
+            keep = corpus_ids[jj] > qids[ii]
             yield pd.DataFrame(
                 {
-                    "id_a": qids[ii],
-                    "id_b": corpus_ids[jj],
-                    "cosine": s[ii, jj],
+                    "id_a": qids[ii[keep]],
+                    "id_b": corpus_ids[jj[keep]],
+                    "cosine": s[keep],
                 }
             )
 
@@ -851,17 +864,15 @@ def _embedding_neardup_blocked(
                 {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
             )
         sims = va @ vb.T  # one BLAS call per block pair
-        # half-away rounding, matching the broadcast kernel and SQL ROUND
-        s = np.floor(sims * 1e6 + 0.5) / 1e6
-        mask = s >= min_cosine
+        ii, jj, s = _round6_select(sims, min_cosine)
         if ba == bb:
-            mask &= ib[None, :] > ia[:, None]  # one direction, no diagonal
-        ii, jj = np.nonzero(mask)
+            keep = ib[jj] > ia[ii]  # one direction, no diagonal
+            ii, jj, s = ii[keep], jj[keep], s[keep]
         return pd.DataFrame(
             {
                 "id_a": np.minimum(ia[ii], ib[jj]),
                 "id_b": np.maximum(ia[ii], ib[jj]),
-                "cosine": s[ii, jj],
+                "cosine": s,
             }
         )
 

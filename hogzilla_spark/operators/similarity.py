@@ -308,6 +308,8 @@ def semantic_dedup(
         import numpy as np
         import pandas as pd
 
+        from hogzilla_spark.operators.dedup import _round6_select
+
         def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
             order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
             ids = pdf[id_col].to_numpy()[order]
@@ -318,12 +320,11 @@ def semantic_dedup(
             for lo in range(0, len(ids), block_rows):
                 hi = min(lo + block_rows, len(ids))
                 sims = normed[lo:hi] @ normed.T  # one BLAS slab per block
-                # half-away rounding to 6 (SQL ROUND; np.round is
-                # half-to-even) before the threshold compare, matching
-                # the expression twin and the oracle
-                s = np.floor(sims * 1e6 + 0.5) / 1e6
-                hit = (s >= threshold) & (ids[None, :] < ids[lo:hi, None])
-                dropped[lo:hi] |= hit.any(axis=1)
+                # candidate-select then exact SQL-ROUND-6, matching the
+                # expression twin and the oracle (see _round6_select)
+                ii, jj, _ = _round6_select(sims, threshold)
+                hit = ids[jj] < ids[lo + ii]  # a lower id dominates
+                dropped[lo + ii[hit]] = True
             return pd.DataFrame(
                 {
                     id_col: ids,

@@ -135,7 +135,18 @@ def main() -> None:
         tiled = pa.concat_tables(
             [replica(name, tab, r, strides) for r in range(n)]
         )
-        pq.write_table(tiled, dst / f"{name}.parquet", version="2.6")
+        # bounded row groups: pyarrow's default can emit the whole tile
+        # as ONE row group, which Spark cannot split — every scan of the
+        # scaled table would run on one core and the benchmark would
+        # measure the file layout, not the engine.  One row group per
+        # source-sized tile mirrors how a real corpus ships (many
+        # files/row groups).
+        pq.write_table(
+            tiled,
+            dst / f"{name}.parquet",
+            version="2.6",
+            row_group_size=max(tab.num_rows, 10_000),
+        )
         print(f"{name}: {tab.num_rows} -> {tiled.num_rows}")
 
 if __name__ == "__main__":
