@@ -28,6 +28,7 @@ from hogzilla_spark.operators import joins as J
 from hogzilla_spark.operators import similarity as SIM
 from hogzilla_spark.operators import text as TXT
 from hogzilla_spark.operators import windows as W
+from hogzilla_spark.sources.catalog import spread_small_scan
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -643,8 +644,8 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    structured = docs.select(
-        "doc_id", F.array_join(lines, "\n").alias("text2")
+    structured = spread_small_scan(
+        docs.select("doc_id", F.array_join(lines, "\n").alias("text2"))
     )
     return DD.dedup_lines(structured, id_col="doc_id", text_col="text2")
 
@@ -653,7 +654,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-token windows every 48 tokens, short final window, empty docs
     emit nothing.  Pure narrow projection + posexplode — zero shuffles
     (operators/text.chunk_documents)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
     ch = TXT.chunk_documents(docs, chunk_tokens=64, stride=48)
     return ch.select(
         "doc_id",
@@ -667,10 +668,12 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     A1.1; Raffel et al. 2020 §2.2): word/line stats, symbol and bullet
     ratios, duplicate-line fractions, top-bigram coverage, and the
     combined gopher_pass flag.  Pure per-row array expressions — zero
-    shuffles (see operators/quality.py docstring for the 100 TB plan)."""
+    shuffles in the operator (see operators/quality.py docstring for
+    the 100 TB plan); spread_small_scan floors the parallelism when the
+    input is an unsplittable single-row-group file (no-op at scale)."""
     from hogzilla_spark.operators import quality as QL
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
     return QL.doc_quality_signals(docs)
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,7 +681,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios, quality score, fingerprint, heuristic language ID, and the
     BPE-ish LLM-token budget estimate (text.token_count_bpe — identical
     \\p{L}/\\p{N} regex classes in Java regex and RE2)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
     prof = TXT.text_profile(docs)
     return prof.select(
         "doc_id",
@@ -984,7 +987,9 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     redaction with typed placeholders.  Every 10th doc gets
     deterministic injected PII so the redaction paths have signal; the
     oracle injects and scrubs with the identical chain."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     did = F.col("doc_id")
     injected = F.concat(
         F.col("text"),

@@ -65,3 +65,23 @@ def read_stream(spark: SparkSession, path: str, name: str) -> DataFrame:
     S17 replacement for the reference's destructive polling)."""
     schema = ALL_TABLES[name]
     return spark.readStream.schema(schema).parquet(path)
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Adaptive parallelism floor for narrow zero-shuffle pipelines.
+
+    A heavy per-row operator (quality folds, tokenization, chunking)
+    pipelined into a scan inherits the scan's split count — and a small
+    single-row-group parquet file is UNSPLITTABLE, so the whole query
+    runs on one core no matter how many are idle.  When the input has
+    fewer partitions than the cluster's default parallelism, round-robin
+    repartition once (the shuffled payload is by definition small — a
+    big input would already have enough splits); otherwise return the
+    input untouched.  At 100 TB this is a structural no-op: ~800k splits
+    vs ~thousands of slots, so the condition is never true and the plan
+    is the same zero-shuffle narrow map the plan tests assert on
+    well-partitioned input.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
