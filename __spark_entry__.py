@@ -930,6 +930,37 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
 
+def q_f5_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two o_totalprice distribution summaries in one tagged union
+    (merged for the 50-slot registry budget): 'f5' = log-bin histogram
+    rows (key = bin), 'q' = exact per-priority discrete quantiles."""
+    f5 = q_f5_log_bins(spark, sf_dir).select(
+        F.lit("f5").alias("part"),
+        F.col("bin").cast("string").alias("key"),
+        F.col("n"),
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p95"),
+        F.lit(None).cast("double").alias("p99"),
+    )
+    qs = q_quantiles(spark, sf_dir).select(
+        F.lit("q").alias("part"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n"),
+        "p50",
+        "p95",
+        "p99",
+    )
+    return f5.unionByName(qs)
+
+BM25_TERMS = ["hash", "join", "window", "spark", "vector"]
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword search (operators/text.bm25_topk): top-20
+    documents for a 5-term query, integer-microunit scores so the
+    cross-term sum is exact in any engine."""
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
+    return TXT.bm25_topk(docs, BM25_TERMS, k=20)
+
 def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two time-bucketing grains in one tagged union: 'hop10m' =
     sliding/hopping event-time windows via native F.window (10-minute
@@ -1333,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new/changed this round — need fresh driver evidence
         "dedup_components": q_dedup_components,
+        "bm25_topk": q_bm25_topk,
         "semantic_dedup": q_semantic_dedup,
         "chunk_documents": q_chunk_documents,
         "dedup_lines": q_dedup_lines,
@@ -1372,7 +1404,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
-        "quantiles": q_quantiles,
         # long-stable basics
         "a1_lineitem_rollup": q_a1_lineitem_rollup,
         "a2_events_rollup": q_a2_events_rollup,
@@ -1383,7 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_j5_joins": q_j3_j5_joins,
         "o1_topk": q_o1_topk,
         "s6_p2_scan_parse": q_s6_p2_scan_parse,
-        "f5_log_bins": q_f5_log_bins,
+        "f5_quantiles": q_f5_quantiles,
         "h1_h2_hist_scores": q_h1_h2_hist_scores,
         # rows-only (no oracle possible) — keep last
         "multimodal_features": q_multimodal_features,
@@ -1626,11 +1657,6 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT), -1) AS a,
                COUNT(*) AS b
         FROM events GROUP BY 1, 2
-    """
-
-    sql["f5_log_bins"] = """
-        SELECT CAST(FLOOR(LN(o_totalprice + 1.0)) AS BIGINT) AS bin, COUNT(*) AS n
-        FROM orders GROUP BY 1
     """
 
     sql["f_scalar_suite"] = """
@@ -1937,13 +1963,48 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
 
-    sql["quantiles"] = """
-        SELECT o_orderpriority,
+    # F5 log-bin histogram + exact discrete quantiles, tagged halves
+    sql["f5_quantiles"] = """
+        SELECT 'f5' AS part, CAST(CAST(FLOOR(LN(o_totalprice + 1.0)) AS BIGINT) AS VARCHAR) AS key,
+               COUNT(*) AS n,
+               CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p95, CAST(NULL AS DOUBLE) AS p99
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'q' AS part, o_orderpriority AS key,
+               CAST(COUNT(*) AS BIGINT) AS n,
                quantile_disc(o_totalprice, 0.5) AS p50,
                quantile_disc(o_totalprice, 0.95) AS p95,
-               quantile_disc(o_totalprice, 0.99) AS p99,
-               CAST(COUNT(*) AS BIGINT) AS n
+               quantile_disc(o_totalprice, 0.99) AS p99
         FROM orders GROUP BY o_orderpriority
+    """
+
+    # BM25: identical tokenization to the text family; per-(doc,term)
+    # contributions rounded to integer microunits BEFORE the cross-term
+    # sum, so aggregation order cannot perturb the hash.
+    _terms_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["bm25_topk"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS w
+          FROM documents),
+        d AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM d),
+        hits AS (
+          SELECT doc_id, dl, unnest(w) AS term FROM d),
+        q AS (SELECT doc_id, dl, term FROM hits WHERE term IN ({_terms_sql})),
+        tf AS (
+          SELECT doc_id, term, ANY_VALUE(dl) AS dl, COUNT(*) AS tf
+          FROM q GROUP BY doc_id, term),
+        dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY term),
+        sc AS (
+          SELECT t.doc_id,
+                 CAST(ROUND(LN(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                      * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))
+                      * 1000000) AS BIGINT) AS su
+          FROM tf t JOIN dfq f USING (term) CROSS JOIN stats s)
+        SELECT doc_id, CAST(SUM(su) AS BIGINT) AS score_u, COUNT(*) AS n_hits
+        FROM sc GROUP BY doc_id
+        ORDER BY score_u DESC, doc_id LIMIT 20
     """
 
     # time_buckets: hopping part — every event belongs to exactly two

@@ -346,3 +346,68 @@ def chunk_documents(
         F.size(chunk).alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 keyword scoring: top-`k` documents for a bag of query
+    `terms` (Robertson & Walker 1994; the Lucene `ln(1 + (N-df+0.5)/
+    (df+0.5))` idf form, always positive).
+
+    Returns (id, score_u, n_hits): score_u is the BM25 score in integer
+    MICROUNITS — each per-(doc,term) contribution is rounded to 1e-6
+    and summed as a BIGINT, so the cross-term addition is exact integer
+    math and hash-identical in any engine (double sums are
+    order-sensitive in the last ulp; an oracle cannot replay Spark's
+    aggregation order).  n_hits = distinct query terms present.
+
+    Scale shape: the explode is immediately filtered to the query terms
+    (a broadcast isin — the inverted index never materializes for
+    non-query vocabulary), tf is a (doc,term) groupBy with map-side
+    combine, df/idf is a ≤|terms|-row aggregate joined back broadcast,
+    and the final ranking is TakeOrderedAndProject via `top_k`.  Corpus
+    stats (N, avgdl) are ONE single-row aggregate collected up front
+    and baked into the plan as literals (the kmeans-stats pattern; a
+    broadcast cross join would plan as the BroadcastNestedLoopJoin the
+    plan suite bans) — the corpus itself never collects.
+    """
+    from hogzilla_spark.operators.topk import top_k
+
+    toks = tokens(F.lower(F.col(text_col)))
+    d = df.select(F.col(id_col), toks.alias("__w")).select(
+        id_col, F.size("__w").alias("__dl"), "__w"
+    )
+    n_docs, avgdl = d.agg(
+        F.count(F.lit(1)), F.avg("__dl")
+    ).first()
+    hits = (
+        d.select(id_col, "__dl", F.explode("__w").alias("__term"))
+        .filter(F.col("__term").isin(*terms))
+    )
+    tf = hits.groupBy(id_col, "__term").agg(
+        F.first("__dl").alias("__dl"), F.count(F.lit(1)).alias("__tf")
+    )
+    dfreq = hits.groupBy("__term").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("__tf") * (k1 + 1)) / (
+        F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.lit(float(avgdl)))
+    )
+    scored = tf.join(F.broadcast(dfreq), "__term").select(
+        id_col,
+        F.round(idf * tf_part * 1e6).cast("long").alias("__su"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("__su").alias("score_u"), F.count(F.lit(1)).alias("n_hits")
+    )
+    return top_k(per_doc, [F.col("score_u").desc(), F.col(id_col)], k)

@@ -620,3 +620,32 @@ def test_semantic_dedup_kernel_matches_expr(spark):
     expr = as_set(semantic_dedup(emb, cents, threshold=0.35, strategy="expr"))
     assert kern == expr
     assert any(not k for _, _, k in kern)  # the drop path is exercised
+
+def test_bm25_hand_computed(spark):
+    """BM25 microunit scores against a by-hand computation (Lucene idf
+    form, k1=1.2, b=0.75)."""
+    import math
+
+    from hogzilla_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog dog dog fish"),
+            (3, "bird bird"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.score_u, r.n_hits) for r in bm25_topk(docs, ["cat", "dog"], k=10).collect()}
+
+    n, avgdl = 3, (3 + 4 + 2) / 3
+    def score(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    def u(x):
+        return int(math.floor(x * 1e6 + 0.5))
+    want = {
+        1: (u(score(2, 1, 3)) + u(score(1, 2, 3)), 2),  # cat×2, dog×1
+        2: (u(score(3, 2, 4)), 1),                      # dog×3
+    }
+    assert got == want
