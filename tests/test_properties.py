@@ -205,3 +205,48 @@ def test_jpeg_q100_bounded_error_property(dims):
     # q=100 → unit quant steps: error bounded by chroma subsampling-free
     # DCT rounding; random noise worst case stays within ~16 levels
     assert np.abs(back.astype(int) - img.astype(int)).max() <= 24
+
+@settings(max_examples=20, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation == a sequential union-find on
+    arbitrary random graphs (chains, stars, cliques, forests)."""
+    from hogzilla_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    nodes = {v for e in edges for v in e}
+    # canonical component id = min node id in the component
+    comp_min: dict[int, int] = {}
+    for v in nodes:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {(v, comp_min[find(v)]) for v in nodes}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r.node_id, r.component_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want

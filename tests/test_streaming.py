@@ -244,3 +244,48 @@ def test_socket_wordcount_live(spark, tmp_path):
     finally:
         q.stop()
         server.close()
+
+def test_dedup_stream_first_arrival_wins(spark, tmp_path):
+    """Streaming exact dedup: a duplicate arriving in a LATER micro-batch
+    is dropped; new content passes; the survivor matches the batch
+    dedup_exact keep rule (first arrival = earliest file fed in)."""
+    import datetime as dt
+
+    from hogzilla_spark.streaming.dedup_stream import dedup_stream
+
+    input_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    schema = "doc_id long, text string, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [(1, "the quick brown fox", t0),
+         (2, "entirely different text", t0)], schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(input_dir)
+
+    def drain():
+        q = (
+            dedup_stream(spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).parquet(input_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # batch 2: one exact dup (whitespace-normalized match) + one new doc
+    batch2 = spark.createDataFrame(
+        [(3, "  THE  quick   brown fox ", t0 + dt.timedelta(minutes=1)),
+         (4, "brand new content", t0 + dt.timedelta(minutes=1))], schema
+    )
+    batch2.coalesce(1).write.mode("append").parquet(input_dir)
+    drain()
+
+    rows = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {1, 2, 4}  # doc 3 is the normalized dup of doc 1
