@@ -1360,7 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only entry (multimodal_features, whose binary decode DuckDB
     cannot replay — covered by codec round-trip unit suites) sits last.
     Near-duplicate basics are tagged unions of their originals
-    (a5+a9, j3+j5, s6+p2, h1+h2) to stay inside the budget."""
+    (a5+a9, j3+j5, s6+p2, h1+h2, f5+quantiles) to stay inside the
+    budget."""
     return {
         # new/changed this round — need fresh driver evidence
         "dedup_components": q_dedup_components,
