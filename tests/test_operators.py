@@ -649,3 +649,32 @@ def test_bm25_hand_computed(spark):
         2: (u(score(3, 2, 4)), 1),                      # dog×3
     }
     assert got == want
+
+def test_semantic_dedup_blocked_kernel_matches_single_slab(spark):
+    """block_rows smaller than the cluster exercises the block loop;
+    results must equal the single-slab run."""
+    from hogzilla_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(emb.vec_id.isin(3, 67)).orderBy("vec_id").collect()
+    ]
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    small = as_set(semantic_dedup(emb, cents, threshold=0.35, block_rows=7))
+    big = as_set(semantic_dedup(emb, cents, threshold=0.35, block_rows=1 << 20))
+    assert small == big and any(not k for _, _, k in small)
+
+def test_chunk_documents_non_overlapping(spark):
+    """stride == chunk_tokens gives exact partitioning: chunks
+    concatenate back to the token stream."""
+    from hogzilla_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(10)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.chunk_id, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=4, stride=4).collect()
+    )
+    assert [t for _, t in rows] == ["0 1 2 3", "4 5 6 7", "8 9"]
