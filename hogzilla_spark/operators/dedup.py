@@ -1041,7 +1041,9 @@ def connected_components(
             )
             .select("id", F.least(F.coalesce("lbl2", "lbl"), F.col("lbl")).alias("lbl"))
         )
-        labels = shortcut.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence sum is the materializing
+        # action, so each round costs ONE job instead of two
+        labels = shortcut.localCheckpoint(eager=False)
         cur = _sum(labels)
         if cur == prev:
             break

@@ -85,3 +85,37 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    name: str | None = None,
+    schema=None,
+) -> DataFrame:
+    """Schema-enforced JSONL ingest with corrupt-record capture — the
+    wire format crawls and log shippers actually deliver documents in.
+
+    The schema comes from the engine catalog (`name`) or an explicit
+    `schema`; a `_corrupt_record` column is appended so malformed lines
+    land as quarantine rows instead of silently nulling fields
+    (PERMISSIVE mode) — at 100 TB a `DROPMALFORMED` read erases the
+    evidence a data-quality sweep needs.  Line-delimited JSON is
+    SPLITTABLE (unlike multiline JSON): input parallelism is file
+    splits, same as parquet.
+    """
+    from pyspark.sql import types as T
+
+    from hogzilla_spark.schemas import ALL_TABLES
+
+    base = schema if schema is not None else ALL_TABLES.get(name)
+    if base is None:
+        raise ValueError(f"no schema for table {name!r}; pass schema=")
+    with_quarantine = T.StructType(
+        list(base.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(with_quarantine)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

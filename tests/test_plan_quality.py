@@ -147,3 +147,10 @@ def test_semantic_dedup_cluster_keyed_join(spark):
     plan = plan_of(spark, "semantic_dedup")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "cluster_id" in plan
+
+def test_bm25_broadcasts_idf_and_takes_ordered(spark):
+    """BM25: the df/idf side joins broadcast (≤|terms| rows) and the
+    final top-k is TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -65,3 +65,21 @@ def test_schema_enforced_read(spark, tmp_path):
     back = catalog.read_table(spark, path, "mynets")
     assert back.schema["prefix"].dataType.typeName() == "string"
     assert [r.prefix for r in back.collect()] == ["10.1."]
+
+def test_read_jsonl_documents_with_quarantine(spark, tmp_path):
+    """JSONL ingest: good lines parse under the catalog schema, corrupt
+    lines land in _corrupt_record instead of vanishing."""
+    from hogzilla_spark.sources.catalog import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}\n'
+        '{"doc_id": 2, "text": "zwei", "lang": "de", "source": "web", "n_chars": 4}\n'
+        "this is not json at all\n"
+    )
+    df = read_jsonl(spark, str(p), "documents").cache()
+    good = df.filter(df._corrupt_record.isNull())
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert bad.count() == 1
+    assert "not json" in bad.collect()[0]._corrupt_record
