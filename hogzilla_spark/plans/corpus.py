@@ -1,0 +1,131 @@
+"""End-to-end training-corpus preparation pipeline.
+
+The beyond-reference operators composed the way a real ingest run
+chains them — one command from a raw document table to a cleaned,
+deduplicated, chunked, shard-packed corpus:
+
+  1. exact dedup        keep the first (min doc_id) per normalized-text
+                        fingerprint (`operators/dedup.dedup_exact`)
+  2. line dedup         strip corpus-duplicated lines, keep-first
+                        (C4; `operators/dedup.dedup_lines`)
+  3. quality signals    Gopher/C4 flags (`operators/quality`); rows are
+                        FLAGGED by default and dropped only with
+                        `drop_low_quality=True` — synthetic or
+                        non-English corpora fail the stopword gate
+                        wholesale, and silently emptying a corpus is
+                        worse than shipping the flag
+  4. near-dup clusters  MinHash-LSH pairs → connected components →
+                        keep each cluster's canonical (min-id) member
+  5. chunk + shard      overlapping token windows + token-budget shard
+                        ids (`chunk_documents`, `pack_token_shards`)
+
+Outputs under `out`:
+  clean_docs.parquet    survivors with text_clean, quality flag, shard_id
+  chunks.parquet        (doc_id, chunk_id, n_tokens, chunk_text)
+and returns (and prints, under the CLI) a per-stage count report.
+
+Scale notes: every stage is one of the independently plan-tested
+operators; stages hand off doc-id-keyed tables with a localCheckpoint
+per boundary, so the composed lineage never re-derives an earlier
+stage (the incremental-LSH checkpoint lesson applied at pipeline
+grain).  Counts are one action per stage boundary — the report is the
+observability a real ingest wants anyway.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hogzilla_spark.operators import dedup as DD
+from hogzilla_spark.operators.quality import doc_quality_signals
+from hogzilla_spark.operators.sampling import pack_token_shards
+from hogzilla_spark.operators.text import chunk_documents
+from hogzilla_spark.sources.catalog import spread_small_scan
+
+def prepare_corpus(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    min_jaccard: float = 0.3,
+    drop_low_quality: bool = False,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    shard_budget: int = 65_536,
+) -> dict:
+    docs = spread_small_scan(
+        spark.read.parquet(f"{src_dir}/documents.parquet")
+    ).localCheckpoint(eager=True)
+    report: dict[str, int] = {"input_docs": docs.count()}
+
+    # 1. exact dedup
+    docs = DD.dedup_exact(docs).localCheckpoint(eager=True)
+    report["after_exact_dedup"] = docs.count()
+
+    # 2. cross-document line dedup (rewrites text)
+    lines = DD.dedup_lines(docs)
+    docs = (
+        docs.drop("text")
+        .join(lines, "doc_id")
+        .withColumnRenamed("text_clean", "text")
+        .localCheckpoint(eager=True)
+    )
+    report["lines_removed"] = docs.agg(F.sum("n_removed")).collect()[0][0] or 0
+
+    # 3. quality flags on the cleaned text
+    sig = doc_quality_signals(docs).select("doc_id", "n_tok", "gopher_pass")
+    docs = docs.join(sig, "doc_id").localCheckpoint(eager=True)
+    report["gopher_pass"] = docs.filter("gopher_pass").count()
+    if drop_low_quality:
+        docs = docs.filter("gopher_pass").localCheckpoint(eager=True)
+        report["after_quality_drop"] = docs.count()
+
+    # 4. near-dup clusters → keep canonical member per component
+    pairs = DD.minhash_lsh_pairs(docs, min_jaccard=min_jaccard)
+    comp = DD.connected_components(pairs)
+    losers = comp.filter("node_id != component_id").select(
+        F.col("node_id").alias("doc_id")
+    )
+    docs = docs.join(losers, "doc_id", "left_anti").localCheckpoint(eager=True)
+    report["after_neardup_dedup"] = docs.count()
+
+    # 5. shard packing at document grain, then chunking
+    packed = pack_token_shards(
+        docs, token_col="n_tok", budget=shard_budget, order_col="doc_id",
+        partition_cols=["lang"],
+    )
+    packed.write.mode("overwrite").parquet(f"{out_dir}/clean_docs.parquet")
+    chunks = chunk_documents(docs, chunk_tokens=chunk_tokens, stride=stride)
+    chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks.parquet")
+    report["output_docs"] = report["after_neardup_dedup"]
+    report["output_chunks"] = spark.read.parquet(
+        f"{out_dir}/chunks.parquet"
+    ).count()
+    return report
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-jaccard", type=float, default=0.3)
+    ap.add_argument("--drop-low-quality", action="store_true")
+    ap.add_argument("--shard-budget", type=int, default=65_536)
+    args = ap.parse_args()
+    from hogzilla_spark import get_spark
+
+    spark = get_spark(app_name="hogzilla_corpus_prep")
+    spark.sparkContext.setLogLevel("ERROR")
+    report = prepare_corpus(
+        spark, args.src, args.out,
+        min_jaccard=args.min_jaccard,
+        drop_low_quality=args.drop_low_quality,
+        shard_budget=args.shard_budget,
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+if __name__ == "__main__":
+    main()
