@@ -1,0 +1,139 @@
+"""Streaming near-duplicate CANDIDATE generation: MinHash-LSH banding
+as a stateful streaming operator.
+
+The batch path (`operators/dedup.minhash_lsh_pairs` and its
+incremental band-index variant) answers "which documents in this
+corpus/batch are near-dups".  At ingest the question inverts: "is THIS
+arriving document a near-dup of anything seen so far" — without
+re-scanning the corpus.  This operator keeps the LSH band index AS
+STREAMING STATE: each arriving document fans out to its band rows
+map-side (built with the same `minhash_signature`/`minhash_bands`
+expressions as batch, so signatures agree bit-for-bit with the batch
+index and the DuckDB oracle), each band bucket's state holds the
+(id, signature) list seen so far, and a bucket collision emits a
+candidate pair scored by the minhash match fraction — the standard
+unbiased Jaccard estimate.
+
+Contract — candidates, not verdicts: exact-Jaccard verification (and
+pair de-duplication across the `num_bands` buckets a pair can collide
+in) belongs downstream, exactly as in the batch pipeline; est_jaccard
+never replaces the exact check.  State per bucket is FIFO-capped at
+`max_bucket_state` signatures (K longs each) — a hot boilerplate
+bucket stays bounded; the periodic batch sweep catches what an evicted
+signature would have.  Output mode is append: emitted pairs are facts
+and are never retracted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hogzilla_spark.operators.dedup import (
+    minhash_bands,
+    minhash_signature,
+    word_shingles,
+)
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ]
+)
+
+# state: parallel arrays — ids, and the K·len(ids) flattened signature
+# longs (nested arrays kept out of the state row on purpose)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs_flat", T.ArrayType(T.LongType())),
+    ]
+)
+
+def _make_bucket_fn(num_hashes: int, min_est: float, max_state: int):
+    def bucket_fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, flat = state.get
+            ids = list(ids)
+            sigs = [
+                list(flat[i * num_hashes : (i + 1) * num_hashes])
+                for i in range(len(ids))
+            ]
+        else:
+            ids, sigs = [], []
+        known = set(ids)
+        out_a, out_b, out_e = [], [], []
+        rows = []
+        for pdf in pdfs:
+            for did, sig in zip(pdf["id"], pdf["sig"]):
+                rows.append((int(did), [int(x) for x in sig]))
+        # deterministic within-batch order: earlier id = "seen first"
+        rows.sort(key=lambda r: r[0])
+        for did, sig in rows:
+            if did in known:  # replay / duplicate arrival of the same id
+                continue
+            for oid, osig in zip(ids, sigs):
+                match = sum(a == b for a, b in zip(sig, osig)) / num_hashes
+                if match >= min_est:
+                    out_a.append(min(did, oid))
+                    out_b.append(max(did, oid))
+                    out_e.append(round(match, 6))
+            ids.append(did)
+            sigs.append(sig)
+            known.add(did)
+        if len(ids) > max_state:  # FIFO eviction, bounded bucket state
+            ids = ids[-max_state:]
+            sigs = sigs[-max_state:]
+        state.update((ids, [x for s in sigs for x in s]))
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e}
+            )
+
+    return bucket_fn
+
+def minhash_pair_stream(
+    docs: DataFrame,
+    min_est_jaccard: float = 0.5,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_state: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs from a streaming document frame.
+
+    Returns an append-mode stream of (id_a, id_b, est_jaccard); a pair
+    colliding in several bands is emitted by each — downstream
+    `dropDuplicates(["id_a", "id_b"])` (or the exact-verify join)
+    collapses them.
+    """
+    sig = minhash_signature(word_shingles(F.col(text_col)), num_hashes)
+    banded = (
+        docs.select(F.col(id_col).cast("long").alias("id"), sig.alias("sig"))
+        .filter(F.size("sig") > 0)
+        .select(
+            "id",
+            "sig",
+            F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"),
+        )
+        .select("id", "sig", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    )
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        _make_bucket_fn(num_hashes, min_est_jaccard, max_bucket_state),
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

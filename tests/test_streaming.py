@@ -289,3 +289,62 @@ def test_dedup_stream_first_arrival_wins(spark, tmp_path):
 
     rows = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert rows == {1, 2, 4}  # doc 3 is the normalized dup of doc 1
+
+def test_minhash_pair_stream_cross_batch_candidates(spark, tmp_path):
+    """Streaming LSH: a near-dup arriving in a LATER micro-batch matches
+    the band index held in state; unrelated docs emit nothing; replay
+    of a seen id is ignored."""
+    from hogzilla_spark.streaming.neardup_stream import minhash_pair_stream
+
+    input_dir = str(tmp_path / "nd_in")
+    out_dir = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    schema = "doc_id long, text string"
+
+    def drain():
+        q = (
+            minhash_pair_stream(
+                spark.readStream.schema(schema).parquet(input_dir),
+                min_est_jaccard=0.5,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, base), (2, "completely unrelated words about databases and joins here")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    drain()
+    assert spark.read.schema("id_a long, id_b long, est_jaccard double") \
+        .parquet(out_dir).count() == 0
+
+    # batch 2: near-dup of doc 1 (one word changed) + replay of doc 1
+    spark.createDataFrame(
+        [(3, base.replace("tonight", "today")), (1, base)], schema
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    drain()
+
+    pairs = (
+        spark.read.parquet(out_dir)
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    )
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 3)]
+    assert all(r.est_jaccard >= 0.5 for r in pairs)
+
+    # batch twin agreement: the batch LSH on the union finds the same pair
+    from hogzilla_spark.operators.dedup import minhash_lsh_pairs
+    allr = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated words about databases and joins here"),
+         (3, base.replace("tonight", "today"))], schema
+    )
+    got = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(allr, min_jaccard=0.3).collect()}
+    assert got == {(1, 3)}
