@@ -307,3 +307,43 @@ def doc_quality_signals(
         F.round(F.col("__top2gram_char_frac"), 6).alias("top2gram_char_frac"),
         gopher_pass.alias("gopher_pass"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the CCNet/RedPajama-family
+    quality heuristic the rule signals above can't express: highly
+    repetitive or templated text compresses far below natural prose
+    (ratio ≪ 0.4), while random/encrypted junk refuses to compress
+    (ratio ≈ 1).  Both tails are quality flags.
+
+    Returns (id, n_bytes, ratio) with ratio = deflate_size/raw_size
+    rounded to 6 (0.0 for empty documents).
+
+    This is the one quality signal that is NOT a Column expression —
+    zlib has no SQL equivalent, so it runs as an Arrow-batched
+    mapInPandas kernel (same narrow zero-shuffle shape as the codec
+    operators; rows-only verification, no DuckDB oracle).  At 100 TB
+    the cost is one deflate pass per document — cheap next to
+    tokenization — and parallelism is input splits.
+    """
+    import pandas as pd
+    import zlib
+
+    def run(batches):
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            raw = [t.encode("utf-8") for t in texts]
+            n = [len(b) for b in raw]
+            ratio = [
+                round(len(zlib.compress(b, level)) / nb, 6) if nb else 0.0
+                for b, nb in zip(raw, n)
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_bytes": n, "ratio": ratio}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, n_bytes long, ratio double"
+    )

@@ -140,3 +140,30 @@ def test_dedup_lines_no_dups_identity(spark):
     assert out[1]["text_clean"] == "a\nb"
     assert out[3]["text_clean"] == ""
     assert all(r["n_removed"] == 0 for r in out.values())
+
+def test_compression_ratio_tails(spark):
+    """Repetitive text compresses hard (low ratio); random-ish text
+    doesn't; empty is 0; values reproducible."""
+    import random
+
+    rng = random.Random(7)
+    noisy = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(60)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 200),
+            (2, noisy),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    from hogzilla_spark.operators.quality import compression_ratio
+
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert got[1].ratio < 0.05          # pure repetition
+    assert got[2].ratio > 0.5           # high-entropy
+    assert got[3].ratio == 0.0 and got[3].n_bytes == 0
+    again = {r.doc_id: r.ratio for r in compression_ratio(docs).collect()}
+    assert again == {k: v.ratio for k, v in got.items()}
