@@ -910,7 +910,10 @@ def dedup_lines(
     id: the per-document line count is bounded, so sort-within-group
     is safe.
     """
-    text = F.col(text_col)
+    # NULL text must still yield the document's output row ("one row per
+    # document") — split(NULL) explodes to nothing and the doc would
+    # silently vanish from any downstream inner join
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(text, r"\n")).alias("pos", "line"),

@@ -633,8 +633,11 @@ def decode_and_featurize(
 
             try:
                 frames = decode_mp4_frames(payload)
-            except NotImplementedError:
-                pass  # compressed codec (avc1/...) → strict/fake below
+            except (NotImplementedError, ValueError):
+                # compressed codec (avc1/...) or corrupt/truncated
+                # container — crawled data ships both; → strict/fake
+                # below, same contract as the image path
+                pass
             else:
                 if not frames:
                     raise ValueError("MP4 with no video samples")
@@ -846,9 +849,12 @@ def synthetic_media_rows(n: int = 32) -> list[tuple]:
 def synthetic_media(spark, n: int = 32) -> DataFrame:
     """Deterministic media table with REAL payloads where the codec is
     real: images cycle P6 PPM → PNG (all five scanline filters) →
-    baseline JPEG, audio is valid 16-bit PCM WAV; videos alternate real
-    animated GIFs (LZW-compressed, one frame per second of duration)
-    and opaque MP4 fakes (demux needs ffmpeg)."""
+    baseline JPEG → progressive (SOF2) JPEG, audio is valid 16-bit PCM
+    WAV; videos cycle MJPEG MP4 (decodes end-to-end in-repo) →
+    animated GIF (LZW, one frame per second of duration) → an MP4
+    whose sample entry is patched to avc1 — structurally valid, demuxes
+    but cannot decode, keeping the compressed-codec (ffmpeg swap
+    point) fallback exercised."""
     return spark.createDataFrame(synthetic_media_rows(n), MEDIA_SCHEMA)
 
 def write_media_parquet(path: str, n: int = 32) -> str:

@@ -57,7 +57,7 @@ def interleave_mix(
     weights: dict[str, float],
     key_col: str,
     default_weight: float = 1.0,
-    bucket_width: int = 1_048_576,
+    n_buckets: int = 65_536,
 ) -> DataFrame:
     """Weighted round-robin mix position: the r-th row of a source with
     weight w gets mix_pos = r / w; consuming rows ordered by mix_pos
@@ -70,10 +70,23 @@ def interleave_mix(
     possibly 10s of TB — through a single sort task):
 
     1. per-(source, key-range-bucket) counts, cumulated to bucket
-       offsets with a window over the COUNTS table (n/bucket_width
-       rows — a few thousand at 100 TB, trivially one task);
+       offsets with a window over the COUNTS table (≤ `n_buckets` rows
+       per source, trivially one task);
     2. rank = bucket offset + row_number within (source, bucket) —
-       each window partition holds at most ~bucket_width rows.
+       each window partition holds one bucket's rows.
+
+    Bucket boundaries are derived from the OBSERVED key range (one
+    min/max aggregate collected up front): ``width = (max−min+1) /
+    n_buckets``.  Value-based ``floor(key / constant)`` would degenerate
+    on sparse ids (xxhash64/snowflake keys spread over 2^63 → one
+    bucket per row → a corpus-sized counts table and a per-source
+    single-task window); range-derived buckets are ≤ `n_buckets`
+    regardless of key density.
+
+    NULL handling matches the windowed form this replaced: a NULL
+    source ranks within its own group and takes `default_weight`; a
+    NULL key sorts first within its bucket (internal join keys are
+    null-coalesced — a plain equi-join would silently drop those rows).
 
     ``key_col`` must be numeric and unique per row (doc ids).  Ranks
     are exact integers, so mix_pos = rank/w is reproducible bit-for-bit
@@ -83,24 +96,36 @@ def interleave_mix(
         [(k, float(v)) for k, v in weights.items()],
         f"{source_col} string, __w double",
     )
-    bucket = F.floor(F.col(key_col) / F.lit(bucket_width)).cast("long")
-    counts = df.groupBy(F.col(source_col), bucket.alias("__b")).agg(
+    lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
+    if lo is None:  # empty input (or all-NULL keys): single bucket
+        lo, hi = 0, 0
+    width = max(1, (int(hi) - int(lo) + 1 + n_buckets - 1) // n_buckets)
+    # null-coalesced INTERNAL keys: equi-joins drop NULL matches
+    src_key = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    bucket = F.coalesce(
+        F.floor((F.col(key_col) - F.lit(int(lo))) / F.lit(width)).cast("long"),
+        F.lit(-1),
+    )
+    counts = df.groupBy(src_key.alias("__src"), bucket.alias("__b")).agg(
         F.count(F.lit(1)).alias("__n")
     )
     w_off = (
-        Window.partitionBy(source_col)
+        Window.partitionBy("__src")
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        source_col,
+        "__src",
         "__b",
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
     )
-    w_in_bucket = Window.partitionBy(source_col, "__b").orderBy(key_col)
+    w_in_bucket = Window.partitionBy("__src", "__b").orderBy(
+        F.col(key_col).asc_nulls_first()
+    )
     return (
-        df.withColumn("__b", bucket)
-        .join(F.broadcast(offsets), [source_col, "__b"])
+        df.withColumn("__src", src_key)
+        .withColumn("__b", bucket)
+        .join(F.broadcast(offsets), ["__src", "__b"])
         .join(F.broadcast(w_df), source_col, "left")
         .withColumn("__w", F.coalesce("__w", F.lit(default_weight)))
         .withColumn(
@@ -111,7 +136,7 @@ def interleave_mix(
                 6,
             ),
         )
-        .drop("__b", "__off", "__w")
+        .drop("__src", "__b", "__off", "__w")
     )
 
 def pack_token_shards(

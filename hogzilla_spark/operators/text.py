@@ -379,6 +379,8 @@ def bm25_topk(
     """
     from hogzilla_spark.operators.topk import top_k
 
+    if not terms:
+        raise ValueError("bm25_topk requires a non-empty term list")
     toks = tokens(F.lower(F.col(text_col)))
     d = df.select(F.col(id_col), toks.alias("__w")).select(
         id_col, F.size("__w").alias("__dl"), "__w"
@@ -386,6 +388,7 @@ def bm25_topk(
     n_docs, avgdl = d.agg(
         F.count(F.lit(1)), F.avg("__dl")
     ).first()
+    avgdl = float(avgdl) if avgdl else 1.0  # empty corpus → no rows flow
     hits = (
         d.select(id_col, "__dl", F.explode("__w").alias("__term"))
         .filter(F.col("__term").isin(*terms))

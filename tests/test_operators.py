@@ -678,3 +678,22 @@ def test_chunk_documents_non_overlapping(spark):
         for r in chunk_documents(docs, chunk_tokens=4, stride=4).collect()
     )
     assert [t for _, t in rows] == ["0 1 2 3", "4 5 6 7", "8 9"]
+
+def test_bm25_degenerate_inputs(spark):
+    from hogzilla_spark.operators.text import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, ["spark"]).count() == 0
+    import pytest
+    with pytest.raises(ValueError):
+        bm25_topk(empty, [])
+
+def test_dedup_lines_null_text_keeps_doc(spark):
+    """A NULL-text document still yields its output row — downstream
+    inner joins must not silently lose it."""
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in DD.dedup_lines(docs).collect()}
+    assert got[2] == ("", 0) and got[1] == ("a\nb", 0)

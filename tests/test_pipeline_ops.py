@@ -121,14 +121,14 @@ def test_interleave_mix_ratio(spark):
 
 def test_interleave_mix_two_phase_rank(spark):
     """The bucketed two-phase rank must equal the naive per-source
-    row_number at ANY bucket_width — including widths that split a
+    row_number at ANY bucket count — including counts that split a
     source across many buckets (the 100 TB path) — and the plan must
     not sort a whole source in one window partition."""
     rows = [(i * 7 % 101, "a" if i % 3 else "b") for i in range(101)]
     df = spark.createDataFrame(rows, "id long, src string")
-    wide = interleave_mix(df, "src", {"a": 2.0, "b": 1.0}, "id")
+    wide = interleave_mix(df, "src", {"a": 2.0, "b": 1.0}, "id", n_buckets=1)
     narrow = interleave_mix(
-        df, "src", {"a": 2.0, "b": 1.0}, "id", bucket_width=8
+        df, "src", {"a": 2.0, "b": 1.0}, "id", n_buckets=16
     )
     assert sorted(map(tuple, wide.collect())) == sorted(
         map(tuple, narrow.collect())
@@ -162,3 +162,30 @@ def test_pack_token_shards_hand_computed(spark):
                           partition_cols=["g"])
         .filter(F.col("g") == "a").agg(F.max("shard_offset")).collect()[0][0] == 400
     )
+
+def test_interleave_mix_null_source_and_key_kept(spark):
+    """NULL source rows rank in their own group under default_weight;
+    NULL keys sort first in their bucket — nothing is silently dropped
+    (the equi-join form loses NULL keys without the coalesce)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "a")],
+        "id long, src string",
+    )
+    out = interleave_mix(df, "src", {"a": 2.0}, "id", default_weight=1.0)
+    rows = {(r.id, r.src): r.mix_pos for r in out.collect()}
+    assert len(rows) == 4                       # all four rows survive
+    assert rows[(2, None)] == 1.0               # rank 1 / default 1.0
+    assert rows[(None, "a")] == 0.5             # NULL key ranks first in 'a'
+    assert rows[(1, "a")] == 1.0 and rows[(3, "a")] == 1.5
+
+def test_interleave_mix_sparse_ids_bounded_buckets(spark):
+    """Snowflake-style sparse ids must NOT degenerate to one bucket per
+    row: with range-derived buckets the counts table stays ≤ n_buckets
+    per source and ranks still match the dense equivalent."""
+    ids = [(i * 7919) << 40 for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, "a") for i in ids], "id long, src string"
+    )
+    out = interleave_mix(df, "src", {"a": 1.0}, "id", n_buckets=8)
+    pos = [r.mix_pos for r in out.orderBy("id").collect()]
+    assert pos == [float(i + 1) for i in range(50)]
