@@ -2115,7 +2115,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, text,
                  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
                  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-                             l -> l <> '') AS lines
+                             l -> l <> '') AS lines,
+                 list_filter(list_transform(string_split_regex(text, '\\n\\s*\\n'),
+                                            p -> trim(p)),
+                             p -> p <> '') AS paras
           FROM documents),
         lines_e AS (
           SELECT doc_id, unnest(lines) AS l FROM t),
@@ -2130,6 +2133,39 @@ def oracle_sql() -> dict[str, str]:
                  SUM(CASE WHEN substr(l, 1, 1) IN ('-', '*', '•') THEN c ELSE 0 END) AS bullets,
                  SUM(CASE WHEN l LIKE '%...' OR l LIKE '%…' THEN c ELSE 0 END) AS ellipses
           FROM lc GROUP BY doc_id),
+        paras_e AS (
+          SELECT doc_id, unnest(paras) AS p FROM t),
+        pc AS (
+          SELECT doc_id, p, COUNT(*) AS c FROM paras_e GROUP BY doc_id, p),
+        ps AS (
+          SELECT doc_id,
+                 SUM(c) AS n_paras,
+                 SUM(c * length(p)) AS para_chars,
+                 SUM(CASE WHEN c > 1 THEN c * length(p) ELSE 0 END) AS dup_para_chars,
+                 COUNT(*) AS n_distinct_paras
+          FROM pc GROUP BY doc_id),
+        tri_e AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(3, len(toks) + 1),
+                        i -> toks[i - 2] || ' ' || toks[i - 1] || ' ' || toks[i])) AS g
+          FROM t WHERE len(toks) >= 3),
+        tri_c AS (
+          SELECT doc_id, g, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY COUNT(*) DESC, g ASC) AS rk
+          FROM tri_e GROUP BY doc_id, g),
+        top3 AS (SELECT doc_id, g AS g3, c AS c3 FROM tri_c WHERE rk = 1),
+        quad_e AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(4, len(toks) + 1),
+                        i -> toks[i - 3] || ' ' || toks[i - 2] || ' ' || toks[i - 1] || ' ' || toks[i])) AS g
+          FROM t WHERE len(toks) >= 4),
+        quad_c AS (
+          SELECT doc_id, g, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY COUNT(*) DESC, g ASC) AS rk
+          FROM quad_e GROUP BY doc_id, g),
+        top4 AS (SELECT doc_id, g AS g4, c AS c4 FROM quad_c WHERE rk = 1),
         bi_e AS (
           SELECT doc_id,
                  unnest(list_transform(range(2, len(toks) + 1),
@@ -2160,9 +2196,18 @@ def oracle_sql() -> dict[str, str]:
                  COALESCE(ls.bullets, 0) AS bullets,
                  COALESCE(ls.ellipses, 0) AS ellipses,
                  topbg.top_bigram,
-                 COALESCE(topbg.top_cnt, 0) AS top_cnt
+                 COALESCE(topbg.top_cnt, 0) AS top_cnt,
+                 COALESCE(ps.n_paras, 0) AS n_paras,
+                 COALESCE(ps.para_chars, 0) AS para_chars,
+                 COALESCE(ps.dup_para_chars, 0) AS dup_para_chars,
+                 COALESCE(ps.n_distinct_paras, 0) AS n_distinct_paras,
+                 top3.g3, COALESCE(top3.c3, 0) AS c3,
+                 top4.g4, COALESCE(top4.c4, 0) AS c4
           FROM t LEFT JOIN ls ON t.doc_id = ls.doc_id
-                 LEFT JOIN topbg ON t.doc_id = topbg.doc_id),
+                 LEFT JOIN topbg ON t.doc_id = topbg.doc_id
+                 LEFT JOIN ps ON t.doc_id = ps.doc_id
+                 LEFT JOIN top3 ON t.doc_id = top3.doc_id
+                 LEFT JOIN top4 ON t.doc_id = top4.doc_id),
         sigs AS (
           SELECT doc_id, n_tok, n_lines,
                  CASE WHEN n_tok > 0 THEN CAST(symbols AS DOUBLE)/n_tok ELSE 0.0 END AS swr,
@@ -2176,6 +2221,14 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN n_tok >= 2
                       THEN CAST(top_cnt * length(top_bigram) AS DOUBLE)/(tok_chars + n_tok - 1)
                       ELSE 0.0 END AS tbf,
+                 CASE WHEN n_tok >= 3
+                      THEN CAST(c3 * length(g3) AS DOUBLE)/(tok_chars + n_tok - 1)
+                      ELSE 0.0 END AS t3f,
+                 CASE WHEN n_tok >= 4
+                      THEN CAST(c4 * length(g4) AS DOUBLE)/(tok_chars + n_tok - 1)
+                      ELSE 0.0 END AS t4f,
+                 CASE WHEN n_paras > 0 THEN 1.0 - CAST(n_distinct_paras AS DOUBLE)/n_paras ELSE 0.0 END AS dpf,
+                 CASE WHEN para_chars > 0 THEN CAST(dup_para_chars AS DOUBLE)/para_chars ELSE 0.0 END AS dpcf,
                  CASE WHEN n_tok > 0 THEN CAST(tok_chars AS DOUBLE)/n_tok ELSE 0.0 END AS atl
           FROM feat)
         SELECT doc_id, CAST(n_tok AS INT) AS n_tok, CAST(n_lines AS INT) AS n_lines,
@@ -2186,13 +2239,19 @@ def oracle_sql() -> dict[str, str]:
                ROUND(ef, 6) AS ellipsis_frac,
                ROUND(dlf, 6) AS dup_line_frac,
                ROUND(dlcf, 6) AS dup_line_char_frac,
+               ROUND(dpf, 6) AS dup_para_frac,
+               ROUND(dpcf, 6) AS dup_para_char_frac,
                top_bigram,
                ROUND(tbf, 6) AS top2gram_char_frac,
+               ROUND(t3f, 6) AS top3gram_char_frac,
+               ROUND(t4f, 6) AS top4gram_char_frac,
                (n_tok >= 50 AND n_tok <= 100000
                 AND atl >= 3.0 AND atl <= 10.0
                 AND swr < 0.1 AND bf < 0.9 AND ef < 0.3
                 AND awf > 0.8 AND stop_distinct >= 2
-                AND dlf < 0.3 AND dlcf < 0.2 AND tbf < 0.2) AS gopher_pass
+                AND dlf < 0.3 AND dlcf < 0.2
+                AND dpf < 0.3 AND dpcf < 0.2
+                AND tbf < 0.2 AND t3f < 0.18 AND t4f < 0.16) AS gopher_pass
         FROM sigs
     """
 

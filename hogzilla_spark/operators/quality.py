@@ -43,7 +43,11 @@ MIN_ALPHA_WORD_FRAC = 0.80
 MIN_STOP_DISTINCT = 2
 MAX_DUP_LINE_FRAC = 0.30
 MAX_DUP_LINE_CHAR_FRAC = 0.20
+MAX_DUP_PARA_FRAC = 0.30
+MAX_DUP_PARA_CHAR_FRAC = 0.20
 MAX_TOP2GRAM_CHAR_FRAC = 0.20
+MAX_TOP3GRAM_CHAR_FRAC = 0.18
+MAX_TOP4GRAM_CHAR_FRAC = 0.16
 
 
 def _lines(text: Column) -> Column:
@@ -52,6 +56,28 @@ def _lines(text: Column) -> Column:
         F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
+
+
+def _paras(text: Column) -> Column:
+    """Non-empty trimmed paragraphs: blank-line-separated blocks."""
+    return F.filter(
+        F.transform(F.split(text, r"\n\s*\n"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+
+
+def _ngrams(tok: Column, n: int) -> Column:
+    """Space-joined token n-grams; empty below n tokens (the guarded
+    sequence avoids the descending-range hazard)."""
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _count_occurrences(text: Column, needle: str) -> Column:
@@ -146,9 +172,19 @@ def doc_quality_signals(
       ellipsis_frac             — lines ending with ... or … / n_lines
       dup_line_frac             — 1 - distinct_lines / n_lines
       dup_line_char_frac        — chars in duplicated lines / line chars
+      dup_para_frac             — 1 - distinct_paragraphs / n_paras
+      dup_para_char_frac        — chars in duplicated paragraphs / para chars
       top_bigram                — most frequent token bigram (ties: smallest)
       top2gram_char_frac        — bigram_count * len(bigram) / text chars
+      top3gram_char_frac        — same for token trigrams  (Gopher < 0.18)
+      top4gram_char_frac        — same for token 4-grams   (Gopher < 0.16)
       gopher_pass               — conjunction of all Gopher thresholds
+
+    Divergence, documented: Gopher A1.1 additionally filters on the
+    character fraction inside DUPLICATED 5..10-grams; exact position
+    coverage needs per-token dup marking (a different, heavier fold) —
+    the top-{2,3,4}-gram coverage plus the paragraph/line duplicate
+    family above is the implemented subset.
 
     All fractions are 0.0 for empty documents and rounded to 6 places.
 
@@ -167,6 +203,7 @@ def doc_quality_signals(
     text = F.col("__text")
     tok = F.col("__tok")
     lines = F.col("__lines")
+    paras = F.col("__paras")
 
     # stage 1: the expensive array derivations, once each
     s1 = df.select(
@@ -174,6 +211,7 @@ def doc_quality_signals(
         F.col(text_col).alias("__text"),
         tokens(F.col(text_col)).alias("__tok"),
         _lines(F.col(text_col)).alias("__lines"),
+        _paras(F.col(text_col)).alias("__paras"),
     )
 
     symbols = (
@@ -184,19 +222,6 @@ def doc_quality_signals(
     tok_lower = F.transform(tok, lambda t: F.lower(t))
     first_char = lambda l: F.substring(l, 1, 1)  # noqa: E731
     bullet_set = F.array(*[F.lit(c) for c in BULLET_CHARS])
-    # Token bigrams "a b"; coverage denominator is the character length of
-    # the whitespace-normalized text: sum(len(tok)) + (n_tok - 1).
-    # Guarded: sequence(1, n-1) with n < 2 would auto-descend (step -1)
-    # into invalid 0/negative array indices.
-    bigrams = F.when(
-        F.size(tok) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok) - 1),
-            lambda i: F.concat(
-                F.element_at(tok, i), F.lit(" "), F.element_at(tok, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
     # stage 2: every array scan / fold, once each, as scalar columns
     s2 = s1.select(
@@ -222,7 +247,15 @@ def doc_quality_signals(
             lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l).cast("long")
         ).alias("__line_chars"),
         _dup_line_chars(F.sort_array(lines)).alias("__dup_chars"),
-        _top_run(F.sort_array(bigrams)).alias("__top"),
+        F.size(paras).alias("__n_paras"),
+        F.size(F.array_distinct(paras)).alias("__distinct_paras"),
+        F.aggregate(
+            paras, F.lit(0).cast("long"), lambda a, p: a + F.length(p).cast("long")
+        ).alias("__para_chars"),
+        _dup_line_chars(F.sort_array(paras)).alias("__dup_para_chars"),
+        _top_run(F.sort_array(_ngrams(tok, 2))).alias("__top"),
+        _top_run(F.sort_array(_ngrams(tok, 3))).alias("__top3"),
+        _top_run(F.sort_array(_ngrams(tok, 4))).alias("__top4"),
         F.aggregate(
             tok, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
         ).alias("__tok_chars"),
@@ -263,6 +296,19 @@ def doc_quality_signals(
         )
         .otherwise(F.lit(0.0))
         .alias("__dup_line_char_frac"),
+        F.when(
+            F.col("__n_paras") > 0,
+            F.lit(1.0)
+            - F.col("__distinct_paras").cast("double") / F.col("__n_paras"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__dup_para_frac"),
+        F.when(
+            F.col("__para_chars") > 0,
+            F.col("__dup_para_chars").cast("double") / F.col("__para_chars"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__dup_para_char_frac"),
         F.when(n_tok >= 2, top["best"])
         .otherwise(F.lit(None).cast("string"))
         .alias("top_bigram"),
@@ -272,6 +318,20 @@ def doc_quality_signals(
         )
         .otherwise(F.lit(0.0))
         .alias("__top2gram_char_frac"),
+        F.when(
+            n_tok >= 3,
+            (F.col("__top3")["cnt"] * F.length(F.col("__top3")["best"]))
+            .cast("double") / norm_chars,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__top3gram_char_frac"),
+        F.when(
+            n_tok >= 4,
+            (F.col("__top4")["cnt"] * F.length(F.col("__top4")["best"]))
+            .cast("double") / norm_chars,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__top4gram_char_frac"),
         F.when(nz_tok, F.col("__tok_chars").cast("double") / n_tok)
         .otherwise(F.lit(0.0))
         .alias("__atl"),
@@ -290,7 +350,11 @@ def doc_quality_signals(
         & (F.col("stop_distinct") >= MIN_STOP_DISTINCT)
         & (F.col("__dup_line_frac") < MAX_DUP_LINE_FRAC)
         & (F.col("__dup_line_char_frac") < MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("__dup_para_frac") < MAX_DUP_PARA_FRAC)
+        & (F.col("__dup_para_char_frac") < MAX_DUP_PARA_CHAR_FRAC)
         & (F.col("__top2gram_char_frac") < MAX_TOP2GRAM_CHAR_FRAC)
+        & (F.col("__top3gram_char_frac") < MAX_TOP3GRAM_CHAR_FRAC)
+        & (F.col("__top4gram_char_frac") < MAX_TOP4GRAM_CHAR_FRAC)
     )
     return s3.select(
         id_col,
@@ -303,8 +367,12 @@ def doc_quality_signals(
         F.round(F.col("__ellipsis_frac"), 6).alias("ellipsis_frac"),
         F.round(F.col("__dup_line_frac"), 6).alias("dup_line_frac"),
         F.round(F.col("__dup_line_char_frac"), 6).alias("dup_line_char_frac"),
+        F.round(F.col("__dup_para_frac"), 6).alias("dup_para_frac"),
+        F.round(F.col("__dup_para_char_frac"), 6).alias("dup_para_char_frac"),
         "top_bigram",
         F.round(F.col("__top2gram_char_frac"), 6).alias("top2gram_char_frac"),
+        F.round(F.col("__top3gram_char_frac"), 6).alias("top3gram_char_frac"),
+        F.round(F.col("__top4gram_char_frac"), 6).alias("top4gram_char_frac"),
         gopher_pass.alias("gopher_pass"),
     )
 

@@ -167,3 +167,26 @@ def test_compression_ratio_tails(spark):
     assert got[3].ratio == 0.0 and got[3].n_bytes == 0
     again = {r.doc_id: r.ratio for r in compression_ratio(docs).collect()}
     assert again == {k: v.ratio for k, v in got.items()}
+
+def test_paragraph_and_ngram_repetition_signals(spark):
+    """Hand-computed dup-paragraph and top-3/4-gram coverage (the
+    Gopher repetition battery extension)."""
+    para = "alpha beta gamma"
+    text = f"{para}\n\n{para}\n\nunique delta epsilon"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from hogzilla_spark.operators.quality import doc_quality_signals
+
+    r = doc_quality_signals(docs).collect()[0]
+    # 3 paragraphs, one duplicated pair
+    assert r.dup_para_frac == round(1 - 2 / 3, 6)
+    dup_chars = 2 * len(para)
+    total_chars = 2 * len(para) + len("unique delta epsilon")
+    assert r.dup_para_char_frac == round(dup_chars / total_chars, 6)
+    # tokens: alpha beta gamma alpha beta gamma unique delta epsilon
+    # top trigram "alpha beta gamma" occurs 2×; norm_chars = Σlen + n-1
+    toks = text.split()
+    norm = sum(len(t) for t in toks) + len(toks) - 1
+    assert r.top3gram_char_frac == round(2 * len("alpha beta gamma") / norm, 6)
+    # top 4-gram occurs once (any); coverage = len(best)/norm — just
+    # assert it is positive and below the trigram coverage
+    assert 0 < r.top4gram_char_frac < r.top3gram_char_frac
