@@ -142,6 +142,32 @@ def q_a3_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("pairs"),
     )
 
+def q_a2_a3_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 events rollup + A3 two-level rollup in one tagged union
+    (merged for the 50-slot registry budget): 'a2' rows key on
+    event_type with (sum_value_c, n_events, begin_ms, end_ms, n_users)
+    in c1..c5; 'a3' rows key on the nation with (nation_total_c,
+    nation_orders, pairs) in c1..c3."""
+    a2 = q_a2_events_rollup(spark, sf_dir).select(
+        F.lit("a2").alias("part"),
+        F.col("event_type").alias("key"),
+        F.col("sum_value_c").alias("c1"),
+        F.col("n_events").alias("c2"),
+        F.col("begin_ms").alias("c3"),
+        F.col("end_ms").alias("c4"),
+        F.col("n_users").alias("c5"),
+    )
+    a3 = q_a3_two_level_rollup(spark, sf_dir).select(
+        F.lit("a3").alias("part"),
+        F.col("c_nationkey").cast("string").alias("key"),
+        F.col("nation_total_c").alias("c1"),
+        F.col("nation_orders").alias("c2"),
+        F.col("pairs").alias("c3"),
+        F.lit(None).cast("long").alias("c4"),
+        F.lit(None).cast("long").alias("c5"),
+    )
+    return a2.unionByName(a3)
+
 def q_a5_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 distinct-count within group: distinct parts per supplier."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1237,6 +1263,26 @@ def q_hz_sflow_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sflow_summary(_synth_sflows(spark, sf_dir), ["10.1."])
 
+def q_hz_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL detector (826001001 top talker, detectors/sflow
+    .top_talkers — disabled in the reference, HogSFlow.scala:967-1020,
+    implemented for surface completeness) scored against a SQL oracle:
+    per-host sampled upload volume over a threshold tuned so the synth
+    corpus trips ~p90 hosts (genuine gate, not fire-on-everything)."""
+    from hogzilla_spark.config import SFlowConfig
+    from hogzilla_spark.detectors.sflow import top_talkers
+    from hogzilla_spark.operators.rollup import sflow_summary
+
+    cfg = SFlowConfig(top_talkers_min_bytes=200_000_000)
+    summary = sflow_summary(_synth_sflows(spark, sf_dir), ["10.1."])
+    alerts = top_talkers(summary, ["10.1."], cfg)
+    return alerts.select(
+        F.element_at("data", "hostname").alias("hostname"),
+        F.element_at("data", "bytesUp").try_cast("long").alias("bytes_up"),
+        F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
+        F.element_at("data", "connections").try_cast("long").alias("connections"),
+    )
+
 def q_hz_dns_tunnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL detector (826001012, detectors/sflow.dns_tunnel) scored
     against a SQL oracle: per-flow double-sided volume filter, per-host
@@ -1372,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "hz_p2p": q_hz_p2p,
         "hz_portscan": q_hz_portscan,
+        "hz_top_talkers": q_hz_top_talkers,
         "hz_sflow_summary": q_hz_sflow_summary,
         "hz_dns_tunnel": q_hz_dns_tunnel,
         "multimodal_meta": q_multimodal_meta,
@@ -1407,8 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         # long-stable basics
         "a1_lineitem_rollup": q_a1_lineitem_rollup,
-        "a2_events_rollup": q_a2_events_rollup,
-        "a3_two_level_rollup": q_a3_two_level_rollup,
+        "a2_a3_rollups": q_a2_a3_rollups,
         "a5_a9_counts": q_a5_a9_counts,
         "a14_interarrival": q_a14_interarrival,
         "w1_group_share": q_w1_group_share,
@@ -1451,31 +1497,31 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
 
-    sql["a2_events_rollup"] = """
-        SELECT event_type,
-               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
-               COUNT(*)                              AS n_events,
-               MIN(epoch_ms(ts))                     AS begin_ms,
-               MAX(epoch_ms(ts))                     AS end_ms,
-               COUNT(DISTINCT user_id)               AS n_users
+    sql["a2_a3_rollups"] = """
+        SELECT 'a2' AS part, event_type AS key,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS c1,
+               COUNT(*) AS c2,
+               MIN(epoch_ms(ts)) AS c3,
+               MAX(epoch_ms(ts)) AS c4,
+               COUNT(DISTINCT user_id) AS c5
         FROM events GROUP BY event_type
-    """
-
-    sql["a3_two_level_rollup"] = """
-        WITH lvl1 AS (
+        UNION ALL
+        SELECT 'a3' AS part, CAST(c_nationkey AS VARCHAR) AS key,
+               CAST(SUM(cust_total_c) AS BIGINT) AS c1,
+               CAST(SUM(cust_orders) AS BIGINT) AS c2,
+               COUNT(*) AS c3,
+               CAST(NULL AS BIGINT) AS c4,
+               CAST(NULL AS BIGINT) AS c5
+        FROM (
           SELECT c_nationkey, o_custkey,
                  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cust_total_c,
                  COUNT(*) AS cust_orders
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_nationkey, o_custkey)
-        SELECT c_nationkey,
-               CAST(SUM(cust_total_c) AS BIGINT) AS nation_total_c,
-               CAST(SUM(cust_orders) AS BIGINT)  AS nation_orders,
-               COUNT(*)          AS pairs
-        FROM lvl1 GROUP BY c_nationkey
+        GROUP BY c_nationkey
     """
 
-    # A5 + A9 in one tagged union (both are plain group-count shapes;
+        # A5 + A9 in one tagged union (both are plain group-count shapes;
     # merged to keep the registry within the driver's 50-row recording
     # budget): 'a5' = distinct parts per supplier, 'a9' = (user, event
     # type) frequency with the string key in key2.
@@ -2472,6 +2518,23 @@ def oracle_sql() -> dict[str, str]:
 
     sql["hz_sflow_summary"] = "WITH " + _SYNTH_SQL + """
         SELECT * FROM summary
+    """
+
+    sql["hz_top_talkers"] = "WITH " + _SYNTH_SQL + """
+        , hosts AS (
+          SELECT myIP,
+                 SUM(bytesUp) AS bytesUp,
+                 CAST(SUM(numberPkts) AS BIGINT) AS number_pkts,
+                 COUNT(*) AS connections,
+                 AVG(sampleRate) AS rate
+          FROM summary
+          WHERE NOT starts_with(alienIP, '10.1.')
+          GROUP BY myIP)
+        SELECT myIP AS hostname,
+               CAST(bytesUp * rate AS BIGINT) AS bytes_up,
+               number_pkts,
+               CAST(connections AS BIGINT) AS connections
+        FROM hosts WHERE bytesUp * rate > 200000000
     """
 
     sql["hz_dns_tunnel"] = "WITH " + _SYNTH_SQL + """

@@ -55,7 +55,8 @@ def test_a1_partial_aggregation(spark):
     assert re.search(r"partial_sum|partial_count", plan)
 
 def test_a3_broadcasts_dimension(spark):
-    plan = plan_of(spark, "a3_two_level_rollup")
+    # a3 lives inside the a2_a3_rollups tagged union now
+    plan = plan_of(spark, "a2_a3_rollups")
     assert "BroadcastHashJoin" in plan
 
 def test_no_cartesian_products_anywhere(spark):
