@@ -250,3 +250,29 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(pairs).collect()
     }
     assert got == want
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_tok=st.integers(0, 200),
+    chunk=st.integers(1, 64),
+    stride_frac=st.floats(0.1, 1.0),
+)
+def test_chunk_documents_matches_reference(spark, n_tok, chunk, stride_frac):
+    """chunk_documents == a sequential reference implementation for
+    arbitrary (n_tokens, chunk, stride) combinations."""
+    from hogzilla_spark.operators.text import chunk_documents
+
+    stride = max(1, int(chunk * stride_frac))
+    toks = [f"t{i}" for i in range(n_tok)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=chunk, stride=stride).collect()
+    )
+    want = []
+    if n_tok > 0:
+        n_chunks = max(0, -(-(max(n_tok - chunk, 0)) // stride)) + 1
+        for c in range(n_chunks):
+            w = toks[c * stride : c * stride + chunk]
+            want.append((c, len(w), " ".join(w)))
+    assert got == want
