@@ -180,11 +180,10 @@ def doc_quality_signals(
       top4gram_char_frac        — same for token 4-grams   (Gopher < 0.16)
       gopher_pass               — conjunction of all Gopher thresholds
 
-    Divergence, documented: Gopher A1.1 additionally filters on the
-    character fraction inside DUPLICATED 5..10-grams; exact position
-    coverage needs per-token dup marking (a different, heavier fold) —
-    the top-{2,3,4}-gram coverage plus the paragraph/line duplicate
-    family above is the implemented subset.
+    The remaining A1.1 member — character fraction inside DUPLICATED
+    5..10-grams — needs per-position dup marking, which has no
+    tractable fold/SQL form; it lives in the sibling
+    `dup_ngram_char_fractions` kernel (rows-only verification).
 
     All fractions are 0.0 for empty documents and rounded to 6 places.
 
@@ -415,3 +414,77 @@ def compression_ratio(
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} long, n_bytes long, ratio double"
     )
+
+
+# Gopher A1.1 duplicate-n-gram thresholds (n=5..10).
+DUP_NGRAM_MAX_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def dup_ngram_char_fractions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Exact positional duplicated-n-gram character coverage — the last
+    member of the Gopher A1.1 repetition battery (the one
+    `doc_quality_signals` documents as omitted): for each n, the
+    fraction of token characters lying inside ANY occurrence of an
+    n-gram that appears ≥ 2 times in the document.  Positional coverage
+    (a token counted once however many duplicated n-grams overlap it)
+    is what the paper specifies; it needs per-position dup marking — a
+    different algorithm than the value-count folds, so this runs as an
+    Arrow-batched mapInPandas kernel (rows-only verification; no
+    tractable SQL twin) rather than a Column expression.
+
+    Returns (id, dup_5gram_char_frac, ..., dup_10gram_char_frac,
+    repetition_pass) — pass = every fraction under its paper threshold
+    (0.15 down to 0.10).  Convention, documented: numerator and
+    denominator count TOKEN characters (no inter-token separators);
+    public implementations differ on separator handling, and the
+    token-char form is order-independent of the original whitespace.
+
+    Same scale shape as every narrow kernel here: zero shuffles, one
+    pass per document, parallelism = input splits.
+    """
+    import pandas as pd
+
+    cols = [f"dup_{n}gram_char_frac" for n in ns]
+    ns_t = tuple(ns)
+
+    def run(batches):
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            passes = []
+            for text in pdf[text_col].fillna(""):
+                toks = text.split()
+                lens = [len(t) for t in toks]
+                total = sum(lens)
+                ok = True
+                for n, c in zip(ns_t, cols):
+                    if total == 0 or len(toks) < n:
+                        out[c].append(0.0)
+                        continue
+                    seen: dict[tuple, int] = {}
+                    grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                    for g in grams:
+                        seen[g] = seen.get(g, 0) + 1
+                    covered = [False] * len(toks)
+                    for i, g in enumerate(grams):
+                        if seen[g] > 1:
+                            for j in range(i, i + n):
+                                covered[j] = True
+                    frac = round(
+                        sum(l for l, cov in zip(lens, covered) if cov) / total, 6
+                    )
+                    out[c].append(frac)
+                    if frac >= DUP_NGRAM_MAX_FRAC.get(n, 1.0):
+                        ok = False
+                passes.append(ok)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], **out, "repetition_pass": passes}
+            )
+
+    schema = f"{id_col} long, " + ", ".join(f"{c} double" for c in cols) + \
+        ", repetition_pass boolean"
+    return df.select(id_col, text_col).mapInPandas(run, schema)

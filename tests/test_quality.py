@@ -190,3 +190,23 @@ def test_paragraph_and_ngram_repetition_signals(spark):
     # top 4-gram occurs once (any); coverage = len(best)/norm — just
     # assert it is positive and below the trigram coverage
     assert 0 < r.top4gram_char_frac < r.top3gram_char_frac
+
+def test_dup_ngram_char_fractions_hand_computed(spark):
+    """Positional 5-gram coverage on a doc with one repeated 5-gram:
+    10 of 11 tokens covered; a doc with no repeats scores 0; overlap
+    counts each token once."""
+    rep = "a1 b2 c3 d4 e5"          # 5 tokens, 10 chars
+    text = f"{rep} {rep} xx"        # positions 0-4 and 5-9 duplicated
+    docs = spark.createDataFrame(
+        [(1, text), (2, "all tokens here are unique words entirely")],
+        "doc_id long, text string",
+    )
+    from hogzilla_spark.operators.quality import dup_ngram_char_fractions
+
+    got = {r.doc_id: r for r in dup_ngram_char_fractions(docs).collect()}
+    # covered: 10 tokens × 2 chars = 20 of 22 total chars
+    assert got[1].dup_5gram_char_frac == round(20 / 22, 6)
+    assert got[1].dup_6gram_char_frac == 0.0   # no duplicated 6-gram
+    assert not got[1].repetition_pass
+    assert got[2].dup_5gram_char_frac == 0.0
+    assert got[2].repetition_pass
