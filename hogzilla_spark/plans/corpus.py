@@ -75,10 +75,24 @@ def prepare_corpus(
     )
     report["lines_removed"] = docs.agg(F.sum("n_removed")).collect()[0][0] or 0
 
-    # 3. quality flags on the cleaned text
+    # 3. quality flags on the cleaned text: rule signals + the two
+    # kernel signals (repetition battery tail, compression ratio)
+    from hogzilla_spark.operators.quality import (
+        compression_ratio,
+        dup_ngram_char_fractions,
+    )
+
     sig = doc_quality_signals(docs).select("doc_id", "n_tok", "gopher_pass")
-    docs = docs.join(sig, "doc_id").localCheckpoint(eager=True)
+    rep = dup_ngram_char_fractions(docs).select("doc_id", "repetition_pass")
+    comp = compression_ratio(docs).select("doc_id", F.col("ratio").alias("zlib_ratio"))
+    docs = (
+        docs.join(sig, "doc_id")
+        .join(rep, "doc_id")
+        .join(comp, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     report["gopher_pass"] = docs.filter("gopher_pass").count()
+    report["repetition_pass"] = docs.filter("repetition_pass").count()
     if drop_low_quality:
         docs = docs.filter("gopher_pass").localCheckpoint(eager=True)
         report["after_quality_drop"] = docs.count()
