@@ -276,3 +276,44 @@ def test_chunk_documents_matches_reference(spark, n_tok, chunk, stride_frac):
             w = toks[c * stride : c * stride + chunk]
             want.append((c, len(w), " ".join(w)))
     assert got == want
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["cat", "dog", "fish", "bird", "ant"]),
+                 min_size=1, max_size=12),
+        min_size=1, max_size=8,
+    )
+)
+def test_bm25_matches_reference(spark, docs):
+    """bm25_topk == a sequential reference implementation on random
+    small corpora (microunit-rounded per-term scores, Lucene idf)."""
+    import math
+
+    from hogzilla_spark.operators.text import bm25_topk
+
+    terms = ["cat", "dog"]
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.score_u, r.n_hits)
+        for r in bm25_topk(sdf, terms, k=100).collect()
+    }
+
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    dfreq = {t: sum(1 for d in docs if t in d) for t in terms}
+    want = set()
+    for i, d in enumerate(docs):
+        su, hits = 0, 0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(d) / avgdl))
+            su += int(math.floor(s * 1e6 + 0.5))
+        if hits:
+            want.add((i, su, hits))
+    assert got == want
