@@ -2032,7 +2032,7 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk"] = f"""
         WITH toks AS (
           SELECT doc_id,
-                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS w
+                 list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+'), t -> t <> '') AS w
           FROM documents),
         d AS (SELECT doc_id, len(w) AS dl, w FROM toks),
         stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM d),
@@ -2531,7 +2531,10 @@ def oracle_sql() -> dict[str, str]:
           WHERE NOT starts_with(alienIP, '10.1.')
           GROUP BY myIP)
         SELECT myIP AS hostname,
-               CAST(bytesUp * rate AS BIGINT) AS bytes_up,
+               -- FLOOR before the BIGINT cast: DuckDB CAST(double AS
+               -- BIGINT) rounds to nearest while Spark .cast("long")
+               -- truncates; values are >= 0 so FLOOR == truncation.
+               CAST(FLOOR(bytesUp * rate) AS BIGINT) AS bytes_up,
                number_pkts,
                CAST(connections AS BIGINT) AS connections
         FROM hosts WHERE bytesUp * rate > 200000000
@@ -2552,8 +2555,10 @@ def oracle_sql() -> dict[str, str]:
           FROM hits GROUP BY myIP
           ORDER BY SUM(bytesUp) + SUM(bytesDown) DESC, myIP LIMIT 30)
         SELECT myIP AS hostname,
-               CAST(bytesUp * rate AS BIGINT) AS bytes_up,
-               CAST(bytesDown * rate AS BIGINT) AS bytes_down,
+               -- FLOOR: match Spark's truncating long cast (see
+               -- hz_top_talkers note)
+               CAST(FLOOR(bytesUp * rate) AS BIGINT) AS bytes_up,
+               CAST(FLOOR(bytesDown * rate) AS BIGINT) AS bytes_down,
                number_pkts, connections
         FROM hosts
     """

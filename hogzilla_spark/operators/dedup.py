@@ -1023,6 +1023,7 @@ def connected_components(
         return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
 
     prev = _sum(labels)
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -1049,8 +1050,20 @@ def connected_components(
         labels = shortcut.localCheckpoint(eager=False)
         cur = _sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # Partially-converged labels are silently WRONG (component_id
+        # would not be the component minimum) — fail loudly instead.
+        # With pointer jumping, rounds ~ log2(diameter): 25 covers any
+        # graph a dedup pipeline can produce; hitting it means the
+        # caller should raise max_iter, not trust the output.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (label sum still changing); raise "
+            f"max_iter — partially-converged labels are not returned"
+        )
     return labels.select(
         F.col("id").alias("node_id"), F.col("lbl").alias("component_id")
     )

@@ -102,8 +102,19 @@ def interleave_mix(
     width = max(1, (int(hi) - int(lo) + 1 + n_buckets - 1) // n_buckets)
     # null-coalesced INTERNAL keys: equi-joins drop NULL matches
     src_key = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    # key − lo spans up to 2^64−1 when keys cover the full signed-long
+    # range (xxhash64/snowflake ids), which silently wraps under 64-bit
+    # arithmetic in non-ANSI mode (negative, non-monotone buckets, some
+    # colliding with the −1 NULL sentinel).  decimal(38,0) subtraction +
+    # integral DIV is overflow-free and exact (no decimal *division*
+    # whose scale rounding could flip a floor at the boundary); the
+    # result ≤ n_buckets always fits a long.
     bucket = F.coalesce(
-        F.floor((F.col(key_col) - F.lit(int(lo))) / F.lit(width)).cast("long"),
+        F.expr(
+            f"CAST((CAST(`{key_col}` AS DECIMAL(38,0))"
+            f" - CAST({int(lo)} AS DECIMAL(38,0)))"
+            f" DIV CAST({width} AS DECIMAL(38,0)) AS BIGINT)"
+        ),
         F.lit(-1),
     )
     counts = df.groupBy(src_key.alias("__src"), bucket.alias("__b")).agg(

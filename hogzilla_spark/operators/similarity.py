@@ -315,11 +315,20 @@ def semantic_dedup(
             ids = pdf[id_col].to_numpy()[order]
             m = np.array(list(pdf["v"]), dtype=np.float64)[order]
             norms = np.linalg.norm(m, axis=1, keepdims=True)
-            normed = m / np.where(norms == 0, 1.0, norms)
+            nsafe = np.where(norms == 0, 1.0, norms)
             dropped = np.zeros(len(ids), dtype=bool)
             for lo in range(0, len(ids), block_rows):
                 hi = min(lo + block_rows, len(ids))
-                sims = normed[lo:hi] @ normed.T  # one BLAS slab per block
+                # dot(a,b) on UNNORMALIZED rows, then ONE divide by
+                # na*nb — the same op order as the 'expr' twin and the
+                # oracle (dot/(na*nb)), so the ROUND(...,6) boundary
+                # cannot flip between paths from pre-normalization
+                # rounding.  (Residual tolerance: BLAS accumulates the
+                # dot sum in a different order than a sequential fold —
+                # that last-ulp difference is shared by every matmul
+                # kernel in this module and covered by the 1e-9 slack
+                # in _round6_select.)
+                sims = (m[lo:hi] @ m.T) / (nsafe[lo:hi] * nsafe.T)
                 # candidate-select then exact SQL-ROUND-6, matching the
                 # expression twin and the oracle (see _round6_select)
                 ii, jj, _ = _round6_select(sims, threshold)

@@ -381,7 +381,10 @@ def bm25_topk(
 
     if not terms:
         raise ValueError("bm25_topk requires a non-empty term list")
-    toks = tokens(F.lower(F.col(text_col)))
+    # NULL text must mean dl=0, not size(NULL)=-1 (which would skew
+    # avgdl negative while a SQL AVG silently skips the NULL row) —
+    # same hazard dedup_lines fixed; the oracle coalesces identically.
+    toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     d = df.select(F.col(id_col), toks.alias("__w")).select(
         id_col, F.size("__w").alias("__dl"), "__w"
     )

@@ -541,6 +541,16 @@ def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert DD.connected_components(pairs).count() == 0
 
+def test_connected_components_raises_on_max_iter(spark):
+    """Exhausting max_iter without the convergence sum stabilizing must
+    raise — partially-converged labels are silently wrong (component_id
+    would not be the component minimum)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iter=1)
+
 def test_semantic_dedup_keeps_lowest_id(spark):
     from hogzilla_spark.operators.similarity import semantic_dedup
 
@@ -687,6 +697,32 @@ def test_bm25_degenerate_inputs(spark):
     import pytest
     with pytest.raises(ValueError):
         bm25_topk(empty, [])
+
+def test_bm25_null_text_counts_as_empty_doc(spark):
+    """A NULL-text doc must contribute dl=0 to avgdl (like a SQL AVG
+    over a coalesced length), NOT size(NULL) = −1: scores over the
+    non-null docs must match the same corpus with '' in its place."""
+    import math
+
+    from hogzilla_spark.operators.text import bm25_topk
+
+    with_null = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog dog fish"), (3, None)],
+        "doc_id long, text string",
+    )
+    with_empty = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog dog fish"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {tuple(r) for r in bm25_topk(with_null, ["cat", "dog"]).collect()}
+    want = {tuple(r) for r in bm25_topk(with_empty, ["cat", "dog"]).collect()}
+    assert got == want
+    # and the avgdl actually reflects the zero-length doc: hand check
+    n, avgdl = 3, (3 + 4 + 0) / 3
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    s = idf * (3 * 2.2) / (3 + 1.2 * (1 - 0.75 + 0.75 * 4 / avgdl))
+    doc2 = {t[0]: t[1] for t in got}[2]
+    assert doc2 == int(math.floor(s * 1e6 + 0.5))
 
 def test_dedup_lines_null_text_keeps_doc(spark):
     """A NULL-text document still yields its output row — downstream

@@ -189,3 +189,19 @@ def test_interleave_mix_sparse_ids_bounded_buckets(spark):
     out = interleave_mix(df, "src", {"a": 1.0}, "id", n_buckets=8)
     pos = [r.mix_pos for r in out.orderBy("id").collect()]
     assert pos == [float(i + 1) for i in range(50)]
+
+def test_interleave_mix_full_long_range_no_overflow(spark):
+    """Keys spanning the FULL signed-64-bit range (lo near -2^63, hi
+    near +2^63): key − lo exceeds 2^63 and silently wraps under plain
+    long arithmetic, producing negative non-monotone buckets (some
+    colliding with the NULL-key −1 sentinel).  The decimal(38,0)
+    DIV bucketing must keep ranks equal to the dense sort order."""
+    lo, hi = -(2**63), 2**63 - 1
+    ids = sorted(
+        {lo, lo + 1, -3, 0, 5, hi - 1, hi, (hi // 3), -(hi // 3)}
+    )
+    df = spark.createDataFrame([(i, "a") for i in ids], "id long, src string")
+    for nb in (1, 4, 65_536):
+        out = interleave_mix(df, "src", {"a": 1.0}, "id", n_buckets=nb)
+        got = {r.id: r.mix_pos for r in out.collect()}
+        assert got == {k: float(r + 1) for r, k in enumerate(ids)}, nb
