@@ -639,16 +639,25 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs (word 3-gram shingles,
     jaccard >= 0.3) via the relational intersection-count plan — the
-    recall-1 companion to the LSH approximation.
+    recall-1 companion to the LSH approximation.  Tagged union so BOTH
+    code paths are driver-evidenced:
 
-    max_shingle_freq=None: the DuckDB oracle computes fully-uncapped
-    Jaccard, so the oracle-checked entry must too — otherwise a
-    boilerplate shingle crossing the 10k default at a larger sf would
-    silently diverge.  Production keeps the operator's capped default
-    (the m² guard); the cap-vs-uncapped equality on surviving pairs is
-    pinned by tests/test_dedup.py."""
+    - part 'uncapped' (max_shingle_freq=None): Jaccard over the full
+      shingle universe, mirroring the plain SQL formulation.
+    - part 'capped' (max_shingle_freq=5): the PRODUCTION m²-guard path —
+      shingles with doc-freq > cap are dropped and per-doc sizes are
+      corrected to the surviving universe (the hot-shingle n-correction
+      join in operators/dedup.ngram_jaccard_pairs).  The cap of 5 is
+      chosen BELOW the testdata's max shingle doc-freq (9 at sf0.001,
+      7 at sf0.01), so the guard demonstrably fires at every gate scale
+      and the oracle replays the same drop + size recomputation in SQL.
+    """
     docs = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, min_jaccard=0.3, max_shingle_freq=None)
+    un = DD.ngram_jaccard_pairs(docs, min_jaccard=0.3, max_shingle_freq=None)
+    cap = DD.ngram_jaccard_pairs(docs, min_jaccard=0.3, max_shingle_freq=5)
+    return un.select(F.lit("uncapped").alias("part"), "id_a", "id_b", "jaccard").unionByName(
+        cap.select(F.lit("capped").alias("part"), "id_a", "id_b", "jaccard")
+    )
 
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-document line dedup (Raffel et al. 2020 §2.2):
@@ -1898,6 +1907,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, jaccard FROM mh_pairs
     """
 
+    # Tagged union: part 'uncapped' = full shingle universe; part
+    # 'capped' = the production m²-guard path with max_shingle_freq=5
+    # mirrored in SQL — shingles with doc-freq > 5 are dropped and
+    # per-doc sizes recomputed over the SURVIVING universe (exactly the
+    # engine's n − hot-count correction; singletons keep counting
+    # toward the union denominator on both sides because f=1 <= cap).
     sql["dedup_ngram_jaccard"] = """
         WITH toks AS (
           SELECT doc_id,
@@ -1913,11 +1928,25 @@ def oracle_sql() -> dict[str, str]:
         pairs AS (
           SELECT l.id AS id_a, r.id AS id_b, l.n AS n_a, r.n AS n_b, COUNT(*) AS i
           FROM ex l JOIN ex r ON l.s = r.s AND l.id < r.id
-          GROUP BY 1, 2, 3, 4)
-        SELECT id_a, id_b,
+          GROUP BY 1, 2, 3, 4),
+        freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
+        exc AS (SELECT id, s FROM ex JOIN freq USING (s) WHERE f <= 5),
+        csz AS (SELECT id, COUNT(*) AS n FROM exc GROUP BY id),
+        cpairs AS (
+          SELECT l.id AS id_a, r.id AS id_b, COUNT(*) AS i
+          FROM exc l JOIN exc r ON l.s = r.s AND l.id < r.id
+          GROUP BY 1, 2)
+        SELECT 'uncapped' AS part, id_a, id_b,
                ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) AS jaccard
         FROM pairs
         WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.3
+        UNION ALL
+        SELECT 'capped' AS part, p.id_a, p.id_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM cpairs p
+        JOIN csz sa ON p.id_a = sa.id
+        JOIN csz sb ON p.id_b = sb.id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
     """
 
     # Incremental = the full LSH pair set restricted to pairs touching
