@@ -286,6 +286,38 @@ def q_w2_w4_topn_groupmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_max",
     )
 
+def q_w_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + W2/W4 in one tagged union (merged in round 6 to free a
+    registry slot for hz_atypical_port while staying inside the
+    driver's 50-row recording budget — both halves were green since
+    r1): 'w1' = per-group share rows in (key1=user_id, key2=event_type,
+    n, x=share); 'w2w4' = top-3-per-customer rows with group max in
+    (key1=o_custkey, key2=o_orderkey, n=price_c, m=cust_max_c,
+    flag=is_max)."""
+    w1 = q_w1_group_share(spark, sf_dir).select(
+        F.lit("w1").alias("part"),
+        F.col("user_id").cast("long").alias("key1"),
+        F.col("event_type").alias("key2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("share").alias("x"),
+        F.lit(None).cast("long").alias("m"),
+        # flag rides as nullable LONG 0/1: a nullable BOOLEAN column
+        # canonicalizes differently across pandas dtypes (object str
+        # 'None' vs BooleanDtype NA) and would scramble the driver's
+        # sorted-value hash; nullable numerics coerce identically.
+        F.lit(None).cast("long").alias("flag"),
+    )
+    w24 = q_w2_w4_topn_groupmax(spark, sf_dir).select(
+        F.lit("w2w4").alias("part"),
+        F.col("o_custkey").cast("long").alias("key1"),
+        F.col("o_orderkey").cast("string").alias("key2"),
+        F.col("price_c").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("x"),
+        F.col("cust_max_c").cast("long").alias("m"),
+        F.col("is_max").cast("long").alias("flag"),
+    )
+    return w1.unionByName(w24)
+
 # ---------------------------------------------------------------------------
 # J-family: joins
 # ---------------------------------------------------------------------------
@@ -1400,6 +1432,99 @@ def q_hz_portscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
     )
 
+def q_hz_atypical_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stateful detector of the atypical/learn-gate family
+    (826001003, detectors/stateful.atypical_tcp_port,
+    HogSFlow.scala:1377-1536) scored against a SQL oracle with a
+    PRE-SEEDED HIST01 state table — the sixth detector-level oracle,
+    covering the gate-100 maturity check, the saved-share suppression,
+    the FTP-21 low-port restriction, AND the S13 proxy self-learn
+    output, all driver-evidenced.
+
+    Traffic shaping (mirrored verbatim in SQL): the error mesh
+    (myPort 4000, 5 svc ports) is promoted to confirmed status so the
+    server-port heuristic (a_p > 3) has a universe to fire on; hosts
+    with last octet % 5 == 0 get their mesh alien-ports remapped to
+    <1024 (alienPort DIV 100), which trips the proxy heuristic
+    (l_p > 2, a_p/l_p > 0.5) → they surface as part 'proxy' (the S13
+    self-learned set) and are EXCLUDED from alerts.
+
+    Seeding by last octet: %7 → size 50 < gate 100 (immature,
+    suppressed); odd → saved share 1000 on port 4000 (typical,
+    suppressed); %3 → saved '21' > eps (only <1024 ports may alert →
+    4000 suppressed); remaining even hosts alert on port 4000."""
+    from hogzilla_spark.config import HistogramConfig, SFlowConfig
+    from hogzilla_spark.detectors.stateful import atypical_tcp_port
+    from hogzilla_spark.operators.rollup import sflow_summary
+
+    cfg = SFlowConfig()
+    hcfg = HistogramConfig()
+    summary = sflow_summary(
+        _synth_sflows(spark, sf_dir), ["10.1."]
+    ).localCheckpoint(eager=True)
+    octet = F.element_at(F.split(F.col("myIP"), r"\."), 4).try_cast("int")
+    summary2 = summary.withColumn(
+        "alienPort",
+        F.when(
+            (F.col("myPort") == "4000") & (octet % 5 == 0),
+            F.expr("CAST(TRY_CAST(alienPort AS INT) DIV 100 AS STRING)"),
+        ).otherwise(F.col("alienPort")),
+    ).withColumn(
+        "status",
+        F.when(
+            (F.col("proto") == "UDP") & (F.col("myPort") == "4000"),
+            F.col("numberPkts"),
+        ).otherwise(F.col("status")),
+    )
+    hists = (
+        summary.select("myIP")
+        .distinct()
+        .select(
+            F.concat(F.lit("HIST01-"), F.col("myIP")).alias("hist_name"),
+            F.when(octet % 7 == 0, F.lit(50))
+            .otherwise(F.lit(150))
+            .cast("long")
+            .alias("size"),
+            F.map_from_entries(
+                F.filter(
+                    F.array(
+                        F.struct(
+                            F.lit("4000").alias("key"),
+                            F.when(octet % 2 == 1, F.lit(1000.0)).alias("value"),
+                        ),
+                        F.struct(
+                            F.lit("21").alias("key"),
+                            F.when(octet % 3 == 0, F.lit(1000.0)).alias("value"),
+                        ),
+                    ),
+                    lambda e: e["value"].isNotNull(),
+                )
+            ).alias("values"),
+        )
+    )
+    empty_pairs = spark.createDataFrame([], "myIP string, alienIP string")
+    empty_ips = spark.createDataFrame([], "myIP string")
+    alerts, _updates, new_proxies = atypical_tcp_port(
+        summary2, ["10.1."], cfg, hcfg, hists, empty_pairs, empty_ips, []
+    )
+    a = alerts.select(
+        F.lit("alert").alias("part"),
+        F.col("lower_ip_str").alias("hostname"),
+        F.element_at("data", "tcpport").alias("tcpports"),
+        F.element_at("data", "bytesUp").try_cast("long").alias("bytes_up"),
+        F.element_at("data", "bytesDown").try_cast("long").alias("bytes_down"),
+        F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
+    )
+    p = new_proxies.select(
+        F.lit("proxy").alias("part"),
+        F.col("myIP").alias("hostname"),
+        F.lit(None).cast("string").alias("tcpports"),
+        F.lit(None).cast("long").alias("bytes_up"),
+        F.lit(None).cast("long").alias("bytes_down"),
+        F.lit(None).cast("long").alias("number_pkts"),
+    )
+    return a.unionByName(p)
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1415,10 +1540,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only entry (multimodal_features, whose binary decode DuckDB
     cannot replay — covered by codec round-trip unit suites) sits last.
     Near-duplicate basics are tagged unions of their originals
-    (a5+a9, j3+j5, s6+p2, h1+h2, f5+quantiles) to stay inside the
-    budget."""
+    (a5+a9, j3+j5, s6+p2, h1+h2, f5+quantiles, w1+w2w4) to stay inside
+    the budget."""
     return {
         # new/changed this round — need fresh driver evidence
+        "hz_atypical_port": q_hz_atypical_port,
+        "w_windows": q_w_windows,
         "dedup_components": q_dedup_components,
         "bm25_topk": q_bm25_topk,
         "semantic_dedup": q_semantic_dedup,
@@ -1442,7 +1569,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pivot_rollup": q_x_pivot_rollup,
         "f_scalar_suite": q_f_scalar_suite,
         "h5_h6_merges": q_h5_h6_merges,
-        "w2_w4_topn_groupmax": q_w2_w4_topn_groupmax,
         "a7_a8_global_stats": q_a7_a8_global_stats,
         "j1_j2_anti_semi": q_j1_j2_anti_semi,
         "text_profile": q_text_profile,
@@ -1466,7 +1592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_a3_rollups": q_a2_a3_rollups,
         "a5_a9_counts": q_a5_a9_counts,
         "a14_interarrival": q_a14_interarrival,
-        "w1_group_share": q_w1_group_share,
         "j3_j5_joins": q_j3_j5_joins,
         "o1_topk": q_o1_topk,
         "s6_p2_scan_parse": q_s6_p2_scan_parse,
@@ -1575,24 +1700,28 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rk > 4 GROUP BY user_id
     """
 
-    sql["w1_group_share"] = """
+    # w1 + w2/w4 tagged union (merged r6; see q_w_windows for the
+    # column mapping)
+    sql["w_windows"] = """
         WITH cnt AS (
-          SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type)
-        SELECT user_id, event_type, n,
-               ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY user_id), 6) AS share
-        FROM cnt
-    """
-
-    sql["w2_w4_topn_groupmax"] = """
-        WITH r AS (
+          SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type),
+        r AS (
           SELECT o_custkey, o_orderkey, o_totalprice,
                  MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS mx,
                  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders)
-        SELECT o_custkey, o_orderkey,
-               CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
-               CAST(ROUND(mx*100) AS BIGINT) AS cust_max_c,
-               o_totalprice = mx AS is_max
+        SELECT 'w1' AS part, CAST(user_id AS BIGINT) AS key1, event_type AS key2,
+               CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY user_id), 6) AS x,
+               CAST(NULL AS BIGINT) AS m, CAST(NULL AS BIGINT) AS flag
+        FROM cnt
+        UNION ALL
+        SELECT 'w2w4' AS part, CAST(o_custkey AS BIGINT) AS key1,
+               CAST(o_orderkey AS VARCHAR) AS key2,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS x,
+               CAST(ROUND(mx*100) AS BIGINT) AS m,
+               CAST(o_totalprice = mx AS BIGINT) AS flag
         FROM r WHERE rn <= 3
     """
 
@@ -2683,10 +2812,78 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(n_flows) AS BIGINT) AS n_flows,
                string_agg(alienPort || '=' || CAST(n_pairs AS VARCHAR), ', '
                           ORDER BY alienPort || '=' || CAST(n_pairs AS VARCHAR)) AS per_port,
-               CAST(SUM(bu) * AVG(sr) AS BIGINT) AS bytes_up,
-               CAST(SUM(bd) * AVG(sr) AS BIGINT) AS bytes_down,
+               CAST(FLOOR(SUM(bu) * AVG(sr)) AS BIGINT) AS bytes_up,
+               CAST(FLOOR(SUM(bd) * AVG(sr)) AS BIGINT) AS bytes_down,
                CAST(SUM(np) AS BIGINT) AS number_pkts
         FROM scored GROUP BY myIP
+    """
+
+    # Sixth detector-level oracle: atypical TCP port (826001003) with
+    # pre-seeded HIST01 state + the S13 proxy self-learn output.  The
+    # traffic shaping (confirmed error mesh, octet%5 low-port remap)
+    # and the seeded state (size 50 on %7, saved '4000' on odd octets,
+    # saved '21' on %3) are replicated verbatim; the engine's gates —
+    # serves (a_p>3, a_p/f_p>0.2), proxy (l_p>2, a_p/l_p>0.5),
+    # maturity >= 100, weight > eps, saved-share <= eps, the port
+    # exclude list, and the FTP-21 low-port restriction — become WHERE
+    # clauses over the same aggregates.
+    sql["hz_atypical_port"] = "WITH " + _SYNTH_SQL + f"""
+        , s2 AS (
+          SELECT myIP, myPort, alienIP,
+                 CASE WHEN myPort = '4000'
+                           AND (TRY_CAST(string_split(myIP,'.')[4] AS INTEGER) % 5) = 0
+                      THEN CAST(TRY_CAST(alienPort AS INTEGER) // 100 AS VARCHAR)
+                      ELSE alienPort END AS alienPort,
+                 proto, bytesUp, bytesDown, numberPkts, direction, sampleRate,
+                 CASE WHEN proto = 'UDP' AND myPort = '4000' THEN numberPkts
+                      ELSE status END AS status
+          FROM summary),
+        flows AS (
+          SELECT * FROM s2 WHERE numberPkts >= 2 AND status > 0),
+        port_stats AS (
+          SELECT myIP, myPort,
+                 COUNT(*) AS f_p,
+                 COUNT(DISTINCT alienPort) AS a_p,
+                 COUNT(DISTINCT CASE WHEN TRY_CAST(alienPort AS BIGINT) < 1024
+                                     THEN alienPort END) AS l_p
+          FROM flows GROUP BY myIP, myPort),
+        totals AS (
+          SELECT myIP, COUNT(*) AS n_flows,
+                 SUM(bytesUp) AS bytesUp, SUM(bytesDown) AS bytesDown,
+                 SUM(numberPkts) AS numberPkts, AVG(sampleRate) AS sampleRate
+          FROM flows GROUP BY myIP),
+        gates AS (
+          SELECT *,
+                 (a_p > 3 AND CAST(a_p AS DOUBLE)/f_p > 0.2) AS serves,
+                 (a_p > 3 AND CAST(a_p AS DOUBLE)/f_p > 0.2 AND l_p > 2
+                   AND CAST(a_p AS DOUBLE)/l_p > 0.5) AS proxy_detected
+          FROM port_stats),
+        kept AS (SELECT * FROM gates WHERE serves AND NOT proxy_detected),
+        proxies AS (SELECT DISTINCT myIP FROM gates WHERE proxy_detected),
+        seeded AS (
+          SELECT myIP, TRY_CAST(string_split(myIP,'.')[4] AS INTEGER) AS octet
+          FROM (SELECT DISTINCT myIP FROM summary)),
+        atyp AS (
+          SELECT k.myIP, k.myPort AS port
+          FROM kept k JOIN seeded s USING (myIP) JOIN totals t USING (myIP)
+          WHERE s.octet % 7 <> 0
+            AND CAST(k.f_p AS DOUBLE)/t.n_flows > {eps}
+            AND NOT (s.octet % 2 = 1 AND k.myPort = '4000')
+            AND k.myPort NOT IN ('80','443','587','465','993','995')
+            AND (s.octet % 3 <> 0 OR TRY_CAST(k.myPort AS BIGINT) < 1024))
+        SELECT 'alert' AS part, a.myIP AS hostname,
+               string_agg(a.port, ',' ORDER BY a.port) AS tcpports,
+               CAST(FLOOR(MAX(t.bytesUp) * MAX(t.sampleRate)) AS BIGINT) AS bytes_up,
+               CAST(FLOOR(MAX(t.bytesDown) * MAX(t.sampleRate)) AS BIGINT) AS bytes_down,
+               CAST(MAX(t.numberPkts) AS BIGINT) AS number_pkts
+        FROM atyp a JOIN totals t USING (myIP) GROUP BY a.myIP
+        UNION ALL
+        SELECT 'proxy' AS part, myIP AS hostname,
+               CAST(NULL AS VARCHAR) AS tcpports,
+               CAST(NULL AS BIGINT) AS bytes_up,
+               CAST(NULL AS BIGINT) AS bytes_down,
+               CAST(NULL AS BIGINT) AS number_pkts
+        FROM proxies
     """
 
     return sql
