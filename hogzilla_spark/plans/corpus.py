@@ -55,10 +55,24 @@ def prepare_corpus(
     chunk_tokens: int = 64,
     stride: int = 48,
     shard_budget: int = 65_536,
+    shard_partition_cols: list[str] | None = None,
 ) -> dict:
+    """`shard_partition_cols` keys stage-5 shard packing (each group
+    packs its token budget independently — language, source, ...).
+    Default: `["lang"]` when the corpus has a `lang` column, else
+    global packing.  Requesting a column the corpus lacks fails fast
+    HERE, before any stage pays compute, not at stage 5."""
     docs = spread_small_scan(
         spark.read.parquet(f"{src_dir}/documents.parquet")
     ).localCheckpoint(eager=True)
+    if shard_partition_cols is None:
+        shard_partition_cols = ["lang"] if "lang" in docs.columns else []
+    missing = [c for c in shard_partition_cols if c not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"shard_partition_cols {missing} not in corpus columns "
+            f"{docs.columns}; stage 5 would fail after stages 1-4 ran"
+        )
     report: dict[str, int] = {"input_docs": docs.count()}
 
     # 1. exact dedup
@@ -109,7 +123,7 @@ def prepare_corpus(
     # 5. shard packing at document grain, then chunking
     packed = pack_token_shards(
         docs, token_col="n_tok", budget=shard_budget, order_col="doc_id",
-        partition_cols=["lang"],
+        partition_cols=shard_partition_cols,
     )
     packed.write.mode("overwrite").parquet(f"{out_dir}/clean_docs.parquet")
     chunks = chunk_documents(docs, chunk_tokens=chunk_tokens, stride=stride)
@@ -127,6 +141,12 @@ def main() -> None:
     ap.add_argument("--min-jaccard", type=float, default=0.3)
     ap.add_argument("--drop-low-quality", action="store_true")
     ap.add_argument("--shard-budget", type=int, default=65_536)
+    ap.add_argument(
+        "--shard-partition-cols",
+        default=None,
+        help="comma-separated group-by keys for shard packing "
+        "(default: 'lang' when present, else global)",
+    )
     args = ap.parse_args()
     from hogzilla_spark import get_spark
 
@@ -137,6 +157,11 @@ def main() -> None:
         min_jaccard=args.min_jaccard,
         drop_low_quality=args.drop_low_quality,
         shard_budget=args.shard_budget,
+        shard_partition_cols=(
+            args.shard_partition_cols.split(",")
+            if args.shard_partition_cols
+            else None
+        ),
     )
     print(json.dumps(report))
     spark.stop()

@@ -31,6 +31,30 @@ def test_prepare_corpus_end_to_end(spark, tmp_path):
     assert clean.filter("shard_id < 0").count() == 0
     assert {"shard_id", "shard_offset", "gopher_pass", "n_tok"} <= set(clean.columns)
 
+def test_prepare_corpus_langless_corpus(spark, tmp_path):
+    """A corpus WITHOUT a lang column must run end-to-end (global shard
+    packing), and requesting an absent partition column must fail fast
+    BEFORE stage 1 pays any compute."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .drop("lang")
+        .limit(100)
+        .write.parquet(f"{src}/documents.parquet")
+    )
+    out = str(tmp_path / "corpus3")
+    report = prepare_corpus(spark, src, out)
+    assert report["output_docs"] > 0
+    clean = spark.read.parquet(f"{out}/clean_docs.parquet")
+    assert "shard_id" in clean.columns
+    with pytest.raises(ValueError, match="shard_partition_cols"):
+        prepare_corpus(
+            spark, src, str(tmp_path / "corpus4"),
+            shard_partition_cols=["lang"],
+        )
+
 def test_prepare_corpus_quality_drop(spark, tmp_path):
     """drop_low_quality prunes to the gopher_pass subset (empty on the
     synthetic corpus — the flag-not-drop default exists for exactly
