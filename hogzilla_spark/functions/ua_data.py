@@ -12,12 +12,21 @@ each entry ``{regex, family_replacement?}`` (browser) /
     capture group;
   - a ``$1`` inside the replacement substitutes the first capture group.
 
-This module vendors a curated subset covering the reference's auth
-traffic (mainstream browsers, mobile variants, bots, CLI tooling) in
-uap-core's layering order — niche families whose UAs embed mainstream
-tokens come first (Edge before Chrome, Chrome before Safari, Android
-before Linux, distros before the Linux catch-all).  To swap in the full
-public dataset, translate each ``user_agent_parsers`` /
+This module vendors a curated ruleset covering the reference's auth
+traffic plus the high-volume families of the public dataset:
+mainstream browsers and mobile variants, in-app webviews
+(Instagram/Facebook/WeChat/Line/TikTok/Snapchat/Google), chromium
+derivatives (Whale/Huawei/Maxthon/Puffin/Coc Coc/Falkon), gecko forks
+(Pale Moon/Waterfox/Basilisk), search/SEO/archival crawlers,
+social-preview fetchers, HTTP client libraries, and the appliance /
+mobile OS families (HarmonyOS, tvOS, webOS, BlackBerry, Symbian,
+Roku, Fuchsia, Haiku) — all in uap-core's layering order: families
+whose UAs embed mainstream tokens come first (Edge before Chrome,
+Chrome before Safari, Android before Linux, HarmonyOS before Android,
+distros before the Linux catch-all).  Remaining divergence from the
+full regexes.yaml is the long tail of extinct browsers and
+device-model extraction (families this engine never keys on); to close
+it entirely, translate each remaining ``user_agent_parsers`` /
 ``os_parsers`` entry of regexes.yaml into one dict below (the compiler
 in functions/scalar.py consumes them unchanged; regexes must stay in
 the Java∩RE2-safe subset — no lookbehind).
@@ -36,6 +45,26 @@ USER_AGENT_PARSERS: list[dict[str, str]] = [
     {"regex": r"(YandexBot)"},
     {"regex": r"(Slackbot)"},
     {"regex": r"facebookexternalhit", "family_replacement": "FacebookBot"},
+    # search/SEO/archival crawlers (many carry Mozilla/AppleWebKit
+    # spoof tokens, so the whole family sits before every browser)
+    {"regex": r"(Applebot)"},
+    {"regex": r"(AhrefsBot)"},
+    {"regex": r"(SemrushBot)"},
+    {"regex": r"(MJ12bot)"},
+    {"regex": r"(DotBot)"},
+    {"regex": r"(PetalBot)"},
+    {"regex": r"(Bytespider)"},
+    {"regex": r"(GPTBot)"},
+    {"regex": r"(CCBot)"},
+    {"regex": r"archive\.org_bot", "family_replacement": "archive.org_bot"},
+    # social-preview fetchers (LinkedInBot carries an Apache-HttpClient
+    # token, TelegramBot a TwitterBot one — order matters)
+    {"regex": r"(TelegramBot)"},
+    {"regex": r"(Twitterbot)"},
+    {"regex": r"(LinkedInBot)"},
+    {"regex": r"(Pinterestbot)"},
+    {"regex": r"(Discordbot)"},
+    {"regex": r"(WhatsApp)/"},
     {"regex": r"(HeadlessChrome)"},
     {"regex": r"(curl)/"},
     {"regex": r"(Wget)"},
@@ -43,9 +72,42 @@ USER_AGENT_PARSERS: list[dict[str, str]] = [
     {"regex": r"(Python-urllib)"},
     {"regex": r"(Go-http-client)"},
     {"regex": r"(okhttp)"},
+    {"regex": r"(Scrapy)/"},
+    {"regex": r"(aiohttp)/"},
+    {"regex": r"(axios)/"},
+    {"regex": r"node-fetch", "family_replacement": "node-fetch"},
+    {"regex": r"(libwww-perl)"},
+    {"regex": r"GuzzleHttp", "family_replacement": "Guzzle"},
+    {"regex": r"(Faraday)"},
     {"regex": r"(Apache-HttpClient)"},
     {"regex": r"(PostmanRuntime)"},
+    {"regex": r"(Insomnia)/"},
+    {"regex": r"(Dart)/"},
+    {"regex": r"\b(PHP)/"},
     {"regex": r"(Java)/"},
+    # --- in-app webviews / wrapped engines (carry Chrome AND Safari
+    # tokens, so the whole block precedes every mainstream browser) ----
+    {"regex": r"(Instagram)"},
+    {"regex": r"FBAV/|FB_IAB", "family_replacement": "Facebook"},
+    {"regex": r"MicroMessenger", "family_replacement": "WeChat"},
+    {"regex": r"\b(Line)/"},
+    {"regex": r"musical_ly|BytedanceWebview", "family_replacement": "TikTok"},
+    {"regex": r"(Snapchat)"},
+    {"regex": r"GSA/", "family_replacement": "Google"},
+    {"regex": r"DuckDuckGo/", "family_replacement": "DuckDuckGo Mobile"},
+    {"regex": r"(Electron)/"},
+    # --- chromium derivatives with their own token --------------------
+    {"regex": r"(Whale)/"},
+    {"regex": r"HuaweiBrowser/", "family_replacement": "Huawei Browser"},
+    {"regex": r"(Maxthon)"},
+    {"regex": r"(Puffin)"},
+    {"regex": r"(Sleipnir)"},
+    {"regex": r"coc_coc_browser", "family_replacement": "Coc Coc"},
+    {"regex": r"(Falkon)/"},
+    # --- gecko forks (carry a Firefox token → before Firefox) ---------
+    {"regex": r"PaleMoon|Pale Moon", "family_replacement": "Pale Moon"},
+    {"regex": r"(Waterfox)"},
+    {"regex": r"(Basilisk)"},
     # --- niche before mainstream (token layering) ---------------------
     {"regex": r"(Opera Mini)"},
     {"regex": r"Opera Mobi", "family_replacement": "Opera Mobile"},
@@ -96,19 +158,32 @@ OS_PARSERS: list[dict[str, str]] = [
     {"regex": r"Windows (NT|XP|ME|98|95|CE)", "os_replacement": "Windows"},
     {"regex": r"(Windows)"},
     {"regex": r"CrOS", "os_replacement": "Chrome OS"},
-    # KaiOS builds are Firefox-OS descendants and still say "Android"
+    # KaiOS builds are Firefox-OS descendants and still say "Android";
+    # HarmonyOS UAs carry BOTH "Android" and "Linux" tokens
     {"regex": r"KaiOS|KAIOS", "os_replacement": "KaiOS"},
+    {"regex": r"(HarmonyOS)"},
     # Android carries a Linux token — match it first
     {"regex": r"(Android)"},
+    # Apple TV says "like Mac OS X" without an iPhone/iPad token —
+    # before the iOS and Mac rules
+    {"regex": r"Apple TV|tvOS", "os_replacement": "tvOS"},
     {"regex": r"(iPhone|iPad|iPod).*like Mac OS X", "os_replacement": "iOS"},
     {"regex": r"(iPhone|iPad|iPod)", "os_replacement": "iOS"},
     {"regex": r"(Mac OS X)"},
     {"regex": r"Macintosh", "os_replacement": "Mac OS X"},
     {"regex": r"(Darwin)"},
-    # appliance/console OSes carry a Linux token — before the catch-all
+    # appliance/console/mobile OSes carrying a Linux token — before the
+    # catch-all
     {"regex": r"(Tizen)"},
+    {"regex": r"webOS|Web0S|hpwOS", "os_replacement": "webOS"},
+    {"regex": r"BlackBerry|BB10|PlayBook", "os_replacement": "BlackBerry OS"},
+    {"regex": r"Symbian|SymbOS|Series60", "os_replacement": "Symbian OS"},
     {"regex": r"(PlayStation)"},
     {"regex": r"(Nintendo)"},
+    {"regex": r"(Roku)"},
+    {"regex": r"(Fuchsia)"},
+    {"regex": r"(Haiku)"},
+    {"regex": r"(AmigaOS)"},
     # distro tokens before the generic Linux catch-all, as uap-core does
     {"regex": r"(Ubuntu)"},
     {"regex": r"(Fedora)"},

@@ -105,7 +105,7 @@ _UA_FIXTURE = [
     ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) EdgiOS/118.2088.77 Version/16.0 Mobile/15E148 Safari/604.1", "iOS/Edge Mobile"),
     ("Mozilla/5.0 (Linux; Android 13; SM-A536B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36 EdgA/119.0.2151.78", "Android/Edge Mobile"),
     ("Mozilla/5.0 (Linux; U; Android 12; en-US; M2102J20SG) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/100.0.4896.127 UCBrowser/15.5.0 Mobile Safari/537.36", "Android/UC Browser"),
-    ("Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS; Opera Mobi/23.348) U; en) Presto/2.5.25 Version/10.54", "Other/Opera Mini"),
+    ("Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS; Opera Mobi/23.348) U; en) Presto/2.5.25 Version/10.54", "Symbian OS/Opera Mini"),
     ("Mozilla/5.0 (Windows Phone 10.0; Android 6.0.1; Microsoft; Lumia 650) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/52.0.2743.116 Mobile Safari/537.36 Edge/15.15254", "Windows Phone/Edge"),
     ("Mozilla/5.0 (Linux; Android 11; KFONWI Build/RS8332.1115N) AppleWebKit/537.36 (KHTML, like Gecko) Silk/112.5.1 like Chrome/112.0.5615.213 Safari/537.36", "Android/Amazon Silk"),
     ("Mozilla/5.0 (Mobile; LYF/F300B/LYF-F300B-001-02-15-130718-i;Android; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5", "KaiOS/Firefox Mobile"),
@@ -132,6 +132,53 @@ _UA_FIXTURE = [
     ("Lynx/2.8.9rel.1 libwww-FM/2.14 SSL-MM/1.4.1 GNUTLS/3.6.13", "Other/Lynx"),
     ("Mozilla/5.0 (X11; Linux x86_64; rv:102.0) Gecko/20100101 Thunderbird/102.10.0", "Linux/Thunderbird"),
     ("Mozilla/5.0 (compatible; Konqueror/4.5; FreeBSD) KHTML/4.5.4 (like Gecko)", "FreeBSD/Konqueror"),
+    # in-app webviews (Chrome + Safari tokens present, wrapper wins)
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Instagram 302.1.0.34.111", "iOS/Instagram"),
+    ("Mozilla/5.0 (Linux; Android 13; SM-G991B Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/119.0.6045.193 Mobile Safari/537.36 [FB_IAB/FB4A;FBAV/442.0.0.31.112;]", "Android/Facebook"),
+    ("Mozilla/5.0 (Linux; Android 12; V2118 Build/SP1A.210812.003; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/98.0.4758.102 MQQBrowser/6.2 TBS/046317 Mobile Safari/537.36 MicroMessenger/8.0.42", "Android/WeChat"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Safari Line/13.17.0", "iOS/Line"),
+    ("Mozilla/5.0 (Linux; Android 13; Pixel 7 Build/TQ3A.230901.001; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/117.0.0.0 Mobile Safari/537.36 musical_ly_2023305040", "Android/TikTok"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Snapchat/12.60.0.42", "iOS/Snapchat"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) GSA/288.0.577695730 Mobile/15E148 Safari/604.1", "iOS/Google"),
+    ("Mozilla/5.0 (Linux; Android 13) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/119.0.6045.163 Mobile DuckDuckGo/5 Safari/537.36", "Android/DuckDuckGo Mobile"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Slack/4.35.126 Chrome/114.0.5735.289 Electron/25.8.4 Safari/537.36", "Windows/Electron"),
+    # chromium derivatives / gecko forks
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 Whale/3.20.182.14 Safari/537.36", "Windows/Whale"),
+    ("Mozilla/5.0 (Linux; Android 10; HarmonyOS; TET-AN00; HMSCore 6.12.0.302) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/114.0.5735.196 HuaweiBrowser/14.0.2.311 Mobile Safari/537.36", "HarmonyOS/Huawei Browser"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/107.0.0.0 Safari/537.36 Maxthon/7.1.6.1000", "Windows/Maxthon"),
+    ("Mozilla/5.0 (Linux; Android 10; SM-G973F Build/QP1A.190711.020) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/77.0.3865.92 Mobile Safari/537.36 Puffin/9.7.1.51367AP", "Android/Puffin"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) coc_coc_browser/115.0.130 Chrome/109.0.5414.130 Safari/537.36", "Windows/Coc Coc"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Falkon/23.08.1 QtWebEngine/5.15.14 Chrome/87.0.4280.144 Safari/537.36", "Linux/Falkon"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:5.0) Gecko/20100101 Goanna/20230930 PaleMoon/32.4.1", "Linux/Pale Moon"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:102.0) Gecko/20100101 Firefox/102.0 Waterfox/102.10.0", "Linux/Waterfox"),
+    # crawlers / preview fetchers / HTTP clients
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.4 Safari/605.1.15 (Applebot/0.1; +http://www.apple.com/go/applebot)", "Mac OS X/Applebot"),
+    ("Mozilla/5.0 (compatible; AhrefsBot/7.0; +http://ahrefs.com/robot/)", "Other/AhrefsBot"),
+    ("Mozilla/5.0 (compatible; SemrushBot/7~bl; +http://www.semrush.com/bot.html)", "Other/SemrushBot"),
+    ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; GPTBot/1.0; +https://openai.com/gptbot)", "Other/GPTBot"),
+    ("CCBot/2.0 (https://commoncrawl.org/faq/)", "Other/CCBot"),
+    ("Mozilla/5.0 (compatible;PetalBot;+https://webmaster.petalsearch.com/site/petalbot)", "Other/PetalBot"),
+    ("Mozilla/5.0 (Linux; Android 5.0) AppleWebKit/537.36 (KHTML, like Gecko) Mobile Safari/537.36 (compatible; Bytespider; spider-feedback@bytedance.com)", "Android/Bytespider"),
+    ("Mozilla/5.0 (compatible; archive.org_bot +http://archive.org/details/archive.org_bot)", "Other/archive.org_bot"),
+    ("TelegramBot (like TwitterBot)", "Other/TelegramBot"),
+    ("Twitterbot/1.0", "Other/Twitterbot"),
+    ("LinkedInBot/1.0 (compatible; Mozilla/5.0; Apache-HttpClient +http://www.linkedin.com)", "Other/LinkedInBot"),
+    ("Mozilla/5.0 (compatible; Discordbot/2.0; +https://discordapp.com)", "Other/Discordbot"),
+    ("WhatsApp/2.23.20.0", "Other/WhatsApp"),
+    ("Scrapy/2.11.0 (+https://scrapy.org)", "Other/Scrapy"),
+    ("Python/3.11 aiohttp/3.8.6", "Other/aiohttp"),
+    ("axios/1.6.0", "Other/axios"),
+    ("node-fetch/1.0 (+https://github.com/bitinn/node-fetch)", "Other/node-fetch"),
+    ("GuzzleHttp/7", "Other/Guzzle"),
+    ("Dart/3.1 (dart:io)", "Other/Dart"),
+    ("PHP/8.2.11", "Other/PHP"),
+    # appliance / mobile OSes
+    ("Mozilla/5.0 (Web0S; Linux/SmartTV) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/79.0.3945.79 Safari/537.36 WebAppManager", "webOS/Chrome"),
+    ("Mozilla/5.0 (BB10; Touch) AppleWebKit/537.35+ (KHTML, like Gecko) Version/10.3.3.2205 Mobile Safari/537.35+", "BlackBerry OS/Mobile Safari"),
+    ("Mozilla/5.0 (Apple TV; CPU OS 15_4 like Mac OS X) AppleWebKit/605.1.15", "tvOS/Other"),
+    ("Roku4640X/DVP-7.70 (297.70E04154A)", "Roku/Other"),
+    ("Mozilla/5.0 (Fuchsia) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36", "Fuchsia/Chrome"),
+    ("Mozilla/5.0 (Haiku; U; Haiku x86_64; en-US; rv:102.0) Gecko/20100101 Firefox/102.0", "Haiku/Firefox"),
 ]
 
 def test_ua_data_contract():
