@@ -1,0 +1,92 @@
+"""Streaming corpus ingest: the streaming twin of `plans/corpus.py`.
+
+The batch pipeline assumes a corpus at rest; ingest does not get one —
+documents arrive continuously and the keep/flag decisions have to
+happen before the duplicate lands in object storage.  This plan wires
+the streaming operators into the same shape as batch stages 1/3/4:
+
+  clean stream     raw docs → streaming exact dedup (first-arrival-wins
+                   on the batch fingerprint, `streaming/dedup_stream`)
+                   → per-batch Gopher/C4 quality signals (a narrow map,
+                   `operators/quality.doc_quality_signals`, joined back
+                   inside foreachBatch) → `clean_docs` parquet sink
+  candidate stream raw docs → streaming MinHash-LSH band index
+                   (`streaming/neardup_stream`) → `neardup_candidates`
+                   parquet sink
+
+Two QUERIES, not one: Structured Streaming cannot chain a second
+stateful operator (the LSH band state) behind
+`dropDuplicatesWithinWatermark` in the same query plan, and the
+candidate contract wants the RAW stream anyway — an exact dup arriving
+twice must still register in the band index so a later third copy
+pairs against the survivor.  Each query owns its checkpoint, so both
+restart independently with no replay (asserted by the restart test).
+
+State bounds are the component operators': fingerprint state = rate ×
+watermark horizon; band-bucket state = FIFO-capped signatures per
+bucket.  The quality stage is stateless (per-row folds).  Exactly the
+batch/stream split the batch pipeline documents: a periodic
+`plans/corpus.py` sweep catches what eviction let through, and the
+fingerprints/signatures agree bit-for-bit by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from hogzilla_spark.operators.quality import doc_quality_signals
+from hogzilla_spark.streaming.dedup_stream import dedup_stream
+from hogzilla_spark.streaming.neardup_stream import minhash_pair_stream
+
+def corpus_ingest_stream(
+    docs: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    watermark: str = "10 minutes",
+    min_est_jaccard: float = 0.5,
+    available_now: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> tuple[StreamingQuery, StreamingQuery]:
+    """Start both ingest queries over a streaming document frame
+    (`id_col`, `text_col`, event-time `ts_col`).
+
+    Outputs under `out_dir` (append-only parquet):
+      clean_docs.parquet           surviving docs + fp + quality signals
+      neardup_candidates.parquet   (id_a, id_b, est_jaccard) candidates
+
+    `available_now=True` drains the currently-available input and stops
+    (backfill / test mode); the default runs continuously.  Returns the
+    two running queries; the caller owns awaitTermination.
+    """
+
+    def sink_clean(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_df is a plain batch frame here: the quality signals
+        # join back on doc_id with no streaming restrictions
+        sig = doc_quality_signals(batch_df, text_col=text_col, id_col=id_col)
+        batch_df.join(sig, id_col).write.mode("append").parquet(
+            f"{out_dir}/clean_docs.parquet"
+        )
+
+    clean_w = (
+        dedup_stream(docs, watermark=watermark, text_col=text_col, ts_col=ts_col)
+        .writeStream.foreachBatch(sink_clean)
+        .option("checkpointLocation", f"{ckpt_dir}/clean")
+    )
+    cand_w = (
+        minhash_pair_stream(
+            docs,
+            min_est_jaccard=min_est_jaccard,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/neardup_candidates.parquet")
+        .option("checkpointLocation", f"{ckpt_dir}/cand")
+    )
+    if available_now:
+        clean_w = clean_w.trigger(availableNow=True)
+        cand_w = cand_w.trigger(availableNow=True)
+    return clean_w.start(), cand_w.start()

@@ -1,9 +1,13 @@
-"""End-to-end corpus-preparation pipeline (plans/corpus.py): the
-beyond-reference operators chained as one ingest run."""
+"""End-to-end corpus-preparation pipeline (plans/corpus.py and its
+streaming twin plans/corpus_stream.py): the beyond-reference operators
+chained as one ingest run."""
+
+import datetime as dt
 
 from pyspark.sql import functions as F
 
 from hogzilla_spark.plans.corpus import prepare_corpus
+from hogzilla_spark.plans.corpus_stream import corpus_ingest_stream
 
 def test_prepare_corpus_end_to_end(spark, tmp_path):
     out = str(tmp_path / "corpus")
@@ -67,3 +71,70 @@ def test_prepare_corpus_quality_drop(spark, tmp_path):
     assert report["output_docs"] == spark.read.parquet(
         f"{out}/clean_docs.parquet"
     ).count()
+
+def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming twin: exact dups are dropped ACROSS micro-batches, a
+    near-dup arriving later pairs against the band index, quality
+    signals ride on every surviving doc, and a restart with no new
+    input emits nothing (checkpointed state, no replay)."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+
+    def drain():
+        qs = corpus_ingest_stream(
+            spark.readStream.schema(schema).parquet(input_dir),
+            out_dir, ckpt, available_now=True,
+        )
+        for q in qs:
+            q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, base, t0),
+         (2, "completely unrelated words about databases and joins", t0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    drain()
+
+    clean = spark.read.parquet(f"{out_dir}/clean_docs.parquet")
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    assert {"fp", "n_tok", "gopher_pass"} <= set(clean.columns)
+
+    # batch 2: exact dup of doc 1 (cross-batch drop) + a near-dup of it
+    spark.createDataFrame(
+        [(3, base, t0 + dt.timedelta(minutes=1)),
+         (4, base.replace("tonight", "today"), t0 + dt.timedelta(minutes=1))],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    drain()
+
+    clean = spark.read.parquet(f"{out_dir}/clean_docs.parquet")
+    assert {r.doc_id for r in clean.collect()} == {1, 2, 4}  # 3 = exact dup
+    n_tok = {r.doc_id: r.n_tok for r in clean.collect()}
+    assert n_tok[1] == len(base.split())
+
+    cands = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(
+            f"{out_dir}/neardup_candidates.parquet"
+        ).collect()
+    }
+    # doc 3 (identical) and doc 4 (near-dup) both pair against doc 1
+    assert (1, 4) in cands and (1, 3) in cands
+
+    # restart with no new input: checkpoints replay nothing
+    before = (
+        spark.read.parquet(f"{out_dir}/clean_docs.parquet").count(),
+        spark.read.parquet(f"{out_dir}/neardup_candidates.parquet").count(),
+    )
+    drain()
+    after = (
+        spark.read.parquet(f"{out_dir}/clean_docs.parquet").count(),
+        spark.read.parquet(f"{out_dir}/neardup_candidates.parquet").count(),
+    )
+    assert before == after
