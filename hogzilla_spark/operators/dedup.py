@@ -705,6 +705,21 @@ def simhash_pairs(
 
 # --- embedding near-dup -----------------------------------------------------
 
+#: per-task cap on any cosine sims slab (bytes of float64).  A kernel
+#: scoring an m×n block computes it in row chunks of
+#: ``max(1, _SIMS_SLAB_BYTES // (n·8))`` — without this, a 50k×50k
+#: block-pair is a 20 GB allocation and 32 concurrent tasks OOM the
+#: node (found by the sf10 sweep; results are bit-identical, the dot
+#: products are merely computed in chunks).
+_SIMS_SLAB_BYTES = 128 * 1024 * 1024
+
+def _slab_rows(n_cols: int, budget: int | None = None) -> int:
+    """Rows per sub-matmul so the slab stays under `budget` bytes.
+    Kernels capture the budget DRIVER-side at plan build (executors
+    re-import this module, so a runtime module-var read would ignore
+    any driver-side override)."""
+    return max(1, (budget or _SIMS_SLAB_BYTES) // (max(1, n_cols) * 8))
+
 def _round6_select(sims, min_cosine: float):
     """(ii, jj, rounded) of matrix entries whose SQL-ROUND-6 value is
     >= min_cosine — the shared post-matmul step of every cosine kernel.
@@ -745,9 +760,12 @@ def embedding_neardup_pairs(
 
     "auto" counts the corpus (parquet footers make this cheap) and picks
     broadcast under `broadcast_threshold` rows.  At 100 TB the blocked
-    path's per-task memory is 2·block_rows vectors and the fan-out
-    duplication factor is B = ceil(n / block_rows); the O(n²/2) dot
-    products are inherent to the exact operator.
+    path's per-task memory is 2·block_rows vectors plus ONE bounded
+    sims slab (`_SIMS_SLAB_BYTES`, the matmul runs in row chunks — a
+    full block-pair sims matrix would be block_rows² doubles, 20 GB at
+    the default, and concurrent tasks would OOM the executor); the
+    fan-out duplication factor is B = ceil(n / block_rows); the O(n²/2)
+    dot products are inherent to the exact operator.
     """
     if strategy not in ("auto", "broadcast", "blocked"):
         raise ValueError(f"unknown strategy: {strategy}")
@@ -774,6 +792,7 @@ def _embedding_neardup_broadcast(
     normed = mat / np.where(norms == 0, 1.0, norms)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(normed)
+    slab_budget = _SIMS_SLAB_BYTES  # captured at plan build
 
     def run(batches):
         corpus_ids = b_ids.value
@@ -783,16 +802,20 @@ def _embedding_neardup_broadcast(
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             q = q / np.where(qn == 0, 1.0, qn)
             qids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = q @ corpus.T  # one BLAS call per Arrow batch
-            ii, jj, s = _round6_select(sims, min_cosine)
-            keep = corpus_ids[jj] > qids[ii]
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[ii[keep]],
-                    "id_b": corpus_ids[jj[keep]],
-                    "cosine": s[keep],
-                }
-            )
+            # slab-bounded: an Arrow batch (≤10k rows) against a 200k
+            # corpus is a 16 GB sims matrix if done in one matmul
+            sub = _slab_rows(len(corpus), slab_budget)
+            for lo in range(0, len(q), sub):
+                sims = q[lo : lo + sub] @ corpus.T
+                ii, jj, s = _round6_select(sims, min_cosine)
+                keep = corpus_ids[jj] > qids[lo + ii]
+                yield pd.DataFrame(
+                    {
+                        "id_a": qids[lo + ii[keep]],
+                        "id_b": corpus_ids[jj[keep]],
+                        "cosine": s[keep],
+                    }
+                )
 
     src = df.select(id_col, vec_col)
     # small inputs arrive as one parquet split → the O(n²) kernel runs on
@@ -824,6 +847,7 @@ def _embedding_neardup_blocked(
 
     n = df.count()
     B = max(1, -(-n // block_rows))
+    slab_budget = _SIMS_SLAB_BYTES  # captured at plan build
     tagged = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -863,18 +887,28 @@ def _embedding_neardup_blocked(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
             )
-        sims = va @ vb.T  # one BLAS call per block pair
-        ii, jj, s = _round6_select(sims, min_cosine)
-        if ba == bb:
-            keep = ib[jj] > ia[ii]  # one direction, no diagonal
-            ii, jj, s = ii[keep], jj[keep], s[keep]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(ia[ii], ib[jj]),
-                "id_b": np.maximum(ia[ii], ib[jj]),
-                "cosine": s,
-            }
-        )
+        # slab-bounded matmul: a full block-pair sims matrix is
+        # block_rows² doubles (20 GB at the 50k default) — see
+        # _SIMS_SLAB_BYTES
+        sub = _slab_rows(len(ib), slab_budget)
+        outs = []
+        for lo in range(0, len(ia), sub):
+            sims = va[lo : lo + sub] @ vb.T
+            ii, jj, s = _round6_select(sims, min_cosine)
+            ii = ii + lo
+            if ba == bb:
+                keep = ib[jj] > ia[ii]  # one direction, no diagonal
+                ii, jj, s = ii[keep], jj[keep], s[keep]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ia[ii], ib[jj]),
+                        "id_b": np.maximum(ia[ii], ib[jj]),
+                        "cosine": s,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return fanned.groupBy("ba", "bb").applyInPandas(
         kernel, "id_a long, id_b long, cosine double"

@@ -308,7 +308,13 @@ def semantic_dedup(
         import numpy as np
         import pandas as pd
 
-        from hogzilla_spark.operators.dedup import _round6_select
+        from hogzilla_spark.operators.dedup import (
+            _SIMS_SLAB_BYTES,
+            _round6_select,
+            _slab_rows,
+        )
+
+        slab_budget = _SIMS_SLAB_BYTES  # captured at plan build
 
         def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
             order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
@@ -317,8 +323,12 @@ def semantic_dedup(
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             nsafe = np.where(norms == 0, 1.0, norms)
             dropped = np.zeros(len(ids), dtype=bool)
-            for lo in range(0, len(ids), block_rows):
-                hi = min(lo + block_rows, len(ids))
+            # bound the slab absolutely, not just by block_rows: on a
+            # huge cluster block_rows×|c| doubles can exceed executor
+            # memory (the sf10 lesson shared with embedding_neardup)
+            step = min(block_rows, _slab_rows(len(ids), slab_budget))
+            for lo in range(0, len(ids), step):
+                hi = min(lo + step, len(ids))
                 # dot(a,b) on UNNORMALIZED rows, then ONE divide by
                 # na*nb — the same op order as the 'expr' twin and the
                 # oracle (dot/(na*nb)), so the ROUND(...,6) boundary

@@ -497,6 +497,30 @@ def test_embedding_neardup_blocked_matches_broadcast(spark):
     )
     assert want and got == want
 
+def test_embedding_neardup_slab_bounded_kernels_exact(spark, monkeypatch):
+    """With the sims-slab budget forced to a few rows, both kernels run
+    many sub-matmuls per block/batch — results must stay bit-identical
+    (the sf10 OOM fix must not change a single pair)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def as_set(df):
+        return {(r.id_a, r.id_b, r.cosine) for r in df.collect()}
+
+    want = as_set(
+        DD.embedding_neardup_pairs(emb, min_cosine=0.4, strategy="broadcast")
+    )
+    # 4 KiB budget → ~8-row slabs against a 64-dim corpus
+    monkeypatch.setattr(DD, "_SIMS_SLAB_BYTES", 4096)
+    tiny_bcast = as_set(
+        DD.embedding_neardup_pairs(emb, min_cosine=0.4, strategy="broadcast")
+    )
+    tiny_blocked = as_set(
+        DD.embedding_neardup_pairs(
+            emb, min_cosine=0.4, strategy="blocked", block_rows=150
+        )
+    )
+    assert want and tiny_bcast == want and tiny_blocked == want
+
 def test_embedding_neardup_auto_never_collects_large(spark, monkeypatch):
     """Above the row-count guard the driver-collect path must not run."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
