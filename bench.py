@@ -35,9 +35,18 @@ def main() -> None:
     except Exception:
         pass
 
+    # Optional subset: comma-separated names in $SPARK_GRAFT_QUERIES
+    # (scale sweeps bench the linear family at sfs where the declared
+    # quadratic members would dominate wall-clock).  Unset = full
+    # suite, exactly the driver's contract.
+    only = {
+        q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q
+    }
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in E.queries().items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
