@@ -2068,14 +2068,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'uncapped' AS part, id_a, id_b,
                ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) AS jaccard
         FROM pairs
-        WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.3
+        -- filter on the ROUNDED value like the engine (F.round(jac,6)
+        -- >= t): a raw-value filter would drop round-up boundary pairs
+        WHERE ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) >= 0.3
         UNION ALL
         SELECT 'capped' AS part, p.id_a, p.id_b,
                ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
         FROM cpairs p
         JOIN csz sa ON p.id_a = sa.id
         JOIN csz sb ON p.id_b = sb.id
-        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+        WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     """
 
     # Incremental = the full LSH pair set restricted to pairs touching

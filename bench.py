@@ -40,8 +40,13 @@ def main() -> None:
     # quadratic members would dominate wall-clock).  Unset = full
     # suite, exactly the driver's contract.
     only = {
-        q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",")
+        if q.strip()
     }
+    unknown = only - set(E.queries())
+    if unknown:  # a typo'd name silently skipped = a sweep that lies
+        raise SystemExit(f"SPARK_GRAFT_QUERIES not in registry: {sorted(unknown)}")
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in E.queries().items():

@@ -338,7 +338,11 @@ def semantic_dedup(
                 # that last-ulp difference is shared by every matmul
                 # kernel in this module and covered by the 1e-9 slack
                 # in _round6_select.)
-                sims = (m[lo:hi] @ m.T) / (nsafe[lo:hi] * nsafe.T)
+                sims = m[lo:hi] @ m.T
+                # in-place divide: the naive expression holds product,
+                # divisor AND quotient at once (3 slabs — defeating the
+                # budget); this peaks at 2 (sims + the outer product)
+                np.divide(sims, nsafe[lo:hi] * nsafe.T, out=sims)
                 # candidate-select then exact SQL-ROUND-6, matching the
                 # expression twin and the oracle (see _round6_select)
                 ii, jj, _ = _round6_select(sims, threshold)

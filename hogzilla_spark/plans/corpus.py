@@ -62,17 +62,18 @@ def prepare_corpus(
     Default: `["lang"]` when the corpus has a `lang` column, else
     global packing.  Requesting a column the corpus lacks fails fast
     HERE, before any stage pays compute, not at stage 5."""
-    docs = spread_small_scan(
-        spark.read.parquet(f"{src_dir}/documents.parquet")
-    ).localCheckpoint(eager=True)
+    raw = spark.read.parquet(f"{src_dir}/documents.parquet")
+    # validate BEFORE the eager checkpoint scans the corpus — the
+    # schema is free from the parquet footer, the checkpoint is not
     if shard_partition_cols is None:
-        shard_partition_cols = ["lang"] if "lang" in docs.columns else []
-    missing = [c for c in shard_partition_cols if c not in docs.columns]
+        shard_partition_cols = ["lang"] if "lang" in raw.columns else []
+    missing = [c for c in shard_partition_cols if c not in raw.columns]
     if missing:
         raise ValueError(
             f"shard_partition_cols {missing} not in corpus columns "
-            f"{docs.columns}; stage 5 would fail after stages 1-4 ran"
+            f"{raw.columns}; stage 5 would fail after stages 1-4 ran"
         )
+    docs = spread_small_scan(raw).localCheckpoint(eager=True)
     report: dict[str, int] = {"input_docs": docs.count()}
 
     # 1. exact dedup

@@ -64,10 +64,15 @@ def corpus_ingest_stream(
 
     def sink_clean(batch_df: DataFrame, batch_id: int) -> None:
         # batch_df is a plain batch frame here: the quality signals
-        # join back on doc_id with no streaming restrictions
+        # join back on doc_id with no streaming restrictions.
+        # foreachBatch is at-least-once: a crash between this write and
+        # the epoch commit re-executes the batch on restart, so the
+        # write must be idempotent PER batch_id — each batch overwrites
+        # its own partition directory (a plain append would duplicate
+        # the batch's rows, exact duplicates in an exact-dedup output).
         sig = doc_quality_signals(batch_df, text_col=text_col, id_col=id_col)
-        batch_df.join(sig, id_col).write.mode("append").parquet(
-            f"{out_dir}/clean_docs.parquet"
+        batch_df.join(sig, id_col).write.mode("overwrite").parquet(
+            f"{out_dir}/clean_docs.parquet/batch_id={batch_id}"
         )
 
     clean_w = (
