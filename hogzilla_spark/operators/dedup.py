@@ -703,6 +703,122 @@ def simhash_pairs(
         F.col("hamming") <= max_hamming
     )
 
+def simhash128_sigs_kernel(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """128-bit SimHash signatures as four 32-bit words (w0..w3) — the
+    large-corpus variant.  Per token the FULL md5 digest feeds the
+    votes: hex chars [0:8) → w0 ... [24:32) → w3, so (w0, w1) are
+    bit-identical to `simhash_sigs_kernel`'s (hi, lo) (same chars,
+    same vote rule — pinned by a unit test).  Same Zipf memo and
+    vectorized vote counting as the 64-bit kernel."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    tok_re = re.compile(r"\s+")
+
+    def run(batches):
+        memo: dict[str, tuple[int, int, int, int]] = {}
+
+        def tok_hash(t: str):
+            v = memo.get(t)
+            if v is None:
+                h = hashlib.md5(t.encode("utf-8")).hexdigest()
+                v = tuple(int(h[i : i + 8], 16) for i in (0, 8, 16, 24))
+                memo[t] = v
+            return v
+
+        shifts = np.arange(32)
+        for pdf in batches:
+            ids = []
+            words: list[list[int]] = [[], [], [], []]
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in tok_re.split((text or "").strip().lower()) if t]
+                ids.append(doc_id)
+                if not toks:
+                    for w in words:
+                        w.append(0)
+                    continue
+                quads = np.array([tok_hash(t) for t in toks], dtype=np.int64)
+                n = len(toks)
+                for k in range(4):
+                    counts = ((quads[:, k : k + 1] >> shifts) & 1).sum(axis=0)
+                    words[k].append(
+                        int(((2 * counts - n > 0).astype(np.int64) << shifts).sum())
+                    )
+            if len(memo) > 2_000_000:
+                memo.clear()
+            yield pd.DataFrame(
+                {
+                    "id": np.array(ids, dtype=np.int64),
+                    **{
+                        f"w{k}": np.array(words[k], dtype=np.int64)
+                        for k in range(4)
+                    },
+                }
+            )
+
+    src = df.select(id_col, text_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < min(8, target):
+        src = src.repartition(target)
+    return src.mapInPandas(run, "id long, w0 long, w1 long, w2 long, w3 long")
+
+def simhash128_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by 128-bit SimHash — the variant that stays
+    bucketed at multi-million-document scale.
+
+    The 64-bit `simhash_pairs` pigeonholes into 4×16-bit chunks, and a
+    16-bit key space saturates once n ≫ 2^16: random-signature
+    collisions alone give E[candidates] ≈ 4·n²/2^17 (≈7.6e8 pairs at
+    5 M docs — the sf100 sweep filled the disk with that shuffle).
+    Here each pigeonhole block is one full 32-bit word, so the
+    random-collision term drops by 2^16: E ≈ 4·n²/2^33 ≈ 1e4 at 5 M
+    docs.  Recall is identical (pigeonhole: hamming ≤ 3 over 4 blocks
+    forces one equal block); precision gates on the exact 128-bit
+    hamming distance computed from the four word XORs.
+
+    Returns (id_a, id_b, hamming <= max_hamming)."""
+    assert max_hamming < 4, "pigeonhole over 4 word-blocks needs max_hamming < 4"
+    sigs = simhash128_sigs_kernel(df, id_col, text_col)
+    word_cols = [
+        F.struct(F.lit(k).alias("blk"), F.col(f"w{k}").alias("chunk"))
+        for k in range(4)
+    ]
+    chunks = sigs.select(
+        "id", "w0", "w1", "w2", "w3", F.explode(F.array(*word_cols)).alias("c")
+    ).select(
+        "id", "w0", "w1", "w2", "w3",
+        F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(r, on=["blk", "chunk"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            *[F.col(f"l.w{k}").alias(f"a{k}") for k in range(4)],
+            *[F.col(f"r.w{k}").alias(f"b{k}") for k in range(4)],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = sum(
+        (F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)),
+        start=F.lit(0),
+    )
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
 # --- embedding near-dup -----------------------------------------------------
 
 #: per-task cap on any cosine sims slab (bytes of float64).  A kernel

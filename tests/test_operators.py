@@ -88,6 +88,57 @@ def test_simhash_hamming(spark):
     pairs = DD.simhash_pairs(df, max_hamming=3).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
+def test_simhash128_hamming_and_64bit_prefix(spark):
+    """The 128-bit variant finds a genuine hamming<=3 near-dup (a doc
+    with a few appended tokens), rejects the unrelated doc, and its
+    (w0, w1) words are bit-identical to the 64-bit kernel's (hi, lo) —
+    same md5 chars, same vote rule.  (A one-word substitution in a
+    short doc lands at hamming ~6 over 128 bits — correctly OUTSIDE
+    the 4-block pigeonhole guarantee; 128 bits is a finer instrument
+    than 64, so the same edit costs more bits.)"""
+    base = " ".join(
+        "the quick brown fox jumps over the lazy dog again and again today".split() * 4
+    )
+    near = base + " extra trailing tokens here"  # hamming 2 over 128 bits
+    other = "completely unrelated text about spark query engines and shuffles here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = DD.simhash128_pairs(df, max_hamming=3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert 0 < pairs[0].hamming <= 3
+    w = {r.id: (r.w0, r.w1) for r in DD.simhash128_sigs_kernel(df).collect()}
+    old = {r.id: (r.hi, r.lo) for r in DD.simhash_sigs_kernel(df).collect()}
+    assert w == old
+
+def test_simhash128_ground_truth(spark):
+    """All four words against a sequential hashlib reference."""
+    import hashlib
+
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.id: (r.w0, r.w1, r.w2, r.w3)
+        for r in DD.simhash128_sigs_kernel(df).collect()
+    }
+
+    def expect(text):
+        toks = [t for t in text.strip().lower().split() if t]
+        hx = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+        out = []
+        for off in (0, 8, 16, 24):
+            vals = [int(h[off : off + 8], 16) for h in hx]
+            sig = 0
+            for j in range(32):
+                votes = sum(1 if (v >> j) & 1 else -1 for v in vals)
+                if votes > 0:
+                    sig |= 1 << j
+            out.append(sig)
+        return tuple(out)
+
+    assert got == {i: expect(t) for i, t in docs}
+
 def test_knn_self_consistency(spark):
     vecs = [
         (1, [1.0, 0.0, 0.0]),
