@@ -849,10 +849,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(emb, centroids, threshold=0.35)
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (32-bit, pigeonhole-blocked candidates).
-    Non-SQL-expressible hash arithmetic → rows-only check."""
+    """SimHash near-dup pairs, both width variants as a tagged union so
+    each is driver-evidenced against the bit-for-bit SQL replication:
+
+    - 's64': 64-bit signature, 4×16-bit pigeonhole chunks — the
+      moderate-corpus default (operators/dedup.simhash_pairs);
+    - 's128': 128-bit signature, 4×32-bit word blocks — the
+      multi-million-document variant whose random-collision candidate
+      term is 2^16 smaller (added after the sf100 sweep filled the
+      disk with 16-bit-chunk collisions at 5 M docs)."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, max_hamming=3)
+    s64 = DD.simhash_pairs(docs, max_hamming=3).select(
+        F.lit("s64").alias("part"), "id_a", "id_b", "hamming"
+    )
+    s128 = DD.simhash128_pairs(docs, max_hamming=3).select(
+        F.lit("s128").alias("part"), "id_a", "id_b", "hamming"
+    )
+    return s64.unionByName(s128)
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets (the 100 TB scale
@@ -1794,15 +1807,19 @@ def oracle_sql() -> dict[str, str]:
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """
 
-    # SimHash replicated bit-for-bit: 64-bit signature as two 32-bit
-    # halves (same md5-derived token hashes, same vote rule, same
-    # 8-chunk pigeonhole blocks).
+    # SimHash replicated bit-for-bit, both widths tagged: 's64' = two
+    # 32-bit halves over md5 chars [1,16] with 4×16-bit pigeonhole
+    # chunks; 's128' = four 32-bit words over the FULL md5 with whole-
+    # word blocks (same token hashes, same vote rule on each word).
     def _sig_terms(col):
         return " + ".join(
             f"(CASE WHEN 2*len(list_filter({col}, h -> (h & {1 << j}) > 0)) - len({col}) > 0 "
             f"THEN {1 << j} ELSE 0 END)"
             for j in range(32)
         )
+    _w_exprs = ", ".join(
+        f"{_sig_terms(f'hs_w{k}')} AS w{k}" for k in range(4)
+    )
     sql["dedup_simhash"] = f"""
         WITH toks AS (
           SELECT doc_id,
@@ -1810,24 +1827,41 @@ def oracle_sql() -> dict[str, str]:
           FROM documents),
         hashes AS (
           SELECT doc_id,
-                 list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs_hi,
-                 list_transform(w, t -> CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT)) AS hs_lo
+                 list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs_w0,
+                 list_transform(w, t -> CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT)) AS hs_w1,
+                 list_transform(w, t -> CAST(concat('0x', substr(md5(t), 17, 8)) AS BIGINT)) AS hs_w2,
+                 list_transform(w, t -> CAST(concat('0x', substr(md5(t), 25, 8)) AS BIGINT)) AS hs_w3
           FROM toks),
-        sigs AS (
-          SELECT doc_id, {_sig_terms("hs_hi")} AS hi, {_sig_terms("hs_lo")} AS lo FROM hashes),
+        sigs AS (SELECT doc_id, {_w_exprs} FROM hashes),
         chunks AS (
-          SELECT doc_id, hi, lo, b,
-                 CASE WHEN b < 2 THEN (hi >> (b*16)) & 65535
-                      ELSE (lo >> ((b-2)*16)) & 65535 END AS chunk
+          SELECT doc_id, w0 AS hi, w1 AS lo, b,
+                 CASE WHEN b < 2 THEN (w0 >> (b*16)) & 65535
+                      ELSE (w1 >> ((b-2)*16)) & 65535 END AS chunk
           FROM sigs, unnest([0,1,2,3]) AS t(b)),
         cand AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                  l.hi AS hi_a, l.lo AS lo_a, r.hi AS hi_b, r.lo AS lo_b
-          FROM chunks l JOIN chunks r ON l.b = r.b AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
-        SELECT id_a, id_b,
+          FROM chunks l JOIN chunks r ON l.b = r.b AND l.chunk = r.chunk AND l.doc_id < r.doc_id),
+        wchunks AS (
+          SELECT doc_id, w0, w1, w2, w3, b,
+                 CASE b WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END AS chunk
+          FROM sigs, unnest([0,1,2,3]) AS t(b)),
+        wcand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 l.w0 AS a0, l.w1 AS a1, l.w2 AS a2, l.w3 AS a3,
+                 r.w0 AS b0, r.w1 AS b1, r.w2 AS b2, r.w3 AS b3
+          FROM wchunks l JOIN wchunks r ON l.b = r.b AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
+        SELECT 's64' AS part, id_a, id_b,
                bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
         FROM cand
         WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+        UNION ALL
+        SELECT 's128' AS part, id_a, id_b,
+               bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+             + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS hamming
+        FROM wcand
+        WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+            + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
     """
 
     # S6 pushdown scan + P2 lenient-parse histogram, tagged: 's6' rows
