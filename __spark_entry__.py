@@ -859,10 +859,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       term is 2^16 smaller (added after the sf100 sweep filled the
       disk with 16-bit-chunk collisions at 5 M docs)."""
     docs = _t(spark, sf_dir, "documents")
-    s64 = DD.simhash_pairs(docs, max_hamming=3).select(
-        F.lit("s64").alias("part"), "id_a", "id_b", "hamming"
-    )
-    s128 = DD.simhash128_pairs(docs, max_hamming=3).select(
+    # ONE hashing pass feeds both variants: the 128-bit kernel's
+    # (w0, w1) are bit-identical to the 64-bit (hi, lo), so the s64
+    # half runs on a projection of the shared signature table
+    sigs = DD.simhash128_sigs_kernel(docs).localCheckpoint(eager=True)
+    s64 = DD.simhash_pairs(
+        docs, max_hamming=3,
+        sigs=sigs.select("id", F.col("w0").alias("hi"), F.col("w1").alias("lo")),
+    ).select(F.lit("s64").alias("part"), "id_a", "id_b", "hamming")
+    s128 = DD.simhash128_pairs(docs, max_hamming=3, sigs=sigs).select(
         F.lit("s128").alias("part"), "id_a", "id_b", "hamming"
     )
     return s64.unionByName(s128)

@@ -649,6 +649,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash with block-based candidates: the
     signature splits into `blocks` equal chunks (blocks/2 per half); by
@@ -661,13 +662,19 @@ def simhash_pairs(
     identical recall, so the default is the minimum blocks the pigeonhole
     bound allows for max_hamming=3.
 
+    Pass `sigs` (columns id, hi, lo — e.g. a persisted signature table,
+    or `simhash128_sigs_kernel` output projected to its first two
+    words) to skip the hashing pass; signatures are the natural
+    artifact a real pipeline persists anyway.
+
     Returns (id_a, id_b, hamming <= max_hamming).
     """
     assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
     per_half = blocks // 2
     bits = 32 // per_half
     mask = (1 << bits) - 1
-    sigs = simhash_sigs_kernel(df, id_col, text_col)
+    if sigs is None:
+        sigs = simhash_sigs_kernel(df, id_col, text_col)
     chunk_cols = []
     for i in range(per_half):
         chunk_cols.append(
@@ -772,6 +779,7 @@ def simhash128_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by 128-bit SimHash — the variant that stays
     bucketed at multi-million-document scale.
@@ -786,9 +794,13 @@ def simhash128_pairs(
     forces one equal block); precision gates on the exact 128-bit
     hamming distance computed from the four word XORs.
 
+    `sigs` (columns id, w0..w3) skips the hashing pass, as in
+    `simhash_pairs`.
+
     Returns (id_a, id_b, hamming <= max_hamming)."""
     assert max_hamming < 4, "pigeonhole over 4 word-blocks needs max_hamming < 4"
-    sigs = simhash128_sigs_kernel(df, id_col, text_col)
+    if sigs is None:
+        sigs = simhash128_sigs_kernel(df, id_col, text_col)
     word_cols = [
         F.struct(F.lit(k).alias("blk"), F.col(f"w{k}").alias("chunk"))
         for k in range(4)
