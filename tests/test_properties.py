@@ -317,3 +317,51 @@ def test_bm25_matches_reference(spark, docs):
         if hits:
             want.add((i, su, hits))
     assert got == want
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["cat", "dog", "fish", "bird", "ant",
+                                  "red", "blue", "run", "jump", "sky"]),
+                 min_size=1, max_size=16),
+        min_size=2, max_size=8,
+    ),
+    max_hamming=st.integers(min_value=0, max_value=3),
+)
+def test_simhash128_pairs_match_reference(spark, docs, max_hamming):
+    """simhash128_pairs == a sequential hashlib reference (signatures,
+    pigeonhole candidates AND the hamming gate) on random corpora."""
+    import hashlib
+
+    from hogzilla_spark.operators.dedup import simhash128_pairs
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash128_pairs(sdf, max_hamming=max_hamming).collect()
+    }
+
+    def sig(d):
+        hx = [hashlib.md5(t.encode()).hexdigest() for t in d]
+        words = []
+        for off in (0, 8, 16, 24):
+            vals = [int(h[off : off + 8], 16) for h in hx]
+            s = 0
+            for j in range(32):
+                if sum(1 if (v >> j) & 1 else -1 for v in vals) > 0:
+                    s |= 1 << j
+            words.append(s)
+        return words
+
+    sigs = [sig(d) for d in docs]
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            # candidates require one EQUAL word (the pigeonhole join)
+            if not any(x == y for x, y in zip(sigs[a], sigs[b])):
+                continue
+            h = sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b]))
+            if h <= max_hamming:
+                want.add((a, b, h))
+    assert got == want
