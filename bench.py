@@ -44,12 +44,13 @@ def main() -> None:
         for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",")
         if q.strip()
     }
-    unknown = only - set(E.queries())
+    registry = E.queries()
+    unknown = only - set(registry)
     if unknown:  # a typo'd name silently skipped = a sweep that lies
         raise SystemExit(f"SPARK_GRAFT_QUERIES not in registry: {sorted(unknown)}")
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in E.queries().items():
+    for name, fn in registry.items():
         if only and name not in only:
             continue
         t0 = time.time()

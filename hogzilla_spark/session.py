@@ -45,16 +45,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # local harness collects (oracle comparisons) can exceed the 1g
-        # default at scale sweeps; production code paths never collect
-        # result sets, so this only unblocks the verification tooling
-        .config(
-            "spark.driver.maxResultSize",
-            os.environ.get("SPARK_MAX_RESULT_SIZE", "8g"),
-        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Verification harnesses (oracle comparisons) collect whole result
+    # sets and opt in to a larger cap via SPARK_MAX_RESULT_SIZE; library
+    # callers keep Spark's 1g default as a guardrail against accidental
+    # large driver collects.
+    mrs = os.environ.get("SPARK_MAX_RESULT_SIZE")
+    if mrs:
+        builder = builder.config("spark.driver.maxResultSize", mrs)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -9,6 +9,7 @@ Usage: python tests/oracle_check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -82,6 +83,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+
+    # oracle comparisons collect full result sets — opt in to the
+    # relaxed driver cap the library deliberately doesn't default to
+    os.environ.setdefault("SPARK_MAX_RESULT_SIZE", "8g")
 
     import __spark_entry__ as E
     from hogzilla_spark import get_spark
