@@ -857,18 +857,27 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 's128': 128-bit signature, 4×32-bit word blocks — the
       multi-million-document variant whose random-collision candidate
       term is 2^16 smaller (added after the sf100 sweep filled the
-      disk with 16-bit-chunk collisions at 5 M docs)."""
+      disk with 16-bit-chunk collisions at 5 M docs).
+
+    The s64 half runs only under `SIMHASH_W64_MAX_DOCS` — the same
+    guard `simhash_pairs(width="auto")` applies in production: above
+    it, the 16-bit chunk shuffle is the recorded sf100 disk-filler,
+    so the engine refuses that width and this query emits the s128
+    part alone.  Every oracle-compared scale (sf ≤ 1, ≤ 500 k docs)
+    is below the threshold, where both parts run and the static SQL
+    twin stays exact."""
     docs = _t(spark, sf_dir, "documents")
     # ONE hashing pass feeds both variants: the 128-bit kernel's
     # (w0, w1) are bit-identical to the 64-bit (hi, lo), so the s64
     # half runs on a projection of the shared signature table
     sigs = DD.simhash128_sigs_kernel(docs).localCheckpoint(eager=True)
-    s64 = DD.simhash_pairs(
-        docs, max_hamming=3,
-        sigs=sigs.select("id", F.col("w0").alias("hi"), F.col("w1").alias("lo")),
-    ).select(F.lit("s64").alias("part"), "id_a", "id_b", "hamming")
     s128 = DD.simhash128_pairs(docs, max_hamming=3, sigs=sigs).select(
         F.lit("s128").alias("part"), "id_a", "id_b", "hamming"
+    )
+    if docs.count() > DD.SIMHASH_W64_MAX_DOCS:
+        return s128
+    s64 = DD.simhash_pairs(docs, max_hamming=3, width=64, sigs=sigs).select(
+        F.lit("s64").alias("part"), "id_a", "id_b", "hamming"
     )
     return s64.unionByName(s128)
 

@@ -643,6 +643,13 @@ def simhash_sigs_kernel(
         src = src.repartition(target)
     return src.mapInPandas(run, "id long, hi long, lo long")
 
+#: corpus size above which the 64-bit signature's 16-bit pigeonhole
+#: chunks saturate: E[random-collision candidates] ≈ 4·n²/2^17, which
+#: crosses ~3e7 pairs at 1 M docs and reached 7.6e8 at 5 M (the sf100
+#: sweep filled the disk with that shuffle).  `simhash_pairs` with the
+#: default width="auto" switches to the 128-bit variant beyond this.
+SIMHASH_W64_MAX_DOCS = 1_000_000
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -650,6 +657,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     sigs: DataFrame | None = None,
+    width: int | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash with block-based candidates: the
     signature splits into `blocks` equal chunks (blocks/2 per half); by
@@ -663,18 +671,43 @@ def simhash_pairs(
     bound allows for max_hamming=3.
 
     Pass `sigs` (columns id, hi, lo — e.g. a persisted signature table,
-    or `simhash128_sigs_kernel` output projected to its first two
-    words) to skip the hashing pass; signatures are the natural
-    artifact a real pipeline persists anyway.
+    or `simhash128_sigs_kernel` output, whose (w0, w1) are accepted
+    directly as the bit-identical 64-bit halves) to skip the hashing
+    pass; signatures are the natural artifact a real pipeline persists
+    anyway.
+
+    `width` guards the scale boundary: the 16-bit chunk key space
+    saturates once n ≫ 2^16 (E[random candidates] ≈ 4·n²/2^17 — a
+    disk-filling shuffle at 5 M docs, found by the sf100 sweep).  The
+    default "auto" counts the corpus (parquet footers make that cheap)
+    and dispatches to the 128-bit `simhash128_pairs` above
+    `SIMHASH_W64_MAX_DOCS`; pass 64 or 128 to pin a width explicitly
+    (64 is the small-corpus fast path — half the hashing work).
 
     Returns (id_a, id_b, hamming <= max_hamming).
     """
+    if width == "auto":
+        n = (sigs if sigs is not None else df).count()
+        width = 64 if n <= SIMHASH_W64_MAX_DOCS else 128
+    if width == 128:
+        if sigs is not None and "w0" not in sigs.columns:
+            raise ValueError(
+                "width=128 needs w0..w3 signatures (simhash128_sigs_kernel); "
+                "got a 64-bit (hi, lo) table — recompute, the 64-bit "
+                "signature cannot be widened"
+            )
+        return simhash128_pairs(df, id_col, text_col, max_hamming, sigs=sigs)
+    if width != 64:
+        raise ValueError(f"width must be 'auto', 64 or 128: {width!r}")
     assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
     per_half = blocks // 2
     bits = 32 // per_half
     mask = (1 << bits) - 1
     if sigs is None:
         sigs = simhash_sigs_kernel(df, id_col, text_col)
+    elif "hi" not in sigs.columns:
+        # 128-bit signature table: (w0, w1) are bit-identical to (hi, lo)
+        sigs = sigs.select("id", F.col("w0").alias("hi"), F.col("w1").alias("lo"))
     chunk_cols = []
     for i in range(per_half):
         chunk_cols.append(

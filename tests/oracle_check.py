@@ -4,7 +4,19 @@ Runs every ``queries()`` entry and its ``oracle_sql()`` twin on the same
 parquet dir, compares row count, column names, and order-insensitive
 values (exact for ints/strings, exact-after-round for floats).
 
-Usage: python tests/oracle_check.py [sf_dir] [query ...]
+``--digest`` switches to a chunk-streamed comparison for results too
+large to canonicalize as one pandas frame (the sf100 5 M-row full-text
+results): both sides stream Arrow batches — Spark via a temp parquet
+spill, DuckDB via ``fetch_record_batch`` — and fold each row into a
+commutative 64-bit digest (sum over rows of a column-ordered mixed
+``hash_pandas_object``), so driver memory stays one batch regardless of
+result size.  Order-insensitive by construction; values compare exactly
+(both engines' rows pass through the same arrow→pandas conversion and
+the same hash, so a digest match means per-row value equality up to
+64-bit collisions — weaker than the full sort-merge compare, ample for
+a verification harness).
+
+Usage: python tests/oracle_check.py [--digest] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -80,9 +92,91 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                     )
     return problems
 
+def _digest_chunks(chunks) -> tuple[int, list[str] | None, dict[str, str], int]:
+    """Fold a stream of pandas chunks into (rows, sorted cols, dtype
+    kinds, commutative digest).  Per row: columns in sorted-name order
+    are mixed positionally (h = h*1000003 + hash(col)); the row hashes
+    sum mod 2^64, so chunk/partition order is irrelevant."""
+    import numpy as np
+
+    total_rows = 0
+    cols: list[str] | None = None
+    kinds: dict[str, str] = {}
+    digest = 0
+    for pdf in chunks:
+        if cols is None:
+            cols = sorted(pdf.columns)
+        if not len(pdf):
+            continue
+        total_rows += len(pdf)
+        h = np.zeros(len(pdf), dtype=np.uint64)
+        for c in cols:
+            s = pdf[c]
+            k = s.dtype.kind if hasattr(s.dtype, "kind") else "O"
+            if k in "iu":
+                s = s.astype("int64")
+                kinds.setdefault(c, "i")
+            elif k == "f":
+                s = s.astype("float64")
+                kinds.setdefault(c, "f")
+            elif k == "b":
+                s = s.astype("int64")
+                kinds.setdefault(c, "i")
+            else:
+                s = s.astype(str)
+                kinds.setdefault(c, "O")
+            hv = pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
+            h = h * np.uint64(1_000_003) + hv
+        digest = (digest + int(h.sum(dtype=np.uint64))) % (1 << 64)
+    return total_rows, cols, kinds, digest
+
+def digest_compare(name: str, sdf_lazy, oracle_batches) -> tuple[list[str], dict]:
+    """Chunk-streamed twin of `compare`: spill the Spark result to a
+    temp parquet dir, stream both sides batch-wise, compare the
+    commutative digests.  Returns (problems, stats)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.dataset as ds
+
+    tmp = tempfile.mkdtemp(prefix=f"oracle_digest_{name}_")
+    try:
+        sdf_lazy.write.mode("overwrite").parquet(f"{tmp}/spark")
+
+        def spark_chunks():
+            for batch in ds.dataset(f"{tmp}/spark", format="parquet").to_batches(
+                batch_size=65_536
+            ):
+                yield batch.to_pandas()
+
+        s_rows, s_cols, s_kinds, s_digest = _digest_chunks(spark_chunks())
+        o_rows, o_cols, o_kinds, o_digest = _digest_chunks(
+            b.to_pandas() for b in oracle_batches
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    problems = []
+    if s_cols != o_cols:
+        problems.append(f"columns: spark={s_cols} oracle={o_cols}")
+        return problems, {}
+    for c in s_cols or []:
+        if {s_kinds.get(c), o_kinds.get(c)} == {"i", "f"}:
+            problems.append(f"dtype family: col {c} spark={s_kinds.get(c)} oracle={o_kinds.get(c)}")
+    if s_rows != o_rows:
+        problems.append(f"rowcount: spark={s_rows} oracle={o_rows}")
+    elif not problems and s_digest != o_digest:
+        problems.append(f"digest: spark={s_digest:#x} oracle={o_digest:#x}")
+    stats = {"spark_rows": s_rows, "oracle_rows": o_rows, "digest": f"{s_digest:#x}"}
+    return problems, stats
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    digest_mode = "--digest" in argv
+    if digest_mode:
+        argv.remove("--digest")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     # oracle comparisons collect full result sets — opt in to the
     # relaxed driver cap the library deliberately doesn't default to

@@ -88,6 +88,57 @@ def test_simhash_hamming(spark):
     pairs = DD.simhash_pairs(df, max_hamming=3).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
+def test_simhash_width_guard(spark):
+    """width="auto" keeps 64-bit under SIMHASH_W64_MAX_DOCS and
+    dispatches to the 128-bit plan above it (the sf100 disk-filler
+    guard); explicit widths are honored; a 64-bit signature table
+    cannot be silently widened; 128-bit signature tables feed the
+    64-bit path via their bit-identical (w0, w1)."""
+    import pytest
+
+    base = " ".join(
+        "the quick brown fox jumps over the lazy dog again and again today".split() * 4
+    )
+    near = base + " extra trailing tokens here"
+    other = "completely unrelated text about spark query engines and shuffles here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    # under the threshold auto == the 64-bit plan, bit for bit
+    auto = {(p.id_a, p.id_b, p.hamming) for p in DD.simhash_pairs(df).collect()}
+    w64 = {
+        (p.id_a, p.id_b, p.hamming)
+        for p in DD.simhash_pairs(df, width=64).collect()
+    }
+    assert auto == w64 == {(1, 2, next(iter(auto))[2])}
+    # above the threshold auto == the 128-bit plan (shrink the
+    # threshold rather than build a million-row frame)
+    orig = DD.SIMHASH_W64_MAX_DOCS
+    try:
+        DD.SIMHASH_W64_MAX_DOCS = 2
+        auto_big = {
+            (p.id_a, p.id_b, p.hamming) for p in DD.simhash_pairs(df).collect()
+        }
+    finally:
+        DD.SIMHASH_W64_MAX_DOCS = orig
+    w128 = {
+        (p.id_a, p.id_b, p.hamming)
+        for p in DD.simhash128_pairs(df).collect()
+    }
+    assert auto_big == w128
+    # a persisted 128-bit signature table serves both widths
+    sigs = DD.simhash128_sigs_kernel(df)
+    assert {
+        (p.id_a, p.id_b, p.hamming)
+        for p in DD.simhash_pairs(df, width=64, sigs=sigs).collect()
+    } == w64
+    # but a 64-bit table cannot be widened
+    sigs64 = DD.simhash_sigs_kernel(df)
+    with pytest.raises(ValueError, match="cannot be widened"):
+        DD.simhash_pairs(df, width=128, sigs=sigs64)
+    with pytest.raises(ValueError, match="width"):
+        DD.simhash_pairs(df, width=96)
+
 def test_simhash128_hamming_and_64bit_prefix(spark):
     """The 128-bit variant finds a genuine hamming<=3 near-dup (a doc
     with a few appended tokens), rejects the unrelated doc, and its
