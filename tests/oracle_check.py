@@ -196,6 +196,30 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        if digest_mode:
+            if name not in oracles:
+                print(f"SKIP {name}: no oracle")
+                continue
+            try:
+                sdf_lazy = fn(spark, sf_dir)
+                batches = con.execute(oracles[name]).fetch_record_batch(65_536)
+                problems, stats = digest_compare(name, sdf_lazy, batches)
+            except Exception as ex:
+                print(f"FAIL {name}: error: {ex}")
+                failures += 1
+                continue
+            rows = stats.get("spark_rows", "?")
+            if problems:
+                failures += 1
+                print(f"FAIL {name} ({rows} rows, {time.time()-t0:.1f}s)")
+                for p in problems:
+                    print(f"     {p}")
+            else:
+                print(
+                    f"PASS {name} ({rows} rows, digest {stats['digest']}, "
+                    f"{time.time()-t0:.1f}s)"
+                )
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
