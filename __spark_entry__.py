@@ -994,6 +994,76 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("value_asof")).alias("purchase_c"),
     )
 
+def q_m5_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 taint selection (ml/kmeans.taint_selection,
+    HogDNS.scala:218-299) over FIXED synthetic cluster assignments —
+    the deterministic relational half of the k-means analytics
+    (cell scoring, the 5%·N / 0.001-dirty-rate taint rule, and the
+    untagged-member selection), driver-evidenced without iterating;
+    the k-means fit itself stays under planted-cluster unit tests.
+
+    Assignment shaping: clusters 0-2 hold ~94% of events (cells far
+    above the 5%·N cap → never tainted even when dirty), clusters 3-7
+    are rare (~1.2% each → every cell with a dirty member and rate ≥
+    0.001 taints); dirty = event_id%211 == 0 scatters tags across
+    cells of both kinds.  Output: 'cell' rows = every (cluster, host)
+    cell's stats; 'member' rows = the untagged members of tainted
+    cells."""
+    from hogzilla_spark.config import MLConfig
+    from hogzilla_spark.ml.kmeans import taint_selection
+
+    ev = _t(spark, sf_dir, "events")
+    pred = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 50 < 47, F.col("event_id") % 3)
+        .otherwise(F.lit(3) + F.col("event_id") % 5)
+        .cast("int")
+        .alias("cluster"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("grp"),
+        (F.col("event_id") % 211 == 0).cast("int").alias("dirty"),
+    )
+    members, cells = taint_selection(pred, "grp", "dirty", MLConfig())
+    c = cells.select(
+        F.lit("cell").alias("part"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "grp",
+        F.col("dirty_rate").alias("rate"),
+        F.col("cell_count").alias("cnt"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    m = members.select(
+        F.lit("member").alias("part"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "grp",
+        F.lit(None).cast("double").alias("rate"),
+        F.lit(None).cast("long").alias("cnt"),
+        "event_id",
+    )
+    return c.unionByName(m)
+
+def q_range_asof_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two interval joins Spark lacks natively in one tagged union
+    (merged for the 50-slot registry budget; both long-stable):
+    'range' rows = q_range_join's per-band counts/sums, 'asof' rows =
+    q_asof_join's enriched click events keyed by event_id."""
+    r = q_range_join(spark, sf_dir).select(
+        F.lit("range").alias("part"),
+        F.col("band").alias("k"),
+        F.col("n").alias("a"),
+        F.col("total_c").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("long").alias("d"),
+    )
+    a = q_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("part"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("user_id").alias("a"),
+        F.col("t_ms").alias("b"),
+        F.col("t_ms_asof").alias("c"),
+        F.col("purchase_c").alias("d"),
+    )
+    return r.unionByName(a)
+
 # ---------------------------------------------------------------------------
 # training-mix assembly: sessionization, sampling, interleave, packing
 # ---------------------------------------------------------------------------
@@ -1025,9 +1095,12 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def q_f5_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two o_totalprice distribution summaries in one tagged union
+    """Three o_totalprice distribution summaries in one tagged union
     (merged for the 50-slot registry budget): 'f5' = log-bin histogram
-    rows (key = bin), 'q' = exact per-priority discrete quantiles."""
+    rows (key = bin), 'q' = exact per-priority discrete quantiles,
+    'topk' = the O1/O2 global top-100 (TakeOrderedAndProject; key =
+    orderkey, n = price in cents — absorbed from the long-stable
+    o1_topk slot in round 7)."""
     f5 = q_f5_log_bins(spark, sf_dir).select(
         F.lit("f5").alias("part"),
         F.col("bin").cast("string").alias("key"),
@@ -1044,7 +1117,15 @@ def q_f5_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p95",
         "p99",
     )
-    return f5.unionByName(qs)
+    topk = q_o1_topk(spark, sf_dir).select(
+        F.lit("topk").alias("part"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("price_c").alias("n"),
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p95"),
+        F.lit(None).cast("double").alias("p99"),
+    )
+    return f5.unionByName(qs).unionByName(topk)
 
 BM25_TERMS = ["hash", "join", "window", "spark", "vector"]
 
@@ -1552,6 +1633,149 @@ def q_hz_atypical_port(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a.unionByName(p)
 
+#: the per-user location every seeded HIST20 knows (São Paulo) — the
+#: "home" every scenario slot measures against
+_AUTH_SAVED_COORDS = "-23.55,-46.63"
+
+#: raw UA strings whose uap-core families the oracle pins as literals
+#: (the family mapping itself is evidenced by the uap-core test vectors
+#: in tests/test_auth.py; the oracle replays the DETECTOR's use of the
+#: family, not the regex chain)
+_AUTH_UA_CHROME = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+)
+_AUTH_UA_CURL = "curl/8.4.0"
+
+def _synth_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → auth-record rows (pure deterministic mapping, mirrored
+    verbatim in the SQL twin): each event is one login by user
+    u(user_id%50) from a location/UA/service scenario slot chosen by
+    event_id parities, shaped so every guard branch of the combined
+    auth detector (HogAuth.scala:323-435) is oracle-observable:
+
+      - lslot = event_id%6: 0 = home coords (typical, share>eps),
+        1 = Rio (~358 km → atypical city), 2 = Osasco (~6 km →
+        haversine-300 suppressed), 3 = excluded city 'Campinas',
+        4 = Rio but reverse-DNS on the domain whitelist (suppresses
+        ALL THREE branches), 5 = 'N/A' sentinel city;
+      - uaslot = event_id%4: 1 = curl (atypical UA), 2 = empty UA
+        (no event), else Chrome (typical, saved);
+      - sslot = event_id%5: 0 = 'vpn2/rdp' (atypical service unless
+        seeded-typical by uid%3), else 'vpn1/ssh' (saved)."""
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id") % 50
+    lslot = F.col("event_id") % 6
+    uaslot = F.col("event_id") % 4
+    sslot = F.col("event_id") % 5
+    return ev.select(
+        F.lit(0.0).alias("generatedTime"),
+        F.when(sslot == 0, "vpn2").otherwise("vpn1").alias("agent"),
+        F.when(sslot == 0, "rdp").otherwise("ssh").alias("service"),
+        F.when(lslot == 4, "mail.google.com")
+        .otherwise("host.corp.example")
+        .alias("clientReverse"),
+        F.concat(F.lit("10.2.0."), uid.cast("string")).alias("clientIP"),
+        F.concat(F.lit("u"), uid.cast("string")).alias("userName"),
+        F.lit("password").alias("authMethod"),
+        F.lit(0).alias("loginFailed"),
+        F.when(uaslot == 1, _AUTH_UA_CURL)
+        .when(uaslot == 2, "")
+        .otherwise(_AUTH_UA_CHROME)
+        .alias("userAgent"),
+        F.when(lslot == 5, "USA").otherwise("Brazil").alias("country"),
+        F.lit("SP").alias("region"),
+        F.when(lslot == 0, "Sao Paulo")
+        .when(lslot == 1, "Rio de Janeiro")
+        .when(lslot == 2, "Osasco")
+        .when(lslot == 3, "Campinas")
+        .when(lslot == 4, "Rio de Janeiro")
+        .otherwise("N/A")
+        .alias("city"),
+        F.when(lslot == 0, _AUTH_SAVED_COORDS)
+        .when(lslot == 1, "-22.90,-43.20")
+        .when(lslot == 2, "-23.50,-46.60")
+        .when(lslot == 3, "3.13,101.68")
+        .when(lslot == 4, "-22.90,-43.20")
+        .otherwise("40.71,-74.00")
+        .alias("coords"),
+        F.lit("AS100").alias("asn"),
+    )
+
+def q_hz_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined auth-profiling detector (826001204,
+    detectors/auth.auth_profile, HogAuth.scala:323-435) scored against
+    a SQL oracle with PRE-SEEDED HIST20/21/22 per-user state — the
+    seventh detector-level oracle, covering the gate-10 maturity
+    check, the haversine-300 km known-location guard, the excluded
+    city, all three reverse-DNS domain whitelists, the sentinel-city
+    suppression, AND the reference's copy/paste slip (the service
+    branch gates on the USER-AGENT histogram size, HogAuth.scala:398).
+
+    Seeding by uid parity: uid ≥ 45 → no state (everything learns,
+    nothing scores); uid%7 → HIST20 size 5 < gate 10 (city branch
+    immature); uid%11 → HIST21 size 5 (suppresses UA AND service
+    branches, the slip); uid%3 → HIST22 also knows 'vpn2/rdp'
+    (service typical).  Saved state: home coords (share 1.0),
+    'Windows/Chrome', 'vpn1/ssh'."""
+    from hogzilla_spark.config import AuthConfig, HistogramConfig
+    from hogzilla_spark.detectors.auth import auth_profile
+
+    auth = _synth_auth(spark, sf_dir)
+    uids = (
+        auth.select(
+            F.substring("userName", 2, 10).try_cast("long").alias("uid")
+        )
+        .distinct()
+        .filter(F.col("uid") < 45)
+    )
+    user = F.concat(F.lit("u"), F.col("uid").cast("string"))
+    empty_labels = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    h20 = uids.select(
+        F.concat(F.lit("HIST20-"), user).alias("hist_name"),
+        F.when(F.col("uid") % 7 == 0, 5).otherwise(50).cast("long").alias("size"),
+        F.create_map(F.lit(_AUTH_SAVED_COORDS), F.lit(1.0)).alias("values"),
+        F.create_map(
+            F.lit(_AUTH_SAVED_COORDS), F.lit("Sao_Paulo/Brazil")
+        ).alias("labels"),
+    )
+    h21 = uids.select(
+        F.concat(F.lit("HIST21-"), user).alias("hist_name"),
+        F.when(F.col("uid") % 11 == 0, 5).otherwise(40).cast("long").alias("size"),
+        F.create_map(F.lit("Windows/Chrome"), F.lit(1.0)).alias("values"),
+        empty_labels.alias("labels"),
+    )
+    h22 = uids.select(
+        F.concat(F.lit("HIST22-"), user).alias("hist_name"),
+        F.lit(30).cast("long").alias("size"),
+        F.map_from_entries(
+            F.filter(
+                F.array(
+                    F.struct(F.lit("vpn1/ssh").alias("key"), F.lit(1.0).alias("value")),
+                    F.struct(
+                        F.lit("vpn2/rdp").alias("key"),
+                        F.when(F.col("uid") % 3 == 0, 0.5).alias("value"),
+                    ),
+                ),
+                lambda e: e["value"].isNotNull(),
+            )
+        ).alias("values"),
+        empty_labels.alias("labels"),
+    )
+    hists = h20.unionByName(h21).unionByName(h22)
+    alerts, _updates = auth_profile(auth, hists, AuthConfig(), HistogramConfig())
+    return alerts.select(
+        F.col("lower_ip_str").alias("hostname"),
+        F.element_at("data", "userName").alias("user_name"),
+        F.element_at("data", "coords").alias("coords"),
+        F.element_at("data", "atypicalVars").alias("vars"),
+        F.element_at("data", "atypicalCities").alias("cities"),
+        F.element_at("data", "atypicalUserAgents").alias("uas"),
+        F.element_at("data", "atypicalServices").alias("services"),
+    )
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1567,10 +1791,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only entry (multimodal_features, whose binary decode DuckDB
     cannot replay — covered by codec round-trip unit suites) sits last.
     Near-duplicate basics are tagged unions of their originals
-    (a5+a9, j3+j5, s6+p2, h1+h2, f5+quantiles, w1+w2w4) to stay inside
-    the budget."""
+    (a5+a9, j3+j5, s6+p2, h1+h2, f5+quantiles+o1topk, w1+w2w4,
+    range+asof) to stay inside the budget."""
     return {
         # new/changed this round — need fresh driver evidence
+        "hz_auth": q_hz_auth,
+        "m5_taint": q_m5_taint,
+        "range_asof_joins": q_range_asof_joins,
+        "dedup_simhash": q_simhash_pairs,
+        "f5_quantiles": q_f5_quantiles,
         "hz_atypical_port": q_hz_atypical_port,
         "w_windows": q_w_windows,
         "dedup_components": q_dedup_components,
@@ -1586,8 +1815,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hz_dns_tunnel": q_hz_dns_tunnel,
         "multimodal_meta": q_multimodal_meta,
         "pack_token_shards": q_pack_token_shards,
-        "range_join": q_range_join,
-        "asof_join": q_asof_join,
         "interleave_mix": q_interleave_mix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # consolidated entries (merged shapes, new oracles)
@@ -1603,7 +1830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "dedup_simhash": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "knn_brute_force": q_knn_brute_force,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1620,9 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_a9_counts": q_a5_a9_counts,
         "a14_interarrival": q_a14_interarrival,
         "j3_j5_joins": q_j3_j5_joins,
-        "o1_topk": q_o1_topk,
         "s6_p2_scan_parse": q_s6_p2_scan_parse,
-        "f5_quantiles": q_f5_quantiles,
         "h1_h2_hist_scores": q_h1_h2_hist_scores,
         # rows-only (no oracle possible) — keep last
         "multimodal_features": q_multimodal_features,
@@ -1780,9 +2004,34 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY r_name
     """
 
-    sql["o1_topk"] = """
-        SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
-        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    # M5 taint rule replayed relationally: same fixed assignments, same
+    # 5%-of-N count cap and 0.001 dirty-rate floor, same untagged-member
+    # anti-selection (the dirty=0 filter).
+    sql["m5_taint"] = """
+        WITH pred AS (
+          SELECT event_id,
+                 CAST(CASE WHEN event_id % 50 < 47 THEN event_id % 3
+                      ELSE 3 + event_id % 5 END AS INTEGER) AS cluster,
+                 'h' || CAST(user_id % 20 AS VARCHAR) AS grp,
+                 CASE WHEN event_id % 211 = 0 THEN 1 ELSE 0 END AS dirty
+          FROM events),
+        tot AS (SELECT COUNT(*) AS n FROM pred),
+        cells AS (
+          SELECT cluster, grp, AVG(CAST(dirty AS DOUBLE)) AS rate,
+                 COUNT(*) AS cnt
+          FROM pred GROUP BY cluster, grp),
+        tainted AS (
+          SELECT cluster, grp FROM cells, tot
+          WHERE cnt < 0.05 * n AND rate >= 0.001)
+        SELECT 'cell' AS part, cluster, grp, rate, cnt,
+               CAST(NULL AS BIGINT) AS event_id
+        FROM cells
+        UNION ALL
+        SELECT 'member' AS part, p.cluster, p.grp,
+               CAST(NULL AS DOUBLE) AS rate, CAST(NULL AS BIGINT) AS cnt,
+               p.event_id
+        FROM pred p JOIN tainted t ON p.cluster = t.cluster AND p.grp = t.grp
+        WHERE p.dirty = 0
     """
 
     sql["u_setops"] = """
@@ -2231,6 +2480,13 @@ def oracle_sql() -> dict[str, str]:
                quantile_disc(o_totalprice, 0.95) AS p95,
                quantile_disc(o_totalprice, 0.99) AS p99
         FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'topk' AS part, CAST(o_orderkey AS VARCHAR) AS key,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p95,
+               CAST(NULL AS DOUBLE) AS p99
+        FROM (SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
     """
 
     # BM25: identical tokenization to the text family; per-(doc,term)
@@ -2698,28 +2954,26 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     """
 
-    sql["range_join"] = """
-        SELECT band, COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
-        FROM orders
-        JOIN (VALUES (0.0, 50000.0, 'small'),
-                     (50000.0, 200000.0, 'mid'),
-                     (200000.0, 1000000.0, 'large')) b(lo, hi, band)
-          ON o_totalprice >= lo AND o_totalprice < hi
-        GROUP BY band
-    """
-
-
-    sql["asof_join"] = """
+    sql["range_asof_joins"] = """
         WITH clicks AS (
           SELECT user_id, event_id, epoch_ms(ts) AS t_ms FROM events
           WHERE event_type = 'click'),
         purchases AS (
           SELECT user_id, epoch_ms(ts) AS t_ms, value FROM events
           WHERE event_type = 'purchase')
-        SELECT c.user_id, c.event_id, c.t_ms,
-               p.t_ms AS t_ms_asof,
-               CAST(ROUND(p.value*100) AS BIGINT) AS purchase_c
+        SELECT 'range' AS part, band AS k, COUNT(*) AS a,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS b,
+               CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS d
+        FROM orders
+        JOIN (VALUES (0.0, 50000.0, 'small'),
+                     (50000.0, 200000.0, 'mid'),
+                     (200000.0, 1000000.0, 'large')) bands(lo, hi, band)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+        UNION ALL
+        SELECT 'asof' AS part, CAST(c.event_id AS VARCHAR) AS k,
+               c.user_id AS a, c.t_ms AS b, p.t_ms AS c,
+               CAST(ROUND(p.value*100) AS BIGINT) AS d
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.t_ms >= p.t_ms
     """
@@ -2934,6 +3188,96 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT) AS bytes_down,
                CAST(NULL AS BIGINT) AS number_pkts
         FROM proxies
+    """
+
+    # Combined auth detector replicated over the same synthetic login
+    # stream and the same parity-seeded HIST20/21/22 state.  The
+    # uap-core families of the two fixed UA strings are pinned as
+    # literals ('Windows/Chrome', 'Other/curl' — evidenced by the
+    # uap-core vectors in tests/test_auth.py); everything else — the
+    # learn gates, the haversine-300 guard (computed, not hardcoded),
+    # the excluded city, the three whitelists, the sentinel checks and
+    # the HIST21-size service-gate slip — is replayed from first
+    # principles.
+    sql["hz_auth"] = f"""
+        WITH ev AS (
+          SELECT event_id, user_id % 50 AS uid,
+                 event_id % 6 AS lslot, event_id % 4 AS uaslot,
+                 event_id % 5 AS sslot
+          FROM events),
+        rec AS (
+          SELECT *,
+                 'u' || CAST(uid AS VARCHAR) AS userName,
+                 '10.2.0.' || CAST(uid AS VARCHAR) AS clientIP,
+                 CASE lslot WHEN 0 THEN '-23.55,-46.63'
+                      WHEN 1 THEN '-22.90,-43.20' WHEN 2 THEN '-23.50,-46.60'
+                      WHEN 3 THEN '3.13,101.68' WHEN 4 THEN '-22.90,-43.20'
+                      ELSE '40.71,-74.00' END AS coords,
+                 CASE lslot WHEN 0 THEN 'Sao Paulo'
+                      WHEN 1 THEN 'Rio de Janeiro' WHEN 2 THEN 'Osasco'
+                      WHEN 3 THEN 'Campinas' WHEN 4 THEN 'Rio de Janeiro'
+                      ELSE 'N/A' END AS city,
+                 CASE WHEN lslot = 5 THEN 'USA' ELSE 'Brazil' END AS country,
+                 CASE WHEN lslot = 4 THEN 'mail.google.com'
+                      ELSE 'host.corp.example' END AS clientReverse,
+                 CASE uaslot WHEN 1 THEN 'Other/curl' WHEN 2 THEN ''
+                      ELSE 'Windows/Chrome' END AS uafam,
+                 CASE WHEN sslot = 0 THEN 'vpn2' ELSE 'vpn1' END AS agent,
+                 CASE WHEN sslot = 0 THEN 'rdp' ELSE 'ssh' END AS service
+          FROM ev),
+        st AS (
+          SELECT *,
+                 (uid < 45) AS seeded,
+                 CASE WHEN uid >= 45 THEN 0 WHEN uid % 7 = 0 THEN 5
+                      ELSE 50 END AS h20_size,
+                 CASE WHEN uid >= 45 THEN 0 WHEN uid % 11 = 0 THEN 5
+                      ELSE 40 END AS h21_size,
+                 (clientReverse LIKE '%gmail.com'
+                  OR clientReverse LIKE '%google.com') AS whitelisted,
+                 2.0*6371.0*ASIN(SQRT(
+                   POW(SIN(RADIANS(CAST(string_split(coords,',')[1] AS DOUBLE)
+                                   - (-23.55))/2),2)
+                   + COS(RADIANS(-23.55))
+                     * COS(RADIANS(CAST(string_split(coords,',')[1] AS DOUBLE)))
+                     * POW(SIN(RADIANS(CAST(string_split(coords,',')[2] AS DOUBLE)
+                                       - (-46.63))/2),2)
+                 )) AS dist_km
+          FROM rec),
+        scored AS (
+          SELECT *,
+                 (city <> '' AND h20_size >= 10
+                  AND CASE WHEN seeded AND coords = '-23.55,-46.63'
+                           THEN 1.0 ELSE 0.0 END <= {eps}
+                  AND city <> 'Campinas'
+                  AND NOT whitelisted
+                  AND NOT (seeded AND dist_km < 300)
+                  AND city NOT IN ('N/A', ' ', '')
+                  AND 'SP' NOT IN ('N/A', ' ', '')
+                  AND country NOT IN ('N/A', ' ', '')) AS cityEvent,
+                 (uafam <> '' AND h21_size >= 10
+                  AND CASE WHEN seeded AND uafam = 'Windows/Chrome'
+                           THEN 1.0 ELSE 0.0 END <= {eps}
+                  AND NOT whitelisted) AS uaEvent,
+                 (h21_size >= 10
+                  AND CASE WHEN seeded AND agent||'/'||service = 'vpn1/ssh'
+                                THEN 1.0
+                           WHEN seeded AND uid % 3 = 0
+                                AND agent||'/'||service = 'vpn2/rdp'
+                                THEN 0.5
+                           ELSE 0.0 END <= {eps}
+                  AND NOT whitelisted) AS systemEvent
+          FROM st)
+        SELECT clientIP AS hostname, userName AS user_name, coords,
+               (CASE WHEN systemEvent THEN 'S' ELSE '' END)
+               || (CASE WHEN uaEvent THEN 'U' ELSE '' END)
+               || (CASE WHEN cityEvent THEN 'C' ELSE '' END) AS vars,
+               CASE WHEN cityEvent THEN city || '/' || country
+                    ELSE '' END AS cities,
+               CASE WHEN uaEvent THEN uafam ELSE '' END AS uas,
+               CASE WHEN systemEvent THEN agent || '/' || service
+                    ELSE '' END AS services
+        FROM scored
+        WHERE cityEvent OR uaEvent OR systemEvent
     """
 
     return sql

@@ -80,7 +80,24 @@ def kmeans_taint(
     feat = assembler.transform(normed)
     model = KMeans(k=k, seed=cfg.seed, featuresCol="features", predictionCol="cluster").fit(feat)
     pred = model.transform(feat).drop("features", *[f"z_{c}" for c in feature_cols])
+    return taint_selection(pred, group_col, dirty_col, cfg)
 
+def taint_selection(
+    pred: DataFrame,
+    group_col: str,
+    dirty_col: str,
+    cfg: MLConfig,
+) -> tuple[DataFrame, DataFrame]:
+    """M5's deterministic relational half (HogDNS.scala:218-299), split
+    from the iterative fit so it composes with ANY cluster assignment:
+    score each (cluster, group) cell, taint small dirty cells
+    (count < 5%·N and mean dirty rate ≥ 0.001), select the UNTAGGED
+    members of tainted cells.  `pred` needs a ``cluster`` column plus
+    `group_col`/`dirty_col`.  Returns (tainted_members, cell_stats).
+
+    Scale: one shuffle on (cluster, group); the tainted cell list is
+    small by construction (each cell < 5% of N) and arrives broadcast
+    for the member selection."""
     total = pred.count()
     cells = pred.groupBy("cluster", group_col).agg(
         F.avg(F.col(dirty_col).cast("double")).alias("dirty_rate"),

@@ -37,6 +37,11 @@ TABLES = [
 
 def duck_con(sf_dir: str):
     con = duckdb.connect()
+    # large-sf sweeps: let DuckDB spill instead of OOM-ing on 5M-row
+    # full-text intermediates, and don't pay for result ordering the
+    # order-insensitive comparison never reads
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

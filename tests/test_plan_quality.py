@@ -74,7 +74,12 @@ def test_no_cartesian_products_anywhere(spark):
     assert not offenders, f"cartesian plans in: {sorted(offenders)}"
 
 def test_topk_uses_take_ordered(spark):
-    plan = plan_of(spark, "o1_topk")
+    # o1 lives inside the f5_quantiles tagged union now ('topk' part);
+    # pin the plan on the underlying query so the union's other parts
+    # can't mask a regression to a global sort
+    plan = (
+        E.q_o1_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
 
 def test_ivf_index_partition_pruning(spark, tmp_path):
