@@ -24,8 +24,53 @@ def main() -> None:
     import __spark_entry__ as E
     from hogzilla_spark import get_spark
 
-    spark = get_spark(app_name="hogzilla_bench")
+    # the engine ships with the UI off; the bench enables it to read
+    # per-stage shuffle/spill totals from the status REST API, so the
+    # artifact records WHY a query is slow (spill regime vs plan
+    # regression), not just wall-clock.  retainedStages is raised so
+    # cumulative diffs stay exact across the 50-query run.
+    spark = get_spark(
+        app_name="hogzilla_bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def stage_totals() -> dict[str, float] | None:
+        """Cumulative completed-stage metric sums from the REST API
+        (None if the UI is unreachable — the bench never fails on
+        missing metrics)."""
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications", timeout=5
+            ) as r:
+                apps = json.load(r)
+            app_id = apps[0]["id"]
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=10,
+            ) as r:
+                stages = json.load(r)
+        except Exception:
+            return None
+        out = {k: 0.0 for k in (
+            "shuffle_write_mb", "shuffle_read_mb", "spill_mem_mb", "spill_disk_mb"
+        )}
+        mb = 1024.0 * 1024.0
+        for st in stages:
+            out["shuffle_write_mb"] += st.get("shuffleWriteBytes", 0) / mb
+            out["shuffle_read_mb"] += st.get("shuffleReadBytes", 0) / mb
+            out["spill_mem_mb"] += st.get("memoryBytesSpilled", 0) / mb
+            out["spill_disk_mb"] += st.get("diskBytesSpilled", 0) / mb
+        return out
 
     # JVM/codegen/parquet-reader warm-up outside the timed loop so the
     # first real query doesn't pay one-time class-loading costs
@@ -49,7 +94,9 @@ def main() -> None:
     if unknown:  # a typo'd name silently skipped = a sweep that lies
         raise SystemExit(f"SPARK_GRAFT_QUERIES not in registry: {sorted(unknown)}")
     timings: dict[str, float] = {}
+    io: dict[str, dict[str, float]] = {}
     total = 0.0
+    before = stage_totals()
     for name, fn in registry.items():
         if only and name not in only:
             continue
@@ -65,6 +112,10 @@ def main() -> None:
         timings[name] = round(dt, 3)
         if dt > 0:
             total += dt
+        after = stage_totals()
+        if before is not None and after is not None:
+            io[name] = {k: round(after[k] - before[k], 2) for k in after}
+        before = after
     spark.stop()
     print(
         json.dumps(
@@ -73,6 +124,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                # per-query completed-stage shuffle/spill deltas (MiB);
+                # absent if the status API was unreachable
+                **({"io": io} if io else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

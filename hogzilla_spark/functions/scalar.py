@@ -190,6 +190,51 @@ def ua_family(c: Column | str) -> Column:
         )
     )
 
+def _compile_device(
+    c: Column, parsers: list[dict[str, str]], key: str, unmatched: str
+) -> Column:
+    """Device-table compiler: like _compile_parsers but with uap-core's
+    device defaults (device/model fall back to capture group 1, brand
+    to empty when the replacement key is absent)."""
+    out = F.lit(unmatched)
+    for p in reversed(parsers):
+        rx = p["regex"]
+        repl = p.get(key)
+        if repl is None:
+            fam: Column = (
+                F.regexp_extract(c, rx, 1) if "(" in rx else F.lit("")
+            ) if key != "brand_replacement" else F.lit("")
+        elif "$1" in repl:
+            pre, post = repl.split("$1", 1)
+            fam = F.concat(F.lit(pre), F.regexp_extract(c, rx, 1), F.lit(post))
+        else:
+            fam = F.lit(repl)
+        out = F.when(c.rlike(rx), fam).otherwise(out)
+    return out
+
+def ua_device(c: Column | str) -> Column:
+    """Raw user-agent → struct(family, brand, model) per uap-core's
+    ``device_parsers`` semantics (ordered first-match-wins; Spider rule
+    first; device/model default to capture group 1, brand to empty;
+    unmatched → family 'Other').  The reference keys alerts only on
+    "os/browser" families (HogAuth.scala:293-298) — this closes the
+    remaining uap-core surface for pipelines that segment by handset."""
+    from hogzilla_spark.functions.ua_data import DEVICE_PARSERS
+
+    c = _col(c)
+    empty = c.isNull() | (c == "")
+    return F.struct(
+        F.when(empty, F.lit("")).otherwise(
+            _compile_device(c, DEVICE_PARSERS, "device_replacement", "Other")
+        ).alias("family"),
+        F.when(empty, F.lit("")).otherwise(
+            _compile_device(c, DEVICE_PARSERS, "brand_replacement", "")
+        ).alias("brand"),
+        F.when(empty, F.lit("")).otherwise(
+            _compile_device(c, DEVICE_PARSERS, "model_replacement", "")
+        ).alias("model"),
+    )
+
 # --- F10: date formatting (HogAuth.scala:236-237) ---------------------------
 
 def format_event_time(epoch_s: Column | str) -> Column:

@@ -23,13 +23,20 @@ mobile OS families (HarmonyOS, tvOS, webOS, BlackBerry, Symbian,
 Roku, Fuchsia, Haiku) — all in uap-core's layering order: families
 whose UAs embed mainstream tokens come first (Edge before Chrome,
 Chrome before Safari, Android before Linux, HarmonyOS before Android,
-distros before the Linux catch-all).  Remaining divergence from the
-full regexes.yaml is the long tail of extinct browsers and
-device-model extraction (families this engine never keys on); to close
-it entirely, translate each remaining ``user_agent_parsers`` /
-``os_parsers`` entry of regexes.yaml into one dict below (the compiler
-in functions/scalar.py consumes them unchanged; regexes must stay in
-the Java∩RE2-safe subset — no lookbehind).
+distros before the Linux catch-all).
+
+``DEVICE_PARSERS`` covers uap-core's ``device_parsers`` section in the
+same shape (regex + optional device/brand/model replacements,
+first-match-wins; uap-core defaults: device and model fall back to
+capture group 1, brand to empty): the Spider rule, the major handset
+brands (Apple, Samsung, Huawei, Xiaomi, Google, Motorola, OnePlus,
+Oppo/Vivo, Sony, LG, Nokia, Amazon), consoles/TVs, and uap-core's
+generic ``... Build/`` Android catch-all.  Remaining divergence from
+the full regexes.yaml is only the long tail of extinct browsers; to
+close it entirely, translate each remaining entry of regexes.yaml into
+one dict below (the compiler in functions/scalar.py consumes them
+unchanged; regexes must stay in the Java∩RE2-safe subset — no
+lookbehind).
 """
 
 from __future__ import annotations
@@ -195,4 +202,176 @@ OS_PARSERS: list[dict[str, str]] = [
     {"regex": r"(OpenBSD)"},
     {"regex": r"(NetBSD)"},
     {"regex": r"SunOS", "os_replacement": "Solaris"},
+]
+
+#: uap-core ``device_parsers`` shape: regex + optional
+#: device_replacement / brand_replacement / model_replacement ("$1"
+#: substitutes capture group 1; device & model default to group 1,
+#: brand to empty).  Ordered: the Spider rule first (uap-core's
+#: convention — crawlers spoof handset tokens), then brand-token
+#: rules, then the generic "Build/" Android catch-all, then the
+#: desktop platforms.
+DEVICE_PARSERS: list[dict[str, str]] = [
+    {
+        "regex": r"(?i)bot|crawl|spider|slurp|archiver|fetcher|scanner|"
+        r"facebookexternalhit|HeadlessChrome",
+        "device_replacement": "Spider",
+        "brand_replacement": "Spider",
+        "model_replacement": "Desktop",
+    },
+    # --- Apple handhelds / TV (before Mac: they carry "like Mac OS X")
+    {
+        "regex": r"(iPhone|iPad|iPod)",
+        "device_replacement": "$1",
+        "brand_replacement": "Apple",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"Apple TV",
+        "device_replacement": "AppleTV",
+        "brand_replacement": "Apple",
+        "model_replacement": "AppleTV",
+    },
+    # --- consoles / TVs (tokens never collide with handsets) ----------
+    {
+        "regex": r"PlayStation (\d+)",
+        "device_replacement": "PlayStation $1",
+        "brand_replacement": "Sony",
+        "model_replacement": "PlayStation $1",
+    },
+    {
+        "regex": r"Nintendo (WiiU|Wii|Switch|3DS)",
+        "device_replacement": "Nintendo $1",
+        "brand_replacement": "Nintendo",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"Xbox (One|Series X|Series S)",
+        "device_replacement": "Xbox $1",
+        "brand_replacement": "Microsoft",
+        "model_replacement": "Xbox $1",
+    },
+    {
+        "regex": r"(Roku)[ /]",
+        "device_replacement": "Roku",
+        "brand_replacement": "Roku",
+        "model_replacement": "Roku",
+    },
+    # --- Android brands by model token (before the Build/ catch-all) --
+    # Samsung ships SM-/GT-/SGH-/SCH- prefixes
+    {
+        "regex": r"\b((?:SM|GT|SGH|SCH|SPH)-[A-Za-z0-9]+)",
+        "device_replacement": "Samsung $1",
+        "brand_replacement": "Samsung",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"(?:HUAWEI|Huawei)[ _-]([A-Za-z0-9][A-Za-z0-9._-]*)",
+        "device_replacement": "Huawei $1",
+        "brand_replacement": "Huawei",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"; (HONOR [A-Za-z0-9 ]+?)(?: Build|\))",
+        "device_replacement": "Huawei $1",
+        "brand_replacement": "Huawei",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(Redmi[ _][A-Za-z0-9 ]+?|Mi[ _][A-Za-z0-9 ]+?|POCO[ _][A-Za-z0-9 ]+?) Build",
+        "device_replacement": "XiaoMi $1",
+        "brand_replacement": "XiaoMi",
+        "model_replacement": "$1",
+    },
+    # newer Chrome UAs drop the "Build/" token, so Pixel/Nexus accept a
+    # closing paren too
+    {
+        "regex": r"(Pixel(?: \w+)*)(?: Build|\))",
+        "device_replacement": "$1",
+        "brand_replacement": "Google",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"(Nexus \w+)(?: Build|\))",
+        "device_replacement": "$1",
+        "brand_replacement": "Google",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(moto [a-z0-9()+ ]+?|Moto[A-Z0-9 ]+?|XT\d{3,4}) Build",
+        "device_replacement": "Motorola $1",
+        "brand_replacement": "Motorola",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"(?:ONEPLUS|OnePlus)[ _]?([A-Za-z0-9 ]+?) Build",
+        "device_replacement": "OnePlus $1",
+        "brand_replacement": "OnePlus",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(CPH\d{4}) Build",
+        "device_replacement": "Oppo $1",
+        "brand_replacement": "Oppo",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(vivo [A-Za-z0-9 ]+?|V\d{4}[A-Z]*) Build",
+        "device_replacement": "Vivo $1",
+        "brand_replacement": "Vivo",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"Sony ?(Xperia[ A-Za-z0-9]*?) Build",
+        "device_replacement": "Sony $1",
+        "brand_replacement": "Sony",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(LM-[A-Z0-9]+|LG-[A-Z0-9]+)",
+        "device_replacement": "LG $1",
+        "brand_replacement": "LG",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(Nokia[ _-]?[A-Za-z0-9.]*?) Build",
+        "device_replacement": "$1",
+        "brand_replacement": "Nokia",
+        "model_replacement": "$1",
+    },
+    # Amazon Kindle Fire tablets identify as KF** model codes
+    {
+        "regex": r"\b(KF[A-Z]{2,8}) Build",
+        "device_replacement": "Kindle Fire",
+        "brand_replacement": "Amazon",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"(Kindle)",
+        "device_replacement": "Kindle",
+        "brand_replacement": "Amazon",
+        "model_replacement": "Kindle",
+    },
+    # --- uap-core's generic Android "... Build/" catch-all, plus the
+    # modern no-Build form (Android token required so desktop "(X11;
+    # Linux x86_64) AppleWebKit" never reads as a handset) -------------
+    {
+        "regex": r"; *([^;/]+) Build[/ ]",
+        "device_replacement": "$1",
+        "brand_replacement": "Generic_Android",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"Android [^;)]+; *([^;/)]+?)\) AppleWebKit",
+        "device_replacement": "$1",
+        "brand_replacement": "Generic_Android",
+        "model_replacement": "$1",
+    },
+    # --- desktop platforms (uap-core tags Macs; Windows/X11 → Other) --
+    {
+        "regex": r"(Macintosh)",
+        "device_replacement": "Mac",
+        "brand_replacement": "Apple",
+        "model_replacement": "Mac",
+    },
 ]

@@ -208,3 +208,70 @@ def test_ua_family_realistic_fixture(spark):
         (ua, g, w) for (ua, w), g in zip(_UA_FIXTURE, got) if g != w
     ]
     assert not mism, mism
+
+# UA → expected device (family, brand, model) under the uap-core-style
+# DEVICE_PARSERS table: Spider-first ordering, brand model-token rules,
+# the Build/ catch-all and its modern no-Build twin, desktop → Other.
+_DEVICE_FIXTURE = [
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+     ("iPhone", "Apple", "iPhone")),
+    ("Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1",
+     ("iPad", "Apple", "iPad")),
+    ("Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+     ("Samsung SM-S918B", "Samsung", "SM-S918B")),
+    ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
+     ("Pixel 8", "Google", "Pixel 8")),
+    ("Mozilla/5.0 (Linux; U; Android 9; xx-xx; Redmi Note 8 Pro Build/PPR1.180610.011) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/71.0.3578.141 Mobile Safari/537.36",
+     ("XiaoMi Redmi Note 8 Pro", "XiaoMi", "Redmi Note 8 Pro")),
+    ("Mozilla/5.0 (Linux; Android 10; HUAWEI VOG-L29) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/88.0.4324.93 Mobile Safari/537.36",
+     ("Huawei VOG-L29", "Huawei", "VOG-L29")),
+    ("Mozilla/5.0 (Linux; Android 9; moto g(7) Build/PPOS29.114-134-4) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/74.0.3729.157 Mobile Safari/537.36",
+     ("Motorola moto g(7)", "Motorola", "moto g(7)")),
+    ("Mozilla/5.0 (Linux; Android 10; ONEPLUS A6003 Build/QKQ1.190716.003) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/85.0.4183.127 Mobile Safari/537.36",
+     ("OnePlus A6003", "OnePlus", "A6003")),
+    ("Mozilla/5.0 (Linux; Android 11; KFONWI Build/RS8332.1115N) AppleWebKit/537.36 (KHTML, like Gecko) Silk/112.5.1 like Chrome/112.0.5615.213 Safari/537.36",
+     ("Kindle Fire", "Amazon", "KFONWI")),
+    ("Mozilla/5.0 (Linux; Android 13; M2101K6G) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36",
+     ("M2101K6G", "Generic_Android", "M2101K6G")),
+    ("Mozilla/5.0 (Linux; Android 10; Weird Phone Build/QQ1A) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/90.0 Mobile Safari/537.36",
+     ("Weird Phone", "Generic_Android", "Weird Phone")),
+    ("Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit/605.1.15 (KHTML, like Gecko)",
+     ("PlayStation 5", "Sony", "PlayStation 5")),
+    ("Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet) AppleWebKit/606.4 (KHTML, like Gecko) NF/6.0.1.15.4 NintendoBrowser/5.1.0.20393",
+     ("Nintendo Switch", "Nintendo", "Switch")),
+    ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+     ("Spider", "Spider", "Desktop")),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+     ("Mac", "Apple", "Mac")),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+     ("Other", "", "")),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36",
+     ("Other", "", "")),
+    ("", ("", "", "")),
+]
+
+def test_ua_device_fixture(spark):
+    from hogzilla_spark.functions.scalar import ua_device
+
+    df = spark.createDataFrame([(ua,) for ua, _ in _DEVICE_FIXTURE], "ua string")
+    got = [
+        (r.d.family, r.d.brand, r.d.model)
+        for r in df.select(ua_device("ua").alias("d")).collect()
+    ]
+    mism = [
+        (ua, g, w) for (ua, w), g in zip(_DEVICE_FIXTURE, got) if g != w
+    ]
+    assert not mism, mism
+
+def test_device_parsers_capture_group_sanity():
+    import re
+
+    from hogzilla_spark.functions.ua_data import DEVICE_PARSERS
+
+    assert len(DEVICE_PARSERS) > 0
+    for p in DEVICE_PARSERS:
+        rx = re.compile(p["regex"])  # Java∩RE2-safe subset sanity
+        for key in ("device_replacement", "brand_replacement", "model_replacement"):
+            if key not in p or "$1" in p.get(key, ""):
+                if key != "brand_replacement" or "$1" in p.get(key, ""):
+                    assert rx.groups >= 1, p
