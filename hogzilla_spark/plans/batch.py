@@ -312,6 +312,12 @@ def main() -> None:
     ap.add_argument("--sflows", default=None, help="parquet path; default: fixtures")
     ap.add_argument("--flows", default=None, help="nDPI flows parquet; 'fixtures' for built-in")
     ap.add_argument("--batch-time", type=int, default=0)
+    ap.add_argument(
+        "--show-frames",
+        action="store_true",
+        help="also print the inventory/reputation frames (collects them "
+        "to the driver — demo sizes only)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="hogzilla_batch")
@@ -338,8 +344,12 @@ def main() -> None:
         n = df.count()
         print(f"{name:28s} {n} alerts")
     print(f"state entries: {store.load(spark, f'{args.out}/state/histograms.parquet').count()}")
-    print(f"inventory: {[tuple(r) for r in result.inventory.collect()]}")
-    print(f"learned reputation: {[tuple(r) for r in result.new_reputation.collect()]}")
+    if args.show_frames:
+        print(f"inventory: {[tuple(r) for r in result.inventory.collect()]}")
+        print(f"learned reputation: {[tuple(r) for r in result.new_reputation.collect()]}")
+    else:
+        print(f"inventory rows: {result.inventory.count()}")
+        print(f"learned reputation rows: {result.new_reputation.count()}")
     spark.stop()
 
 if __name__ == "__main__":
