@@ -874,7 +874,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s128 = DD.simhash128_pairs(docs, max_hamming=3, sigs=sigs).select(
         F.lit("s128").alias("part"), "id_a", "id_b", "hamming"
     )
-    if docs.count() > DD.SIMHASH_W64_MAX_DOCS:
+    # gate on the checkpointed signature table (one row per doc) — a
+    # free count instead of a second scan over the document text
+    if sigs.count() > DD.SIMHASH_W64_MAX_DOCS:
         return s128
     s64 = DD.simhash_pairs(docs, max_hamming=3, width=64, sigs=sigs).select(
         F.lit("s64").alias("part"), "id_a", "id_b", "hamming"

@@ -41,7 +41,24 @@ def _saved(histograms: DataFrame, family: str, prefix_len: int) -> DataFrame:
 
 def prepare_auth(auth: DataFrame) -> DataFrame:
     """Projection + validity filter (HogAuth.scala:272-316): accents
-    stripped, UA parsed to family, coords sanity, non-empty user."""
+    stripped, UA parsed to family, coords sanity, non-empty user.
+
+    UA parsing is dictionary-encoded: the ~140-rule uap-core rlike
+    chain evaluates once per DISTINCT user-agent string and the
+    families broadcast-join back, instead of once per record.  Login
+    streams follow a sharp UA Zipf (a fleet of clients, a handful of
+    agents), so distinct-UA cardinality is orders of magnitude below
+    record count at any scale — the distinct shuffles ~|UA| strings
+    with map-side combine and the joined table stays well under
+    broadcast limits (~10 MB per 100 k distinct UAs)."""
+    raw_ua = F.coalesce("userAgent", F.lit(""))
+    auth = auth.withColumn("__ua_raw", raw_ua)
+    fams = (
+        auth.select("__ua_raw")
+        .distinct()
+        .withColumn("__ua_fam", ua_family(F.col("__ua_raw")))
+    )
+    auth = auth.join(F.broadcast(fams), "__ua_raw", "left")
     return (
         auth.select(
             "generatedTime",
@@ -52,7 +69,7 @@ def prepare_auth(auth: DataFrame) -> DataFrame:
             "userName",
             "authMethod",
             "loginFailed",
-            ua_family("userAgent").alias("userAgent"),
+            F.col("__ua_fam").alias("userAgent"),
             strip_accents(F.coalesce("country", F.lit(""))).alias("country"),
             strip_accents(F.coalesce("region", F.lit(""))).alias("region"),
             strip_accents(F.coalesce("city", F.lit(""))).alias("city"),
