@@ -160,3 +160,16 @@ def test_bm25_broadcasts_idf_and_takes_ordered(spark):
     plan = plan_of(spark, "bm25_topk")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+def test_auth_ua_dictionary_and_state_joins_broadcast(spark):
+    """hz_auth's plan must carry broadcast joins: the UA-family
+    dictionary (regex work tracks DISTINCT UAs, not records) and the
+    per-user state tables under AQE's size estimate at this scale."""
+    plan = plan_of(spark, "hz_auth")
+    assert "BroadcastHashJoin" in plan
+
+def test_m5_taint_member_join_broadcast(spark):
+    """The tainted-cell list (< 5% of N per cell by construction) must
+    broadcast for the member selection, never shuffle the full frame."""
+    plan = plan_of(spark, "m5_taint")
+    assert "BroadcastHashJoin" in plan
