@@ -31,12 +31,18 @@ first-match-wins; uap-core defaults: device and model fall back to
 capture group 1, brand to empty): the Spider rule, the major handset
 brands (Apple, Samsung, Huawei, Xiaomi, Google, Motorola, OnePlus,
 Oppo/Vivo, Sony, LG, Nokia, Amazon), consoles/TVs, and uap-core's
-generic ``... Build/`` Android catch-all.  Remaining divergence from
-the full regexes.yaml is only the long tail of extinct browsers; to
-close it entirely, translate each remaining entry of regexes.yaml into
-one dict below (the compiler in functions/scalar.py consumes them
-unchanged; regexes must stay in the Java∩RE2-safe subset — no
-lookbehind).
+generic ``... Build/`` Android catch-all.
+
+Round 7 added the extinct long tail (gecko forks Flock/Netscape/
+Camino/Galeon/K-Meleon/Iceape/Fennec/Phoenix/Firebird, webkit shells
+OmniWeb/iCab/Shiira/Lunascape/Avant, feature-phone engines NetFront/
+Obigo/Polaris/Blazer, text browsers ELinks/Links/w3m/Dillo/Amaya/
+NetSurf/Mosaic), so every family CLASS in the public dataset now has
+coverage.  What remains un-vendored is only regexes.yaml's ultra-rare
+residue (regional carrier builds, one-off handsets) — adding any of
+them is one dict in the right layer (the compiler in
+functions/scalar.py consumes them unchanged; regexes must stay in the
+Java∩RE2-safe subset — no lookbehind).
 """
 
 from __future__ import annotations
@@ -111,10 +117,33 @@ USER_AGENT_PARSERS: list[dict[str, str]] = [
     {"regex": r"(Sleipnir)"},
     {"regex": r"coc_coc_browser", "family_replacement": "Coc Coc"},
     {"regex": r"(Falkon)/"},
+    # extinct webkit/trident-era shells (own token next to an Apple-
+    # WebKit or MSIE one → before the mainstream rules)
+    {"regex": r"OmniWeb/", "family_replacement": "OmniWeb"},
+    {"regex": r"(iCab)"},
+    {"regex": r"(Shiira)"},
+    {"regex": r"(Lunascape)"},
+    {"regex": r"Avant Browser", "family_replacement": "Avant"},
+    # extinct embedded/feature-phone engines
+    {"regex": r"(NetFront)"},
+    {"regex": r"(Obigo)"},
+    {"regex": r"(Polaris)/"},
+    {"regex": r"(Blazer)/"},
     # --- gecko forks (carry a Firefox token → before Firefox) ---------
     {"regex": r"PaleMoon|Pale Moon", "family_replacement": "Pale Moon"},
     {"regex": r"(Waterfox)"},
     {"regex": r"(Basilisk)"},
+    # extinct gecko family: Flock and Netscape 8 ride a Firefox token,
+    # the rest ride bare Gecko
+    {"regex": r"(Flock)/"},
+    {"regex": r"Netscape6?/|Navigator/", "family_replacement": "Netscape"},
+    {"regex": r"(Camino)/"},
+    {"regex": r"(Galeon)/"},
+    {"regex": r"(K-Meleon)/"},
+    {"regex": r"(Iceape)/"},
+    {"regex": r"Fennec/", "family_replacement": "Firefox Mobile"},
+    {"regex": r"(Phoenix)/"},
+    {"regex": r"Firebird/", "family_replacement": "Firebird"},
     # --- niche before mainstream (token layering) ---------------------
     {"regex": r"(Opera Mini)"},
     {"regex": r"Opera Mobi", "family_replacement": "Opera Mobile"},
@@ -156,7 +185,16 @@ USER_AGENT_PARSERS: list[dict[str, str]] = [
     {"regex": r"IEMobile", "family_replacement": "IE Mobile"},
     {"regex": r"MSIE", "family_replacement": "IE"},
     {"regex": r"Trident/.*rv[: ]?11", "family_replacement": "IE"},
+    # text-mode and ancient standalone browsers (unique tokens, no
+    # mainstream collisions; ELinks before Links)
     {"regex": r"(Lynx)"},
+    {"regex": r"(ELinks)"},
+    {"regex": r"Links ", "family_replacement": "Links"},
+    {"regex": r"(w3m)/"},
+    {"regex": r"(Dillo)/"},
+    {"regex": r"(amaya)/", "family_replacement": "Amaya"},
+    {"regex": r"(NetSurf)/"},
+    {"regex": r"NCSA[ _]Mosaic/", "family_replacement": "Mosaic"},
 ]
 
 #: uap-core ``os_parsers`` shape: regex + optional os_replacement.

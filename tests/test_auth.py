@@ -130,6 +130,20 @@ _UA_FIXTURE = [
     ("Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet) AppleWebKit/606.4 (KHTML, like Gecko) NF/6.0.1.15.4 NintendoBrowser/5.1.0.20393", "Nintendo/Other"),
     ("Mozilla/5.0 (SMART-TV; Linux; Tizen 6.0) AppleWebKit/537.36 (KHTML, like Gecko) 76.0.3809.146/6.0 TV Safari/537.36", "Tizen/Safari"),
     ("Lynx/2.8.9rel.1 libwww-FM/2.14 SSL-MM/1.4.1 GNUTLS/3.6.13", "Other/Lynx"),
+    # extinct families (the round-7 long-tail closure: gecko forks ride
+    # Firefox/Gecko tokens, webkit shells ride AppleWebKit ones, Avant
+    # rides MSIE — ordering is the assertion here)
+    ("Mozilla/5.0 (Windows; U; Windows NT 5.1; en-US; rv:1.8.1.12) Gecko/20080219 Firefox/2.0.0.12 Flock/1.0.9", "Windows/Flock"),
+    ("Mozilla/5.0 (Windows; U; WinNT4.0; en-US; rv:1.0.1) Gecko/20020823 Netscape/7.0", "Windows/Netscape"),
+    ("Mozilla/5.0 (Macintosh; U; PPC Mac OS X Mach-O; en; rv:1.8.1.4) Gecko/20070509 Camino/1.5", "Mac OS X/Camino"),
+    ("Mozilla/5.0 (Windows; U; Windows NT 5.1; en-US; rv:1.8.1.12) Gecko/20080219 K-Meleon/1.5.4", "Windows/K-Meleon"),
+    ("Mozilla/5.0 (Android; Linux armv7l; rv:9.0) Gecko/20111216 Firefox/9.0 Fennec/9.0", "Android/Firefox Mobile"),
+    ("Mozilla/5.0 (Macintosh; U; Intel Mac OS X; en-US) AppleWebKit/528.16 (KHTML, like Gecko, Safari/528.16) OmniWeb/v622.8.0.112941", "Mac OS X/OmniWeb"),
+    ("Mozilla/4.0 (compatible; MSIE 6.0; Windows NT 5.1; Avant Browser)", "Windows/Avant"),
+    ("Mozilla/4.0 (PDA; Windows CE/1.0.1) NetFront/3.0", "Windows/NetFront"),
+    ("ELinks/0.12pre5 (textmode; Linux; 80x24-2)", "Linux/ELinks"),
+    ("w3m/0.5.3+git20210102", "Other/w3m"),
+    ("NCSA_Mosaic/2.0 (Windows 3.1)", "Windows/Mosaic"),
     ("Mozilla/5.0 (X11; Linux x86_64; rv:102.0) Gecko/20100101 Thunderbird/102.10.0", "Linux/Thunderbird"),
     ("Mozilla/5.0 (compatible; Konqueror/4.5; FreeBSD) KHTML/4.5.4 (like Gecko)", "FreeBSD/Konqueror"),
     # in-app webviews (Chrome + Safari tokens present, wrapper wins)
