@@ -365,3 +365,57 @@ def test_simhash128_pairs_match_reference(spark, docs, max_hamming):
             if h <= max_hamming:
                 want.add((a, b, h))
     assert got == want
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # cluster
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=0, max_value=1),   # dirty
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_taint_selection_invariants(spark, rows):
+    """M5 taint rule (ml/kmeans.taint_selection) invariants under any
+    assignment: cells partition the input (counts sum to N, rates are
+    per-cell dirty means), members are exactly the UNTAGGED rows of
+    cells that satisfy BOTH thresholds."""
+    from hogzilla_spark.config import MLConfig
+    from hogzilla_spark.ml.kmeans import taint_selection
+
+    pred = spark.createDataFrame(
+        [(i, c, f"g{g}", d) for i, (c, g, d) in enumerate(rows)],
+        "row_id long, cluster int, grp string, dirty int",
+    )
+    cfg = MLConfig()
+    members, cells = taint_selection(pred, "grp", "dirty", cfg)
+    cell_rows = cells.collect()
+    member_rows = members.collect()
+
+    n = len(rows)
+    assert sum(r.cell_count for r in cell_rows) == n
+    from collections import defaultdict
+
+    by_cell = defaultdict(list)
+    for c, g, d in rows:
+        by_cell[(c, f"g{g}")].append(d)
+    for r in cell_rows:
+        ds = by_cell[(r.cluster, r.grp)]
+        assert r.cell_count == len(ds)
+        assert abs(r.dirty_rate - sum(ds) / len(ds)) < 1e-12
+    tainted = {
+        (r.cluster, r.grp)
+        for r in cell_rows
+        if r.cell_count < cfg.taint_max_group_pct * n
+        and r.dirty_rate >= cfg.taint_min_dirty_rate
+    }
+    expect_members = {
+        i
+        for i, (c, g, d) in enumerate(rows)
+        if (c, f"g{g}") in tainted and d == 0
+    }
+    assert {r.row_id for r in member_rows} == expect_members
+    assert all(r.dirty == 0 for r in member_rows)
