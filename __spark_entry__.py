@@ -996,6 +996,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("value_asof")).alias("purchase_c"),
     )
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-family LM quality scoring (operators/text.lm_cross_entropy):
+    per-document cross-entropy under an add-½-smoothed bigram LM
+    trained on the corpus itself — the perplexity-bucketing signal an
+    LLM-data pipeline filters on.  Micro-nat integer scores make the
+    cross-position sum exact in any engine (the bm25 trick)."""
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
+    return TXT.lm_cross_entropy(docs)
+
 def q_m5_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 taint selection (ml/kmeans.taint_selection,
     HogDNS.scala:218-299) over FIXED synthetic cluster assignments —
@@ -1188,7 +1197,19 @@ def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value_c",
     )
-    return hop.unionByName(day)
+    # third grain (round 7, absorbed from the sessionize slot to fund
+    # lm_perplexity): 'sess30m' = gap-based per-user sessions via
+    # native session_window — window_start_ms carries the session
+    # start, event_type the user key, sum_value_c the session END ms
+    # (the one slot the shared schema has free)
+    sess = q_sessionize(spark, sf_dir).select(
+        F.lit("sess30m").alias("grain"),
+        F.col("session_start_ms").alias("window_start_ms"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("event_type"),
+        F.col("n_events").alias("n"),
+        F.col("session_end_ms").alias("sum_value_c"),
+    )
+    return hop.unionByName(day).unionByName(sess)
 
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/text.scrub_pii): URL/email/IPv4/long-digit
@@ -1798,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new/changed this round — need fresh driver evidence
         "hz_auth": q_hz_auth,
+        "lm_perplexity": q_lm_perplexity,
         "m5_taint": q_m5_taint,
         "range_asof_joins": q_range_asof_joins,
         "dedup_simhash": q_simhash_pairs,
@@ -1840,7 +1862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-mix / text pipeline
         "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
-        "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         # long-stable basics
         "a1_lineitem_rollup": q_a1_lineitem_rollup,
@@ -2542,6 +2563,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'sess30m' AS grain, session_start_ms AS window_start_ms,
+               'u' || CAST(user_id AS VARCHAR) AS event_type,
+               n AS n, session_end_ms AS sum_value_c
+        FROM (
+          WITH t AS (SELECT user_id, epoch_ms(ts) AS t_ms FROM events),
+          m AS (SELECT user_id, t_ms,
+                  CASE WHEN t_ms - LAG(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms) > 1800000
+                       THEN 1 ELSE 0 END AS new_s
+                FROM t),
+          s AS (SELECT user_id, t_ms,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_ms
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+          SELECT user_id,
+                 MIN(t_ms) AS session_start_ms,
+                 MAX(t_ms) AS session_end_ms,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM s GROUP BY user_id, sid)
     """
 
     # scrub_pii: the regexp_replace chain is GENERATED from the same
@@ -2911,21 +2951,35 @@ def oracle_sql() -> dict[str, str]:
     # previous event EXCEEDS 30 min (session_window merges when the next
     # event's window start t2 <= t1+gap, i.e. diff <= gap — inclusive;
     # pinned by tests/test_pipeline_ops.py::test_sessionize_gap_edges)
-    sql["sessionize"] = """
-        WITH t AS (SELECT user_id, epoch_ms(ts) AS t_ms FROM events),
-        m AS (SELECT user_id, t_ms,
-                CASE WHEN t_ms - LAG(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms) > 1800000
-                     THEN 1 ELSE 0 END AS new_s
-              FROM t),
-        s AS (SELECT user_id, t_ms,
-                SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_ms
-                                 ROWS UNBOUNDED PRECEDING) AS sid
-              FROM m)
-        SELECT user_id,
-               MIN(t_ms) AS session_start_ms,
-               MAX(t_ms) AS session_end_ms,
-               CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM s GROUP BY user_id, sid
+    # Bigram-LM cross-entropy replicated from first principles: same
+    # tokenization as the text family, same add-1/2 smoothing, same
+    # per-position micro-nat rounding BEFORE the sum (ln on identical
+    # doubles is bit-stable across engines; double SUM order is not,
+    # which is why the positions round to integers first).
+    sql["lm_perplexity"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+'),
+                             t -> t <> '') AS w
+          FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(w[1:len(w)-1]) AS prev,
+                 unnest(w[2:len(w)]) AS cur
+          FROM toks WHERE len(w) >= 2),
+        b_cnt AS (SELECT prev, cur, COUNT(*) AS bc FROM bg GROUP BY prev, cur),
+        c_cnt AS (SELECT prev, COUNT(*) AS cc FROM bg GROUP BY prev),
+        v AS (SELECT COUNT(DISTINCT t) AS vocab
+              FROM (SELECT unnest(w) AS t FROM toks)),
+        scored AS (
+          SELECT g.doc_id,
+                 CAST(ROUND(-LN((b.bc + 0.5) / (c.cc + 0.5 * v.vocab)) * 1e6)
+                      AS BIGINT) AS lp
+          FROM bg g JOIN b_cnt b ON g.prev = b.prev AND g.cur = b.cur
+                    JOIN c_cnt c ON g.prev = c.prev, v)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lp) AS BIGINT) AS xent_micro
+        FROM scored GROUP BY doc_id
     """
 
     sql["stratified_sample"] = """

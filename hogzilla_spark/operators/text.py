@@ -417,3 +417,86 @@ def bm25_topk(
         F.sum("__su").alias("score_u"), F.count(F.lit(1)).alias("n_hits")
     )
     return top_k(per_doc, [F.col("score_u").desc(), F.col(id_col)], k)
+
+def _bigram_frame(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, prev, cur) — one row per adjacent lowercase-token pair.
+    Docs with fewer than two tokens contribute nothing."""
+    toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    d = df.select(F.col(id_col), toks.alias("__w")).filter(F.size("__w") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("__w") - 2),
+        lambda i: F.struct(
+            F.get("__w", i).alias("prev"), F.get("__w", i + 1).alias("cur")
+        ),
+    )
+    return d.select(id_col, F.explode(pairs).alias("__p")).select(
+        id_col, F.col("__p.prev").alias("prev"), F.col("__p.cur").alias("cur")
+    )
+
+def lm_cross_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref: DataFrame | None = None,
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-family LM quality signal (Wenzek et al. 2020 use a KenLM
+    wiki model; the relational form is engine-native): per-document
+    cross-entropy under an add-k-smoothed bigram LM trained on `ref`
+    (default: the corpus itself — self-scoring flags the repetitive
+    and the alien alike).  P(w|prev) = (C(prev,w)+k)/(C(prev)+k·V)
+    with V = |ref vocabulary| and C(prev) counted over bigram context
+    positions, so each conditional sums to exactly 1 over the vocab.
+
+    Returns (id, n_bigrams ≥ 1, xent_micro): xent_micro is
+    Σ round(−ln P · 1e6) as BIGINT — per-position micro-nats rounded
+    BEFORE the sum, the bm25 trick that makes the cross-position
+    addition exact integer math and hash-identical in any engine
+    (double sums are order-sensitive in the last ulp).  Perplexity =
+    exp(xent_micro / 1e6 / n_bigrams); filtering pipelines bucket on
+    it directly.
+
+    Scale shape: the LM "model" is two count tables, built with
+    map-side-combining groupBys over the ref bigram frame; scoring is
+    two equi-joins keyed (prev,cur) and (prev) — no driver state but
+    two scalars (V and nothing else) baked as literals.  Hot contexts
+    ("the", "of") are exactly the keys AQE's skew-join splitting
+    handles; the count tables are Zipf-compact (vocab², realized far
+    sparser) and broadcast when small.
+    """
+    ref_bg = _bigram_frame(ref if ref is not None else df, id_col, text_col)
+    b_cnt = ref_bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bc"))
+    c_cnt = ref_bg.groupBy("prev").agg(F.count(F.lit(1)).alias("__cc"))
+    vocab = (
+        (ref if ref is not None else df)
+        .select(
+            F.explode(
+                tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+            ).alias("__t")
+        )
+        .agg(F.count_distinct("__t"))
+        .first()[0]
+    )
+    doc_bg = _bigram_frame(df, id_col, text_col)
+    scored = (
+        doc_bg.join(b_cnt, ["prev", "cur"], "left")
+        .join(c_cnt, ["prev"], "left")
+        .select(
+            id_col,
+            F.round(
+                -F.log(
+                    (F.coalesce("__bc", F.lit(0)) + F.lit(k))
+                    / (F.coalesce("__cc", F.lit(0)) + F.lit(k * vocab))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__lp").alias("xent_micro"),
+    )

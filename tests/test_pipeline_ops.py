@@ -205,3 +205,45 @@ def test_interleave_mix_full_long_range_no_overflow(spark):
         out = interleave_mix(df, "src", {"a": 1.0}, "id", n_buckets=nb)
         got = {r.id: r.mix_pos for r in out.collect()}
         assert got == {k: float(r + 1) for r, k in enumerate(ids)}, nb
+
+def test_lm_cross_entropy_hand_computed(spark):
+    """Add-1/2-smoothed bigram LM against a hand computation: B/C counts
+    from the tiny corpus, V=4, per-position micro-nats rounded before
+    the integer sum; sub-2-token docs contribute and receive nothing."""
+    import math
+
+    from hogzilla_spark.operators.text import lm_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.xent_micro)
+        for r in lm_cross_entropy(df).collect()
+    }
+    k, V = 0.5, 4
+
+    def lp(b, c):
+        return round(-math.log((b + k) / (c + k * V)) * 1e6)
+
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1 ; contexts: a:3, b:2
+    assert out == {
+        1: (3, lp(3, 3) + lp(1, 2) + lp(3, 3)),
+        2: (2, lp(3, 3) + lp(1, 2)),
+    }
+
+def test_lm_cross_entropy_external_ref(spark):
+    """Scoring against an external reference corpus: unseen bigrams hit
+    the smoothing floor (-ln(k/(0+k*V)) per position via the coalesced
+    zero counts) instead of erroring."""
+    from hogzilla_spark.operators.text import lm_cross_entropy
+
+    ref = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    docs = spark.createDataFrame([(9, "z q")], "doc_id long, text string")
+    row = lm_cross_entropy(docs, ref=ref).collect()[0]
+    import math
+
+    V = 2  # ref vocab {a, b}
+    assert row.n_bigrams == 1
+    assert row.xent_micro == round(-math.log(0.5 / (0 + 0.5 * V)) * 1e6)

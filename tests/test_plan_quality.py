@@ -42,7 +42,11 @@ def test_stratified_sample_broadcasts_fractions(spark):
     assert "CartesianProduct" not in plan
 
 def test_sessionize_uses_native_session_merge(spark):
-    plan = plan_of(spark, "sessionize")
+    # sessionize lives inside the time_buckets tagged union now
+    # ('sess30m' grain); pin the plan on the underlying query
+    plan = (
+        E.q_sessionize(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
     assert "MergingSessions" in plan
     # exactly one exchange keyed on the session key feeds the merge
     assert plan.count("Exchange hashpartitioning(user_id") >= 1
