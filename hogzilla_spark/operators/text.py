@@ -479,12 +479,22 @@ def lm_cross_entropy(
         .agg(F.count_distinct("__t"))
         .first()[0]
     )
-    doc_bg = _bigram_frame(df, id_col, text_col)
+    # collapse repeated (doc, prev, cur) positions BEFORE the join:
+    # xent is Σ n·lp, so a boilerplate-heavy doc joins each distinct
+    # bigram once — map-side combine shrinks the join input by the
+    # corpus's repetition factor (the shuffle is ≈ distinct bigram
+    # positions, not token count)
+    doc_bg = (
+        _bigram_frame(df, id_col, text_col)
+        .groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     scored = (
         doc_bg.join(b_cnt, ["prev", "cur"], "left")
         .join(c_cnt, ["prev"], "left")
         .select(
             id_col,
+            "__n",
             F.round(
                 -F.log(
                     (F.coalesce("__bc", F.lit(0)) + F.lit(k))
@@ -497,6 +507,6 @@ def lm_cross_entropy(
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("__lp").alias("xent_micro"),
+        F.sum("__n").alias("n_bigrams"),
+        F.sum(F.col("__n") * F.col("__lp")).alias("xent_micro"),
     )
