@@ -112,7 +112,17 @@ def main() -> None:
         timings[name] = round(dt, 3)
         if dt > 0:
             total += dt
+        # the status store is fed by an async listener bus — the last
+        # stages of a finished job can land after the action returns.
+        # Poll until two consecutive reads agree so a query's shuffle
+        # isn't attributed to the next query.
         after = stage_totals()
+        for _ in range(10):
+            time.sleep(0.1)
+            nxt = stage_totals()
+            if nxt == after:
+                break
+            after = nxt
         if before is not None and after is not None:
             io[name] = {k: round(after[k] - before[k], 2) for k in after}
         before = after

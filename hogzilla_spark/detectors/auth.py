@@ -45,12 +45,15 @@ def prepare_auth(auth: DataFrame) -> DataFrame:
 
     UA parsing is dictionary-encoded: the ~140-rule uap-core rlike
     chain evaluates once per DISTINCT user-agent string and the
-    families broadcast-join back, instead of once per record.  Login
-    streams follow a sharp UA Zipf (a fleet of clients, a handful of
-    agents), so distinct-UA cardinality is orders of magnitude below
-    record count at any scale — the distinct shuffles ~|UA| strings
-    with map-side combine and the joined table stays well under
-    broadcast limits (~10 MB per 100 k distinct UAs)."""
+    families join back, instead of once per record.  Login streams
+    follow a sharp UA Zipf (a fleet of clients, a handful of agents),
+    so distinct-UA cardinality is normally orders of magnitude below
+    record count and AQE broadcasts the dictionary — but the hint is
+    deliberately NOT forced: an adversarial stream of nonce-salted
+    user agents (UA fuzzing) makes |distinct UA| ≈ |records|, and a
+    forced broadcast would OOM the driver where a shuffled hash join
+    merely runs slower.  Same let-the-planner-choose stance as the
+    per-user state joins below."""
     raw_ua = F.coalesce("userAgent", F.lit(""))
     auth = auth.withColumn("__ua_raw", raw_ua)
     fams = (
@@ -58,7 +61,7 @@ def prepare_auth(auth: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("__ua_fam", ua_family(F.col("__ua_raw")))
     )
-    auth = auth.join(F.broadcast(fams), "__ua_raw", "left")
+    auth = auth.join(fams, "__ua_raw", "left")
     return (
         auth.select(
             "generatedTime",

@@ -250,8 +250,12 @@ OS_PARSERS: list[dict[str, str]] = [
 #: rules, then the generic "Build/" Android catch-all, then the
 #: desktop platforms.
 DEVICE_PARSERS: list[dict[str, str]] = [
+    # uap-core matches [Bb]ot (never BOT) precisely so handset names
+    # like CUBOT / HOMTOM HT: the all-caps model tokens stay devices;
+    # same care for the other crawler tokens (no bare case-insensitive
+    # substrings — 'Fetcher'/'scanner' app tokens are not crawlers)
     {
-        "regex": r"(?i)bot|crawl|spider|slurp|archiver|fetcher|scanner|"
+        "regex": r"[Bb]ot\b|[Cc]rawl|[Ss]pider|[Ss]lurp|[Aa]rchiver|"
         r"facebookexternalhit|HeadlessChrome",
         "device_replacement": "Spider",
         "brand_replacement": "Spider",

@@ -466,9 +466,6 @@ def lm_cross_entropy(
     handles; the count tables are Zipf-compact (vocab², realized far
     sparser) and broadcast when small.
     """
-    ref_bg = _bigram_frame(ref if ref is not None else df, id_col, text_col)
-    b_cnt = ref_bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bc"))
-    c_cnt = ref_bg.groupBy("prev").agg(F.count(F.lit(1)).alias("__cc"))
     vocab = (
         (ref if ref is not None else df)
         .select(
@@ -489,6 +486,16 @@ def lm_cross_entropy(
         .groupBy(id_col, "prev", "cur")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
+    if ref is None:
+        # self-scoring: the LM counts are aggregates OF the collapsed
+        # doc frame — two re-groupings of the same lineage instead of
+        # two more tokenize/explode passes over the full corpus text
+        b_cnt = doc_bg.groupBy("prev", "cur").agg(F.sum("__n").alias("__bc"))
+        c_cnt = doc_bg.groupBy("prev").agg(F.sum("__n").alias("__cc"))
+    else:
+        ref_bg = _bigram_frame(ref, id_col, text_col)
+        b_cnt = ref_bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bc"))
+        c_cnt = ref_bg.groupBy("prev").agg(F.count(F.lit(1)).alias("__cc"))
     scored = (
         doc_bg.join(b_cnt, ["prev", "cur"], "left")
         .join(c_cnt, ["prev"], "left")

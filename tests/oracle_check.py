@@ -104,6 +104,7 @@ def _digest_chunks(chunks) -> tuple[int, list[str] | None, dict[str, str], int]:
     sum mod 2^64, so chunk/partition order is irrelevant."""
     import numpy as np
 
+
     total_rows = 0
     cols: list[str] | None = None
     kinds: dict[str, str] = {}
@@ -118,27 +119,54 @@ def _digest_chunks(chunks) -> tuple[int, list[str] | None, dict[str, str], int]:
         for c in cols:
             s = pdf[c]
             k = s.dtype.kind if hasattr(s.dtype, "kind") else "O"
-            if k in "iu":
-                s = s.astype("int64")
-                kinds.setdefault(c, "i")
-            elif k == "f":
+            if k in "iufb":
+                # ONE numeric canonical form per column regardless of
+                # chunk-local nullness: arrow→pandas turns an int64
+                # chunk WITH nulls into float64 but leaves a null-free
+                # chunk int64, and hash(5) != hash(5.0) — hashing the
+                # raw dtype breaks chunk-invariance.  float64 is exact
+                # for every value these results carry (|v| < 2^53);
+                # the dtype FAMILY still comes from the arrow-reported
+                # kind so int-vs-float drift is flagged, not hashed.
+                kinds.setdefault(c, "f" if k == "f" else "i")
                 s = s.astype("float64")
-                kinds.setdefault(c, "f")
-            elif k == "b":
-                s = s.astype("int64")
-                kinds.setdefault(c, "i")
             else:
-                s = s.astype(str)
                 kinds.setdefault(c, "O")
+                # astype(str) renders None as the 4-char string
+                # 'None' — indistinguishable from a genuine 'None'
+                # value, a false-PASS hole.  Mark nulls out-of-band.
+                mask = s.isna()
+                s = s.astype(str)
+                if mask.any():
+                    s = s.where(~mask, "\x00<null>")
             hv = pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
             h = h * np.uint64(1_000_003) + hv
         digest = (digest + int(h.sum(dtype=np.uint64))) % (1 << 64)
     return total_rows, cols, kinds, digest
 
-def digest_compare(name: str, sdf_lazy, oracle_batches) -> tuple[list[str], dict]:
+def _arrow_kinds(schema) -> dict[str, str]:
+    """Column → dtype-family kind from an ARROW schema — chunk-local
+    pandas kinds are unstable (an all-null-free chunk of a nullable
+    int64 column reads back 'i', a chunk with nulls 'f')."""
+    import pyarrow.types as pt
+
+    out = {}
+    for field in schema:
+        t = field.type
+        if pt.is_integer(t) or pt.is_boolean(t):
+            out[field.name] = "i"
+        elif pt.is_floating(t) or pt.is_decimal(t):
+            out[field.name] = "f"
+        else:
+            out[field.name] = "O"
+    return out
+
+def digest_compare(name: str, sdf_lazy, oracle_reader) -> tuple[list[str], dict]:
     """Chunk-streamed twin of `compare`: spill the Spark result to a
     temp parquet dir, stream both sides batch-wise, compare the
-    commutative digests.  Returns (problems, stats)."""
+    commutative digests.  `oracle_reader` is a RecordBatchReader (its
+    schema supplies the oracle-side dtype families).  Returns
+    (problems, stats)."""
     import shutil
     import tempfile
 
@@ -147,16 +175,17 @@ def digest_compare(name: str, sdf_lazy, oracle_batches) -> tuple[list[str], dict
     tmp = tempfile.mkdtemp(prefix=f"oracle_digest_{name}_")
     try:
         sdf_lazy.write.mode("overwrite").parquet(f"{tmp}/spark")
+        dset = ds.dataset(f"{tmp}/spark", format="parquet")
+        s_kinds = _arrow_kinds(dset.schema)
+        o_kinds = _arrow_kinds(oracle_reader.schema)
 
         def spark_chunks():
-            for batch in ds.dataset(f"{tmp}/spark", format="parquet").to_batches(
-                batch_size=65_536
-            ):
+            for batch in dset.to_batches(batch_size=65_536):
                 yield batch.to_pandas()
 
-        s_rows, s_cols, s_kinds, s_digest = _digest_chunks(spark_chunks())
-        o_rows, o_cols, o_kinds, o_digest = _digest_chunks(
-            b.to_pandas() for b in oracle_batches
+        s_rows, s_cols, _, s_digest = _digest_chunks(spark_chunks())
+        o_rows, o_cols, _, o_digest = _digest_chunks(
+            b.to_pandas() for b in oracle_reader
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

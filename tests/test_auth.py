@@ -255,6 +255,10 @@ _DEVICE_FIXTURE = [
      ("Nintendo Switch", "Nintendo", "Switch")),
     ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
      ("Spider", "Spider", "Desktop")),
+    # all-caps BOT inside a handset model must NOT read as a crawler
+    # (uap-core's own [Bb]ot case rule; found in review)
+    ("Mozilla/5.0 (Linux; Android 10; CUBOT X30 Build/QP1A.190711.020) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/88.0 Mobile Safari/537.36",
+     ("CUBOT X30", "Generic_Android", "CUBOT X30")),
     ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
      ("Mac", "Apple", "Mac")),
     ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",

@@ -41,3 +41,21 @@ def test_digest_nulls_and_floats():
     a = pd.DataFrame({"x": [1.5, np.nan], "s": ["a", None]})
     b = pd.DataFrame({"x": [np.nan, 1.5], "s": [None, "a"]})
     assert _digest_chunks(iter([a]))[3] == _digest_chunks(iter([b]))[3]
+
+
+def test_digest_nullable_int_chunk_invariant():
+    """arrow→pandas turns an int64 chunk WITH nulls into float64 but
+    leaves a null-free chunk int64 — the digest must canonicalize, or
+    chunking placement of nulls changes the hash (found in review)."""
+    import pyarrow as pa
+
+    t = pa.table({"x": pa.array([None, 7, 8], type=pa.int64())})
+    one = _digest_chunks(iter([t.to_pandas()]))
+    two = _digest_chunks(iter([t.slice(0, 1).to_pandas(), t.slice(1, 2).to_pandas()]))
+    assert one[3] == two[3] and one[0] == two[0] == 3
+
+
+def test_digest_null_not_conflated_with_none_string():
+    a = pd.DataFrame({"s": [None]})
+    b = pd.DataFrame({"s": ["None"]})
+    assert _digest_chunks(iter([a]))[3] != _digest_chunks(iter([b]))[3]
