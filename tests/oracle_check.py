@@ -42,6 +42,16 @@ def duck_con(sf_dir: str):
     # order-insensitive comparison never reads
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     con.execute("SET preserve_insertion_order=false")
+    # big-sf text oracles: peak memory scales with threads (per-thread
+    # hash/aggregate state over 5M-row full-text intermediates); the
+    # default 32 threads can exhaust the allocator where 16 fit.
+    # Override per-run without code changes.
+    threads = os.environ.get("DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
+    mem = os.environ.get("DUCKDB_MEMORY_LIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -161,12 +171,15 @@ def _arrow_kinds(schema) -> dict[str, str]:
             out[field.name] = "O"
     return out
 
-def digest_compare(name: str, sdf_lazy, oracle_reader) -> tuple[list[str], dict]:
+def digest_compare(name: str, sdf_lazy, oracle_reader_fn) -> tuple[list[str], dict]:
     """Chunk-streamed twin of `compare`: spill the Spark result to a
     temp parquet dir, stream both sides batch-wise, compare the
-    commutative digests.  `oracle_reader` is a RecordBatchReader (its
-    schema supplies the oracle-side dtype families).  Returns
-    (problems, stats)."""
+    commutative digests.  `oracle_reader_fn` is a zero-arg callable
+    returning a RecordBatchReader — called only AFTER the Spark side
+    finishes, so the two memory-heavy streaming phases never overlap
+    (DuckDB starts buffering result pipelines at execute time; running
+    it concurrently with the 5 M-row pandas hashing pass doubled peak
+    memory and crashed large-sf runs).  Returns (problems, stats)."""
     import shutil
     import tempfile
 
@@ -177,13 +190,15 @@ def digest_compare(name: str, sdf_lazy, oracle_reader) -> tuple[list[str], dict]
         sdf_lazy.write.mode("overwrite").parquet(f"{tmp}/spark")
         dset = ds.dataset(f"{tmp}/spark", format="parquet")
         s_kinds = _arrow_kinds(dset.schema)
-        o_kinds = _arrow_kinds(oracle_reader.schema)
 
         def spark_chunks():
             for batch in dset.to_batches(batch_size=65_536):
                 yield batch.to_pandas()
 
         s_rows, s_cols, _, s_digest = _digest_chunks(spark_chunks())
+
+        oracle_reader = oracle_reader_fn()
+        o_kinds = _arrow_kinds(oracle_reader.schema)
         o_rows, o_cols, _, o_digest = _digest_chunks(
             b.to_pandas() for b in oracle_reader
         )
@@ -236,8 +251,10 @@ def main() -> int:
                 continue
             try:
                 sdf_lazy = fn(spark, sf_dir)
-                batches = con.execute(oracles[name]).fetch_record_batch(65_536)
-                problems, stats = digest_compare(name, sdf_lazy, batches)
+                reader_fn = lambda sql=oracles[name]: con.execute(
+                    sql
+                ).fetch_record_batch(65_536)
+                problems, stats = digest_compare(name, sdf_lazy, reader_fn)
             except Exception as ex:
                 print(f"FAIL {name}: error: {ex}")
                 failures += 1
