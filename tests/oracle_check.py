@@ -41,7 +41,12 @@ def duck_con(sf_dir: str):
     # full-text intermediates, and don't pay for result ordering the
     # order-insensitive comparison never reads
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    con.execute("SET preserve_insertion_order=false")
+    # counter-intuitively, preserve_insertion_order=false makes the
+    # 5M-doc dedup_lines oracle OOM (reproducible: the unordered plan
+    # picks non-spillable operator variants) while the ordered plan
+    # streams in 96s — so unordered execution is opt-in per run
+    if os.environ.get("DUCKDB_UNORDERED"):
+        con.execute("SET preserve_insertion_order=false")
     # big-sf text oracles: peak memory scales with threads (per-thread
     # hash/aggregate state over 5M-row full-text intermediates); the
     # default 32 threads can exhaust the allocator where 16 fit.
@@ -171,15 +176,53 @@ def _arrow_kinds(schema) -> dict[str, str]:
             out[field.name] = "O"
     return out
 
-def digest_compare(name: str, sdf_lazy, oracle_reader_fn) -> tuple[list[str], dict]:
+_DUCK_DIGEST_PROG = """
+import json, sys
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+from oracle_check import duck_con, _digest_chunks, _arrow_kinds
+sf_dir, sql_path = sys.argv[1], sys.argv[2]
+con = duck_con(sf_dir)
+reader = con.execute(open(sql_path).read()).fetch_record_batch(65_536)
+kinds = _arrow_kinds(reader.schema)
+rows, cols, _, digest = _digest_chunks(b.to_pandas() for b in reader)
+print(json.dumps({"rows": rows, "cols": cols, "kinds": kinds, "digest": digest}))
+"""
+
+def _duck_digest_subprocess(sf_dir: str, sql: str) -> tuple[int, list, dict, int]:
+    """Digest the oracle side in a FRESH python process: the harness
+    process hosts the Spark JVM and has just hashed millions of pandas
+    rows, and DuckDB's allocator reproducibly fails ("Failed to
+    allocate block") inside that heap even with >100 GB free — a clean
+    process runs the same query in 96 s.  Also guarantees the two
+    memory-heavy phases never overlap."""
+    import json as _json
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".sql", delete=False) as f:
+        f.write(sql)
+        sql_path = f.name
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _DUCK_DIGEST_PROG, sf_dir, sql_path],
+            capture_output=True, text=True, check=True,
+        )
+        r = _json.loads(out.stdout.strip().splitlines()[-1])
+        return r["rows"], r["cols"], r["kinds"], r["digest"]
+    except subprocess.CalledProcessError as ex:
+        raise RuntimeError(
+            f"oracle digest subprocess failed: {ex.stderr.strip()[-500:]}"
+        ) from ex
+    finally:
+        os.unlink(sql_path)
+
+def digest_compare(name: str, sdf_lazy, sf_dir: str, sql: str) -> tuple[list[str], dict]:
     """Chunk-streamed twin of `compare`: spill the Spark result to a
     temp parquet dir, stream both sides batch-wise, compare the
-    commutative digests.  `oracle_reader_fn` is a zero-arg callable
-    returning a RecordBatchReader — called only AFTER the Spark side
-    finishes, so the two memory-heavy streaming phases never overlap
-    (DuckDB starts buffering result pipelines at execute time; running
-    it concurrently with the 5 M-row pandas hashing pass doubled peak
-    memory and crashed large-sf runs).  Returns (problems, stats)."""
+    commutative digests.  The oracle side runs in a fresh subprocess
+    (see _duck_digest_subprocess) after the Spark side finishes.
+    Returns (problems, stats)."""
     import shutil
     import tempfile
 
@@ -196,12 +239,7 @@ def digest_compare(name: str, sdf_lazy, oracle_reader_fn) -> tuple[list[str], di
                 yield batch.to_pandas()
 
         s_rows, s_cols, _, s_digest = _digest_chunks(spark_chunks())
-
-        oracle_reader = oracle_reader_fn()
-        o_kinds = _arrow_kinds(oracle_reader.schema)
-        o_rows, o_cols, _, o_digest = _digest_chunks(
-            b.to_pandas() for b in oracle_reader
-        )
+        o_rows, o_cols, o_kinds, o_digest = _duck_digest_subprocess(sf_dir, sql)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -251,10 +289,9 @@ def main() -> int:
                 continue
             try:
                 sdf_lazy = fn(spark, sf_dir)
-                reader_fn = lambda sql=oracles[name]: con.execute(
-                    sql
-                ).fetch_record_batch(65_536)
-                problems, stats = digest_compare(name, sdf_lazy, reader_fn)
+                problems, stats = digest_compare(
+                    name, sdf_lazy, sf_dir, oracles[name]
+                )
             except Exception as ex:
                 print(f"FAIL {name}: error: {ex}")
                 failures += 1
