@@ -2620,9 +2620,13 @@ def oracle_sql() -> dict[str, str]:
     stop = ",".join(f"'{s}'" for s in TXT.STOPWORDS_EN)
     markers = {k: ",".join(f"'{m}'" for m in v) for k, v in TXT.LANG_MARKERS.items()}
     # Same 5-token chunking as q_dedup_lines, then the C4 line-dedup
-    # replayed relationally with a window (the oracle can afford the
-    # skew the Spark plan avoids): rank occurrences per trimmed line,
-    # drop rank>1 of lines with corpus count >= 2, reassemble in order.
+    # replayed relationally: per trimmed line, COUNT(*) plus the
+    # MIN (doc_id, pos) keeper encoded as one BIGINT (pos < 1e9 by
+    # construction); every other occurrence of a count>=2 line drops.
+    # A hash aggregate rather than a ROW_NUMBER window — identical
+    # rows (verified at sf0.01/sf0.1), but the agg spills at sf100
+    # where DuckDB 1.0's 100M-row full-text window dies, and a shard
+    # predicate on doc_id pushes through it (see oracle_check.py).
     sql["dedup_lines"] = """
         WITH t AS (
           SELECT doc_id,
@@ -2640,14 +2644,16 @@ def oracle_sql() -> dict[str, str]:
                  generate_subscripts(string_split(text2, chr(10)), 1) - 1 AS pos,
                  unnest(string_split(text2, chr(10))) AS line
           FROM structured),
-        ranked AS (
-          SELECT doc_id, pos,
-                 ROW_NUMBER() OVER (PARTITION BY trim(line)
-                                    ORDER BY doc_id, pos) AS rn,
-                 COUNT(*) OVER (PARTITION BY trim(line)) AS c
-          FROM l WHERE trim(line) <> ''),
+        stats AS (
+          SELECT trim(line) AS k,
+                 COUNT(*) AS c,
+                 MIN(doc_id * 1000000000 + pos) AS keeper
+          FROM l WHERE trim(line) <> ''
+          GROUP BY trim(line)),
         drops AS (
-          SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1)
+          SELECT l.doc_id, l.pos
+          FROM l JOIN stats s ON trim(l.line) = s.k
+          WHERE s.c >= 2 AND l.doc_id * 1000000000 + l.pos <> s.keeper)
         SELECT l.doc_id,
                COALESCE(string_agg(
                  CASE WHEN dr.doc_id IS NOT NULL THEN NULL ELSE l.line END,

@@ -7,7 +7,9 @@ values (exact for ints/strings, exact-after-round for floats).
 ``--digest`` switches to a chunk-streamed comparison for results too
 large to canonicalize as one pandas frame (the sf100 5 M-row full-text
 results): both sides stream Arrow batches — Spark via a temp parquet
-spill, DuckDB via ``fetch_record_batch`` — and fold each row into a
+spill, DuckDB via ``fetch_record_batch`` in a fresh subprocess
+(retried in 8 hash-shards if the whole-result run dies; the fold is
+commutative so the digest is shard-invariant) — folding each row into a
 commutative 64-bit digest (sum over rows of a column-ordered mixed
 ``hash_pandas_object``), so driver memory stays one batch regardless of
 result size.  Order-insensitive by construction; values compare exactly
@@ -41,6 +43,9 @@ def duck_con(sf_dir: str):
     # full-text intermediates, and don't pay for result ordering the
     # order-insensitive comparison never reads
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    # long queries draw a progress bar on stdout — it corrupts the
+    # digest subprocess's JSON hand-off to the parent
+    con.execute("SET enable_progress_bar=false")
     # counter-intuitively, preserve_insertion_order=false makes the
     # 5M-doc dedup_lines oracle OOM (reproducible: the unordered plan
     # picks non-spillable operator variants) while the ordered plan
@@ -177,25 +182,68 @@ def _arrow_kinds(schema) -> dict[str, str]:
     return out
 
 _DUCK_DIGEST_PROG = """
-import json, sys
+import json, os, sys
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 from oracle_check import duck_con, _digest_chunks, _arrow_kinds
 sf_dir, sql_path = sys.argv[1], sys.argv[2]
+shards, shard_idx = int(sys.argv[3]), int(sys.argv[4])
+# sf100-robust defaults (env still overrides): 32 threads double the
+# per-thread agg state vs 16 and tip the 100M-line full-text oracles
+# over; an explicit memory_limit from MemAvailable (the Spark JVM is
+# still resident in the parent) keeps the buffer manager inside what
+# the machine can actually give this process.  Shard runs get the
+# 40 GB cap the sharded config was proven under.
+os.environ.setdefault("DUCKDB_THREADS", "16")
+if not os.environ.get("DUCKDB_MEMORY_LIMIT"):
+    avail_kb = 64 << 20
+    for ln in open("/proc/meminfo"):
+        if ln.startswith("MemAvailable:"):
+            avail_kb = int(ln.split()[1])
+            break
+    gb = int(avail_kb * 0.7) >> 20
+    if shards > 1:
+        gb = min(gb, 40)
+    os.environ["DUCKDB_MEMORY_LIMIT"] = f"{gb}GB"
 con = duck_con(sf_dir)
-reader = con.execute(open(sql_path).read()).fetch_record_batch(65_536)
+sql = open(sql_path).read()
+if shards > 1:
+    # hash-partition the RESULT by its first column: this run holds
+    # 1/K of the final aggregate/sort state, and a predicate on an
+    # output column pushes through trailing group-bys/joins on it.
+    # COALESCE: hash(NULL) % K is NULL and would silently drop rows.
+    first_col = con.execute(f"DESCRIBE ({sql})").fetchone()[0]
+    sql = (
+        f'SELECT * FROM ({sql}) __t '
+        f'WHERE COALESCE(hash(__t."{first_col}"), 0) % {shards} = {shard_idx}'
+    )
+reader = con.execute(sql).fetch_record_batch(65_536)
 kinds = _arrow_kinds(reader.schema)
 rows, cols, _, digest = _digest_chunks(b.to_pandas() for b in reader)
 print(json.dumps({"rows": rows, "cols": cols, "kinds": kinds, "digest": digest}))
 """
 
-def _duck_digest_subprocess(sf_dir: str, sql: str) -> tuple[int, list, dict, int]:
+def _duck_digest_subprocess(
+    sf_dir: str, sql: str, shards: int = 1
+) -> tuple[int, list, dict, int]:
     """Digest the oracle side in a FRESH python process: the harness
     process hosts the Spark JVM and has just hashed millions of pandas
     rows, and DuckDB's allocator reproducibly fails ("Failed to
     allocate block") inside that heap even with >100 GB free — a clean
     process runs the same query in 96 s.  Also guarantees the two
-    memory-heavy phases never overlap."""
+    memory-heavy phases never overlap.
+
+    ``shards`` > 1 hash-partitions the result by its first column and
+    digests each shard in its OWN fresh process (the row-hash fold is
+    commutative, so the digest is shard-invariant).  DuckDB 1.0's
+    ordered string_agg / final join state is not spillable and its
+    allocator corrupts under repeated giant text pipelines in one
+    process: the sf100 5 M-doc full-text results die run whole (any
+    formulation — COPY TO, streamed, 8-64 threads, 40-100 GB limits
+    all reproduce OOM or a libc segfault) and die run 8-shards in one
+    connection, but one shard per clean process at a 40 GB cap runs in
+    ~52 s reliably — the only empirically stable configuration, so it
+    is exactly what this executes."""
     import json as _json
     import subprocess
     import tempfile
@@ -203,34 +251,70 @@ def _duck_digest_subprocess(sf_dir: str, sql: str) -> tuple[int, list, dict, int
     with tempfile.NamedTemporaryFile("w", suffix=".sql", delete=False) as f:
         f.write(sql)
         sql_path = f.name
+    rows, cols, kinds, digest = 0, None, None, 0
     try:
-        out = subprocess.run(
-            [sys.executable, "-c", _DUCK_DIGEST_PROG, sf_dir, sql_path],
-            capture_output=True, text=True, check=True,
-        )
-        r = _json.loads(out.stdout.strip().splitlines()[-1])
-        return r["rows"], r["cols"], r["kinds"], r["digest"]
+        for i in range(shards):
+            out = subprocess.run(
+                [sys.executable, "-c", _DUCK_DIGEST_PROG,
+                 sf_dir, sql_path, str(shards), str(i)],
+                capture_output=True, text=True, check=True,
+            )
+            # belt-and-braces vs stray stdout (progress-bar fragments):
+            # the JSON object is the last line holding a '{', sliced
+            # from its first '{' (rfind would land inside `kinds`)
+            line = [l for l in out.stdout.splitlines() if "{" in l][-1]
+            r = _json.loads(line[line.index("{"):])
+            rows += r["rows"]
+            if r["cols"] is not None:
+                cols, kinds = r["cols"], r["kinds"]
+            digest = (digest + r["digest"]) % (1 << 64)
+        return rows, cols, kinds, digest
     except subprocess.CalledProcessError as ex:
         raise RuntimeError(
-            f"oracle digest subprocess failed: {ex.stderr.strip()[-500:]}"
+            f"oracle digest subprocess failed: {(ex.stderr or '').strip()[-500:]}"
         ) from ex
     finally:
         os.unlink(sql_path)
 
-def digest_compare(name: str, sdf_lazy, sf_dir: str, sql: str) -> tuple[list[str], dict]:
+_SPARK_WRITE_PROG = """
+import os, sys
+sys.path.insert(0, "/root/repo")
+name, sf_dir, out_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+os.environ.setdefault("SPARK_MAX_RESULT_SIZE", "8g")
+from hogzilla_spark import get_spark
+import __spark_entry__ as E
+spark = get_spark(shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+E.queries()[name](spark, sf_dir).write.mode("overwrite").parquet(out_dir)
+spark.stop()
+"""
+
+def digest_compare(name: str, sf_dir: str, sql: str) -> tuple[list[str], dict]:
     """Chunk-streamed twin of `compare`: spill the Spark result to a
     temp parquet dir, stream both sides batch-wise, compare the
-    commutative digests.  The oracle side runs in a fresh subprocess
-    (see _duck_digest_subprocess) after the Spark side finishes.
+    commutative digests.  BOTH engines run in fresh subprocesses — the
+    Spark side so its JVM heap dies before DuckDB starts, the DuckDB
+    side so it never allocates inside a pandas-bloated parent — and
+    only one is ever alive at a time: at sf100 the two phases each
+    want most of the machine, and DuckDB 1.0 answers a tight machine
+    with segfaults and failed mallocs, not clean spilling.
     Returns (problems, stats)."""
     import shutil
+    import subprocess
     import tempfile
 
     import pyarrow.dataset as ds
 
     tmp = tempfile.mkdtemp(prefix=f"oracle_digest_{name}_")
     try:
-        sdf_lazy.write.mode("overwrite").parquet(f"{tmp}/spark")
+        r = subprocess.run(
+            [sys.executable, "-c", _SPARK_WRITE_PROG, name, sf_dir, f"{tmp}/spark"],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"spark digest subprocess failed: {(r.stderr or '').strip()[-500:]}"
+            )
         dset = ds.dataset(f"{tmp}/spark", format="parquet")
         s_kinds = _arrow_kinds(dset.schema)
 
@@ -239,7 +323,17 @@ def digest_compare(name: str, sdf_lazy, sf_dir: str, sql: str) -> tuple[list[str
                 yield batch.to_pandas()
 
         s_rows, s_cols, _, s_digest = _digest_chunks(spark_chunks())
-        o_rows, o_cols, o_kinds, o_digest = _duck_digest_subprocess(sf_dir, sql)
+        try:
+            o_rows, o_cols, o_kinds, o_digest = _duck_digest_subprocess(sf_dir, sql)
+        except RuntimeError as ex:
+            # whole-result run died (DuckDB 1.0 unspillable final agg /
+            # sort state at sf100 sizes) — retry hash-sharded, which is
+            # digest-equivalent and runs each part at 1/8 state
+            print(f"  .. {name}: whole-result oracle run failed "
+                  f"({str(ex)[-120:]}); retrying in 8 hash-shards")
+            o_rows, o_cols, o_kinds, o_digest = _duck_digest_subprocess(
+                sf_dir, sql, shards=8
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -270,11 +364,18 @@ def main() -> int:
     os.environ.setdefault("SPARK_MAX_RESULT_SIZE", "8g")
 
     import __spark_entry__ as E
-    from hogzilla_spark import get_spark
 
-    spark = get_spark(shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
-    con = duck_con(sf_dir)
+    # digest mode keeps this parent process lean (no JVM, no query
+    # results): both engines run in their own subprocesses and the
+    # whole machine belongs to whichever phase is active
+    if digest_mode:
+        spark = con = None
+    else:
+        from hogzilla_spark import get_spark
+
+        spark = get_spark(shuffle_partitions=8)
+        spark.sparkContext.setLogLevel("ERROR")
+        con = duck_con(sf_dir)
 
     qs = E.queries()
     oracles = E.oracle_sql()
@@ -288,10 +389,7 @@ def main() -> int:
                 print(f"SKIP {name}: no oracle")
                 continue
             try:
-                sdf_lazy = fn(spark, sf_dir)
-                problems, stats = digest_compare(
-                    name, sdf_lazy, sf_dir, oracles[name]
-                )
+                problems, stats = digest_compare(name, sf_dir, oracles[name])
             except Exception as ex:
                 print(f"FAIL {name}: error: {ex}")
                 failures += 1
@@ -331,7 +429,8 @@ def main() -> int:
                 print(f"     {p}")
         else:
             print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-    spark.stop()
+    if spark is not None:
+        spark.stop()
     return 1 if failures else 0
 
 if __name__ == "__main__":
