@@ -251,14 +251,43 @@ def _duck_digest_subprocess(
     with tempfile.NamedTemporaryFile("w", suffix=".sql", delete=False) as f:
         f.write(sql)
         sql_path = f.name
+    # the crashes are FLAKY (an identical shard run can pass minutes
+    # later — jemalloc VA growth racing query progress), so each shard
+    # gets attempts on a tightening ladder; sharded runs only retry
+    # the shard that died, not the whole set
+    env_rung = (os.environ.get("DUCKDB_MEMORY_LIMIT"), os.environ.get("DUCKDB_THREADS"))
+    if shards == 1:
+        ladder = [env_rung]
+    else:
+        ladder = [("40GB", "16"), ("28GB", "8"), ("20GB", "8")]
+        if any(env_rung):
+            ladder[0] = env_rung  # explicit env wins the first attempt
     rows, cols, kinds, digest = 0, None, None, 0
     try:
         for i in range(shards):
-            out = subprocess.run(
-                [sys.executable, "-c", _DUCK_DIGEST_PROG,
-                 sf_dir, sql_path, str(shards), str(i)],
-                capture_output=True, text=True, check=True,
-            )
+            last_err: Exception | None = None
+            for mem, thr in ladder:
+                env = dict(os.environ)
+                if mem:
+                    env["DUCKDB_MEMORY_LIMIT"] = mem
+                if thr:
+                    env["DUCKDB_THREADS"] = thr
+                try:
+                    out = subprocess.run(
+                        [sys.executable, "-c", _DUCK_DIGEST_PROG,
+                         sf_dir, sql_path, str(shards), str(i)],
+                        capture_output=True, text=True, check=True, env=env,
+                    )
+                    last_err = None
+                    break
+                except subprocess.CalledProcessError as ex:
+                    last_err = RuntimeError(
+                        f"oracle digest subprocess failed (shard {i}/{shards}, "
+                        f"mem={mem}, threads={thr}): "
+                        f"{(ex.stderr or '').strip()[-500:]}"
+                    )
+            if last_err is not None:
+                raise last_err
             # belt-and-braces vs stray stdout (progress-bar fragments):
             # the JSON object is the last line holding a '{', sliced
             # from its first '{' (rfind would land inside `kinds`)
@@ -269,10 +298,6 @@ def _duck_digest_subprocess(
                 cols, kinds = r["cols"], r["kinds"]
             digest = (digest + r["digest"]) % (1 << 64)
         return rows, cols, kinds, digest
-    except subprocess.CalledProcessError as ex:
-        raise RuntimeError(
-            f"oracle digest subprocess failed: {(ex.stderr or '').strip()[-500:]}"
-        ) from ex
     finally:
         os.unlink(sql_path)
 
