@@ -1093,33 +1093,42 @@ def dedup_lines(
 
     Returns one row per document: id, `text_clean`, `n_removed`.
 
-    Scale design — skew-proof by construction: the natural plan (a
-    window over line-hash) would funnel EVERY occurrence of a hot
-    boilerplate line ("(c) 2024 ...", cookie banners) through one
-    task.  Instead the first-occurrence and count are computed with a
-    plain groupBy(line_hash) — map-side partial aggregation collapses
-    each hash to ONE row per map task before the shuffle, so a line
-    occurring 10^9 times moves ~n_tasks rows, not 10^9 — then joined
-    back to the exploded lines (shuffle keyed by hash, values spread
-    over all occurrences' partitions).  Reassembly groups by document
-    id: the per-document line count is bounded, so sort-within-group
-    is safe.
+    Scale design — skew-proof AND text-light by construction:
+
+    * The natural plan (a window over line-hash) would funnel EVERY
+      occurrence of a hot boilerplate line ("(c) 2024 ...", cookie
+      banners) through one sort task.  Instead first-occurrence and
+      count come from a plain groupBy(line_hash) — map-side partial
+      aggregation collapses each hash to ONE row per map task before
+      the shuffle, so a line occurring 10^9 times moves ~n_tasks rows.
+    * No shuffle ever carries line or document TEXT.  The exploded
+      side is projected to (id, pos, hash) before any exchange, the
+      drop decisions travel as (id, pos) int pairs, and the cleaned
+      document is rebuilt NARROWLY from the original `df` row with an
+      indexed `filter` over `split(text)` — at 100 TB the shuffled
+      bytes are O(lines × 28 B), not O(corpus text), and the only
+      wide op touching full documents is the final id-keyed join
+      against the (much smaller, AQE-broadcastable) drop-position
+      sets.
     """
-    # NULL text must still yield the document's output row ("one row per
-    # document") — split(NULL) explodes to nothing and the doc would
-    # silently vanish from any downstream inner join
     text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(text, r"\n")).alias("pos", "line"),
-    )
     norm = F.trim(F.col("line"))
-    keyed = lines.withColumn(
-        "lh", F.when(norm != "", F.md5(norm)).otherwise(F.lit(None))
+    # occurrence table — the line string exists only inside this narrow
+    # stage; it is hashed and projected away before any shuffle
+    occ = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(text, r"\n")).alias("pos", "line"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.when(norm != "", F.md5(norm)).otherwise(F.lit(None)).alias("lh"),
+        )
+        .filter(F.col("lh").isNotNull())
     )
     firsts = (
-        keyed.filter(F.col("lh").isNotNull())
-        .groupBy("lh")
+        occ.groupBy("lh")
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.min(F.struct(id_col, "pos")).alias("first"),
@@ -1127,32 +1136,30 @@ def dedup_lines(
         .filter(F.col("c") >= min_count)
         .select("lh", "first")
     )
-    marked = keyed.join(firsts, on="lh", how="left").withColumn(
-        "drop",
-        F.col("first").isNotNull()
-        & ~(
-            (F.col("first")[id_col] == F.col(id_col))
-            & (F.col("first")["pos"] == F.col("pos"))
-        ),
-    )
-    return (
-        marked.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                ~F.col("drop"), F.struct("pos", "line")
-                            )
-                        )
-                    ),
-                    lambda s: s["line"],
-                ),
-            ).alias("text_clean"),
-            F.sum(F.col("drop").cast("int")).alias("n_removed"),
+    drop_sets = (
+        occ.join(firsts, on="lh")
+        .filter(
+            ~(
+                (F.col("first")[id_col] == F.col(id_col))
+                & (F.col("first")["pos"] == F.col("pos"))
+            )
         )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("drop_pos"))
+    )
+    # rebuild from the ORIGINAL document row (narrow, per-row); docs
+    # with no drops (incl. NULL text) pass through the left join intact
+    dp = F.coalesce(F.col("drop_pos"), F.array().cast("array<int>"))
+    return df.join(drop_sets, on=id_col, how="left").select(
+        id_col,
+        F.concat_ws(
+            "\n",
+            F.filter(
+                F.split(text, r"\n"),
+                lambda x, i: ~F.array_contains(dp, i.cast("int")),
+            ),
+        ).alias("text_clean"),
+        F.size(dp).cast("long").alias("n_removed"),
     )
 
 # --- duplicate-cluster connected components ---------------------------------
