@@ -1102,14 +1102,28 @@ def dedup_lines(
       aggregation collapses each hash to ONE row per map task before
       the shuffle, so a line occurring 10^9 times moves ~n_tasks rows.
     * No shuffle ever carries line or document TEXT.  The exploded
-      side is projected to (id, pos, hash) before any exchange, the
+      side is projected to (id, pos, hash64) before any exchange, the
       drop decisions travel as (id, pos) int pairs, and the cleaned
       document is rebuilt NARROWLY from the original `df` row with an
       indexed `filter` over `split(text)` — at 100 TB the shuffled
-      bytes are O(lines × 28 B), not O(corpus text), and the only
+      bytes are O(lines × 20 B), not O(corpus text), and the only
       wide op touching full documents is the final id-keyed join
       against the (much smaller, AQE-broadcastable) drop-position
       sets.
+    * `occ` is explicitly hash-partitioned on the line key so the
+      first-occurrence aggregate needs no further exchange and the
+      occurrence-vs-firsts join is already co-partitioned when AQE
+      keeps it shuffled; `firsts` holds only duplicated lines, so at
+      moderate dup rates AQE broadcasts it instead.  (An eager
+      localCheckpoint of `occ` was measured and rejected: it halves
+      the exploded-side work but serializes the whole pipeline behind
+      the materialization barrier — slower on wall-clock at every
+      tested sf.)
+    * The line key is xxhash64 (8 B) rather than a 32-B md5 hex —
+      the key IS most of the shuffled row.  A 64-bit collision merges
+      two distinct lines; at 10^11 distinct lines that is ~10^2
+      spurious line-drops corpus-wide (birthday bound), noise for
+      C4-style dedup (CCNet ships 64-bit hashes for exactly this).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     norm = F.trim(F.col("line"))
@@ -1123,9 +1137,10 @@ def dedup_lines(
         .select(
             id_col,
             "pos",
-            F.when(norm != "", F.md5(norm)).otherwise(F.lit(None)).alias("lh"),
+            F.when(norm != "", F.xxhash64(norm)).otherwise(F.lit(None)).alias("lh"),
         )
         .filter(F.col("lh").isNotNull())
+        .repartition(F.col("lh"))
     )
     firsts = (
         occ.groupBy("lh")
