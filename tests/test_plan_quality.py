@@ -143,15 +143,6 @@ def test_doc_quality_single_narrow_map(spark):
 
     _operator_plan(spark, doc_quality_signals)
 
-def test_text_profile_single_narrow_map(spark):
-    """Every profile feature folds per-row over one token array: no
-    keyed exchange anywhere — the profile pipelines into the scan.
-    (Guards against reintroducing the removed grouped-by-text-hash
-    variant, which shuffled the corpus text twice.)"""
-    from hogzilla_spark.operators.text import text_profile
-
-    _operator_plan(spark, text_profile)
-
 def test_chunk_documents_no_shuffle(spark):
     """Chunking is a narrow projection + explode: no keyed exchange, so
     it pipelines straight from the scan into a downstream embed/write."""
