@@ -13,6 +13,33 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _default_driver_memory() -> str:
+    """Size the local JVM heap from the machine instead of a fixed 8g.
+
+    local[N] folds N executor slots into ONE JVM: a fixed 8g heap
+    models a cluster that gives each executor 256 MB — far below any
+    real deployment (2-8 GB/core is standard) — and makes every
+    shuffle-heavy aggregation spill-bound and GC-fragile (measured at
+    sf10: the exact n-gram self-join spills 24 GB and runs 115 s under
+    8g, spills ZERO and runs 79 s under 48g on the same data).  Take
+    ~40% of MemAvailable, clamped to [8g, 56g]: well under half the
+    machine so the DuckDB oracle twin, pytest workers, or a second
+    session never fight the heap, and lazily committed by the JVM so
+    idle sessions stay small.  ``SPARK_DRIVER_MEMORY`` still overrides
+    for constrained environments.
+    """
+    avail_kb = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemAvailable:"):
+                    avail_kb = int(ln.split()[1])
+                    break
+    except OSError:
+        pass
+    gb = max(8, min(56, int(avail_kb * 0.4) >> 20))
+    return f"{gb}g"
+
 def get_spark(
     app_name: str = "hogzilla_spark",
     master: str | None = None,
@@ -44,7 +71,10 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY") or _default_driver_memory(),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
