@@ -22,11 +22,15 @@ def _default_driver_memory() -> str:
     shuffle-heavy aggregation spill-bound and GC-fragile (measured at
     sf10: the exact n-gram self-join spills 24 GB and runs 115 s under
     8g, spills ZERO and runs 79 s under 48g on the same data).  Take
-    ~40% of MemAvailable, clamped to [8g, 56g]: well under half the
-    machine so the DuckDB oracle twin, pytest workers, or a second
-    session never fight the heap, and lazily committed by the JVM so
-    idle sessions stay small.  ``SPARK_DRIVER_MEMORY`` still overrides
-    for constrained environments.
+    ~40% of MemAvailable, clamped to [8g, 32g].  The UPPER clamp is
+    measured, not cautious: past ~32g the JVM's resident set starts
+    crowding the Arrow/pandas kernels that run OUTSIDE the heap (the
+    blocked-BLAS embedding scorers lost 2.3× at 49g vs 32g at sf10)
+    while buying nothing more on the shuffle side (the sf100
+    distinct-count family runs within noise of 49g).  Well under half
+    the machine, so the DuckDB oracle twin, pytest workers, or a second
+    session never fight the heap; lazily committed, so idle sessions
+    stay small.  ``SPARK_DRIVER_MEMORY`` still overrides.
     """
     avail_kb = 0
     try:
@@ -37,7 +41,7 @@ def _default_driver_memory() -> str:
                     break
     except OSError:
         pass
-    gb = max(8, min(56, int(avail_kb * 0.4) >> 20))
+    gb = max(8, min(32, int(avail_kb * 0.4) >> 20))
     return f"{gb}g"
 
 def get_spark(
