@@ -496,23 +496,42 @@ def lm_cross_entropy(
         ref_bg = _bigram_frame(ref, id_col, text_col)
         b_cnt = ref_bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bc"))
         c_cnt = ref_bg.groupBy("prev").agg(F.count(F.lit(1)).alias("__cc"))
-    scored = (
-        doc_bg.join(b_cnt, ["prev", "cur"], "left")
-        .join(c_cnt, ["prev"], "left")
-        .select(
-            id_col,
-            "__n",
-            F.round(
-                -F.log(
-                    (F.coalesce("__bc", F.lit(0)) + F.lit(k))
-                    / (F.coalesce("__cc", F.lit(0)) + F.lit(k * vocab))
-                )
-                * 1e6
+    lp_expr = (
+        F.round(
+            -F.log(
+                (F.coalesce("__bc", F.lit(0)) + F.lit(k))
+                / (F.coalesce("__cc", F.lit(0)) + F.lit(k * vocab))
             )
-            .cast("long")
-            .alias("__lp"),
+            * 1e6
         )
+        .cast("long")
+        .alias("__lp")
     )
+    if ref is None:
+        # Self-scoring: every (prev,cur) in doc_bg IS in b_cnt and
+        # every prev in c_cnt (the counts are aggregates of doc_bg),
+        # so no miss fallback exists and the log-prob can be computed
+        # on the COUNT tables and joined to the position frame ONCE.
+        # Joining doc_bg → b_cnt → c_cnt instead shuffles the
+        # ~n_positions-row stream a second time on (prev); b_cnt ⋈
+        # c_cnt shuffles only distinct-bigram-sized tables.  Same
+        # double arithmetic on the same values — bit-identical __lp.
+        lp_tab = b_cnt.join(c_cnt, ["prev"], "inner").select(
+            "prev", "cur", lp_expr
+        )
+        scored = doc_bg.join(lp_tab, ["prev", "cur"], "inner").select(
+            id_col, "__n", "__lp"
+        )
+    else:
+        # Scoring against a foreign reference LM: doc bigrams can miss
+        # both tables (smoothing handles it via COALESCE→0), and the
+        # scored corpus is normally much smaller than the ref, so the
+        # two lookup joins stay on the small side.
+        scored = (
+            doc_bg.join(b_cnt, ["prev", "cur"], "left")
+            .join(c_cnt, ["prev"], "left")
+            .select(id_col, "__n", lp_expr)
+        )
     return scored.groupBy(id_col).agg(
         F.sum("__n").alias("n_bigrams"),
         F.sum(F.col("__n") * F.col("__lp")).alias("xent_micro"),
