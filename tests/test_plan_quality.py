@@ -177,3 +177,19 @@ def test_m5_taint_member_join_broadcast(spark):
     broadcast for the member selection, never shuffle the full frame."""
     plan = plan_of(spark, "m5_taint")
     assert "BroadcastHashJoin" in plan
+
+def test_text_profile_keyed_path_uses_codegen_aggregate(spark):
+    """Keyed text_profile must run token stats as explode → partial
+    HashAggregate (codegen InSet membership), NOT as interpreted
+    higher-order-function folds: a per-token `aggregate()` lambda
+    measured 10× slower at sf10 (57 s vs 5.9 s) and was reverted —
+    this pins the grouped path so the regression cannot silently
+    return.  The shuffle carries one small stats row per distinct
+    text, never the corpus text."""
+    plan = plan_of(spark, "text_profile")
+    # the fold variant has NO aggregation at all (pure projection), so
+    # requiring the partial token-stats aggregate and its keyed
+    # exchange pins the grouped path positively (other narrow lambdas
+    # — tokenizer, fingerprint — are fine and not asserted against)
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "hashpartitioning(__" in plan, plan
