@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: the LAST stdout line is a compact JSON summary
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} sized to fit the driver's stdout
+tail-capture window.  Per-query shuffle/spill IO metrics print on their
+own EARLIER line (metric "full_query_suite_io") and are mirrored to
+BENCH_IO.json.  tests/test_bench_contract.py pins this schema.
 
 Each query is executed twice: a warm-up is NOT done (cold numbers are the
 honest ones for a batch engine); timing wraps the full action
@@ -127,6 +132,25 @@ def main() -> None:
             io[name] = {k: round(after[k] - before[k], 2) for k in after}
         before = after
     spark.stop()
+    # Two-line output contract (r7 verdict: a single line holding both the
+    # wallclock summary AND the per-query IO map outgrew the driver's
+    # stdout tail-capture window and BENCH_r07.json recorded parsed:null).
+    # The IO metrics go on their OWN earlier line (+ a side file for the
+    # scale ledger); the LAST stdout line is always the compact
+    # {"metric","value","unit","queries","sf"} summary the driver parses.
+    if io:
+        io_line = json.dumps(
+            {"metric": "full_query_suite_io", "unit": "MiB", "io": io}
+        )
+        print(io_line)
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_IO.json"), "w"
+            ) as f:
+                f.write(io_line + "\n")
+        except OSError:
+            pass
     print(
         json.dumps(
             {
@@ -134,9 +158,6 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                # per-query completed-stage shuffle/spill deltas (MiB);
-                # absent if the status API was unreachable
-                **({"io": io} if io else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
