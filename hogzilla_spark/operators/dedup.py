@@ -1110,20 +1110,32 @@ def dedup_lines(
       wide op touching full documents is the final id-keyed join
       against the (much smaller, AQE-broadcastable) drop-position
       sets.
-    * `occ` is explicitly hash-partitioned on the line key so the
-      first-occurrence aggregate needs no further exchange and the
-      occurrence-vs-firsts join is already co-partitioned when AQE
-      keeps it shuffled; `firsts` holds only duplicated lines, so at
-      moderate dup rates AQE broadcasts it instead.  (An eager
-      localCheckpoint of `occ` was measured and rejected: it halves
-      the exploded-side work but serializes the whole pipeline behind
-      the materialization barrier — slower on wall-clock at every
-      tested sf.)
-    * The line key is xxhash64 (8 B) rather than a 32-B md5 hex —
-      the key IS most of the shuffled row.  A 64-bit collision merges
-      two distinct lines; at 10^11 distinct lines that is ~10^2
-      spurious line-drops corpus-wide (birthday bound), noise for
-      C4-style dedup (CCNet ships 64-bit hashes for exactly this).
+    * `occ` is explicitly hash-partitioned on the line key so ONE
+      narrow shuffle serves both the first-occurrence aggregate and
+      the occurrence-vs-firsts join (no further exchange when AQE
+      keeps the join shuffled; `firsts` holds only duplicated lines,
+      so at moderate dup rates AQE broadcasts it instead).  The trade
+      accepted here: because the exchange precedes the groupBy, all
+      occurrences of a hot boilerplate line land in one partition —
+      but each row is ~28 B of ints, so even a line occurring 10^9
+      times is a ~28 GB partition-local aggregate input at the
+      pathological extreme and AQE's skew handling splits the join
+      side; the alternative (map-side combine + a second shuffle for
+      the join) doubles the exchange count for the common case.  (An
+      eager localCheckpoint of `occ` was measured and rejected: it
+      halves the exploded-side work but serializes the whole pipeline
+      behind the materialization barrier — slower on wall-clock at
+      every tested sf.)
+    * The line key is a 128-bit pair of xxhash64 values (the line
+      alone, and the line salted with a constant) rather than a 32-B
+      md5 hex — the key IS most of the shuffled row, and hex strings
+      double it.  64 bits alone is NOT enough at design scale: at
+      10^11-10^12 corpus lines the birthday bound expects thousands
+      of colliding line pairs, each silently merging two distinct
+      lines (their combined count passes min_count and every
+      non-keeper occurrence of both is dropped).  At 128 bits the
+      expected collision count at 10^12 lines is ~1e-15 — negligible
+      by construction, for +8 B/row.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     norm = F.trim(F.col("line"))
@@ -1138,21 +1150,25 @@ def dedup_lines(
             id_col,
             "pos",
             F.when(norm != "", F.xxhash64(norm)).otherwise(F.lit(None)).alias("lh"),
+            # second 64-bit hash over a salted input -> 128-bit key pair
+            F.when(norm != "", F.xxhash64(norm, F.lit("hzs2")))
+            .otherwise(F.lit(None))
+            .alias("lh2"),
         )
         .filter(F.col("lh").isNotNull())
-        .repartition(F.col("lh"))
+        .repartition(F.col("lh"), F.col("lh2"))
     )
     firsts = (
-        occ.groupBy("lh")
+        occ.groupBy("lh", "lh2")
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.min(F.struct(id_col, "pos")).alias("first"),
         )
         .filter(F.col("c") >= min_count)
-        .select("lh", "first")
+        .select("lh", "lh2", "first")
     )
     drop_sets = (
-        occ.join(firsts, on="lh")
+        occ.join(firsts, on=["lh", "lh2"])
         .filter(
             ~(
                 (F.col("first")[id_col] == F.col(id_col))

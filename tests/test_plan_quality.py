@@ -115,9 +115,11 @@ def test_time_buckets_no_join_no_cartesian(spark):
     assert "Join" not in plan
 
 def test_dedup_lines_no_window_skew_funnel(spark):
-    """dedup_lines must find first occurrences with a map-side-combining
-    aggregate, never a per-line-hash Window (which would funnel every
-    occurrence of a hot boilerplate line through one sort task)."""
+    """dedup_lines must find first occurrences with a hash aggregate,
+    never a per-line-hash Window (which would funnel every occurrence of
+    a hot boilerplate line through one SORT task; the aggregate's hot
+    keys funnel too, but as ~28 B int rows into a hash table, not a
+    text-carrying sort)."""
     plan = plan_of(spark, "dedup_lines")
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "partial_count" in plan, plan
