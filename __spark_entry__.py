@@ -168,6 +168,39 @@ def q_a2_a3_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a2.unionByName(a3)
 
+def q_a_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 canonical 8-aggregate rollup + A2 events rollup + A3 two-level
+    rollup in ONE tagged union (a1 absorbed into the former a2_a3 slot in
+    round 8 to fund the hz_atypical_alien detector oracle within the
+    driver's 50-row recording budget): 'a1' rows key on
+    returnflag|linestatus with the eight aggregates in c1..c8; 'a2'/'a3'
+    exactly as before in c1..c5 / c1..c3."""
+    a1 = q_a1_lineitem_rollup(spark, sf_dir).select(
+        F.lit("a1").alias("part"),
+        F.concat_ws("|", "l_returnflag", "l_linestatus").alias("key"),
+        F.col("sum_qty_c").alias("c1"),
+        F.col("sum_price_c").alias("c2"),
+        F.col("sum_disc_price_c").alias("c3"),
+        F.col("sum_charge_c").alias("c4"),
+        F.col("count_order").alias("c5"),
+        F.col("min_ship_ms").alias("c6"),
+        F.col("max_ship_ms").alias("c7"),
+        F.col("sum_disc_c").alias("c8"),
+    )
+    a23 = q_a2_a3_rollups(spark, sf_dir).select(
+        "part",
+        "key",
+        "c1",
+        "c2",
+        "c3",
+        "c4",
+        "c5",
+        F.lit(None).cast("long").alias("c6"),
+        F.lit(None).cast("long").alias("c7"),
+        F.lit(None).cast("long").alias("c8"),
+    )
+    return a1.unionByName(a23)
+
 def q_a5_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 distinct-count within group: distinct parts per supplier."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1656,6 +1689,162 @@ def q_hz_atypical_port(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a.unionByName(p)
 
+#: HIST02.1 snapshot every non-%5 host is seeded with: ports of alien
+#: slots 0-4 are "typical in the previous period" (share 0.1 each); the
+#: detector may only alert on a port that is typical-in-prev AND
+#: atypical-in-saved — slots 5-9 are alert-ineligible by construction
+_ALIEN_PREV_PORTS = [
+    "1010", "1110", "1210", "1310", "1410",
+    "1020", "1120", "1220", "1320", "1420",
+]
+
+def q_hz_atypical_alien(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EIGHTH detector-level oracle: atypical alien TCP port
+    (826001004, detectors/stateful.atypical_alien_tcp_port,
+    HogSFlow.scala:1545-1727) — the J8 double state cross-check, the
+    most intricate stateful path in the reference: saved HIST02
+    (gate 1000, atypical), previous snapshot HIST02.1 (typical-in-prev),
+    and the per-alien-network HIST05 alien-side check, plus the
+    three-way state transition (immature merge / mature prev-rotate /
+    snapshot replace, :1638-1723), all replayed in SQL.
+
+    Traffic shaping (mirrored verbatim in the oracle): TCP web flows
+    (alienPort 80/443) are re-keyed so the alien port encodes its alien
+    /24 slot — alienPort' = 1000 + slot*100 + ind (ind 10 for 80, 20
+    for 443) — and the client port is made unique per flow group
+    (myPort' = 20000 + slot*20 + ind [+5 for 514-origin rows]) so the
+    (myIP,myPort)-q>1 client-port exclusion stays inert EXCEPT on
+    octet%4==1 hosts, whose ind-10 rows collapse onto myPort '30001'
+    and get their alien ports client-excluded.
+
+    Seeding by last octet: %7 → HIST02 size 50 < gate (immature: no
+    alert, batch-merge update); %5 → no HIST02.1 snapshot (p_size 0:
+    no alert, snapshot-only update); odd → saved HIST02 share 0.5 on
+    port 1110 (typical-in-saved: that port suppressed).  HIST05 is
+    seeded for alien slots {0,2,4} with each slot's two ports — the J8
+    alien-side check kills those slots, leaving slots {1,3} to alert.
+
+    Output parts: 'alert' rows (hostname, sorted ports, sampled bytes)
+    plus the exploded state updates — 'u02i' (immature HIST02 merge),
+    'u02r' (mature HIST02 ← prev snapshot rotate), 'u021s' (HIST02.1 ←
+    batch replace) — so the oracle also pins the state machine."""
+    from hogzilla_spark.config import HistogramConfig, SFlowConfig
+    from hogzilla_spark.detectors.stateful import atypical_alien_tcp_port
+    from hogzilla_spark.operators.rollup import sflow_summary
+    from hogzilla_spark.state.store import EMPTY_MAP_D
+
+    cfg = SFlowConfig()
+    hcfg = HistogramConfig()
+    summary = sflow_summary(
+        _synth_sflows(spark, sf_dir), ["10.1."]
+    ).localCheckpoint(eager=True)
+    octet = F.element_at(F.split(F.col("myIP"), r"\."), 4).try_cast("int")
+    slot = F.element_at(F.split(F.col("alienIP"), r"\."), 3).try_cast("int")
+    web = (F.col("proto") == "TCP") & F.col("alienPort").isin("80", "443")
+    ind = F.when(F.col("alienPort") == "80", F.lit(10)).otherwise(F.lit(20))
+    aport = F.when(
+        web, (F.lit(1000) + slot * 100 + ind).cast("string")
+    ).otherwise(F.col("alienPort"))
+    mport = F.when(
+        web,
+        F.when((octet % 4 == 1) & (ind == 10), F.lit("30001")).otherwise(
+            (
+                F.lit(20000)
+                + slot * 20
+                + ind
+                + F.when(F.col("myPort") == "514", 5).otherwise(0)
+            ).cast("string")
+        ),
+    ).otherwise(F.col("myPort"))
+    summary2 = summary.select(
+        "myIP",
+        mport.alias("myPort"),
+        "alienIP",
+        aport.alias("alienPort"),
+        "proto",
+        "bytesUp",
+        "bytesDown",
+        "numberPkts",
+        "direction",
+        "beginTime",
+        "endTime",
+        "sampleRate",
+        "status",
+    )
+    hosts = summary.select("myIP").distinct().select("myIP", octet.alias("octet"))
+    h02 = hosts.select(
+        F.concat(F.lit("HIST02-"), F.col("myIP")).alias("hist_name"),
+        F.when(F.col("octet") % 7 == 0, F.lit(50))
+        .otherwise(F.lit(2000))
+        .cast("long")
+        .alias("size"),
+        F.when(
+            F.col("octet") % 2 == 1,
+            F.create_map(F.lit("1110"), F.lit(0.5)),
+        )
+        .otherwise(EMPTY_MAP_D())
+        .alias("values"),
+    )
+    h021 = hosts.filter(F.col("octet") % 5 != 0).select(
+        F.concat(F.lit("HIST02.1-"), F.col("myIP")).alias("hist_name"),
+        F.lit(10).cast("long").alias("size"),
+        F.create_map(
+            *[x for p in _ALIEN_PREV_PORTS for x in (F.lit(p), F.lit(0.1))]
+        ).alias("values"),
+    )
+    h05 = spark.createDataFrame(
+        [
+            (
+                f"HIST05-8.8.{s}.",
+                100,
+                {str(1000 + s * 100 + 10): 0.5, str(1000 + s * 100 + 20): 0.5},
+            )
+            for s in (0, 2, 4)
+        ],
+        "hist_name string, size long, values map<string,double>",
+    )
+    hists = h02.unionByName(h021).unionByName(h05)
+    empty_pairs = spark.createDataFrame([], "myIP string, alienIP string")
+    empty_ips = spark.createDataFrame([], "myIP string")
+    alerts, updates = atypical_alien_tcp_port(
+        summary2,
+        ["10.1."],
+        cfg,
+        hcfg,
+        hists,
+        empty_pairs,
+        empty_ips,
+        empty_ips.select("myIP"),
+    )
+    a = alerts.select(
+        F.lit("alert").alias("part"),
+        F.col("lower_ip_str").alias("hostname"),
+        F.element_at("data", "tcpport").alias("tcpports"),
+        F.lit(None).cast("double").alias("weight"),
+        F.lit(None).cast("long").alias("size"),
+        F.element_at("data", "bytesUp").try_cast("long").alias("bytes_up"),
+        F.element_at("data", "bytesDown").try_cast("long").alias("bytes_down"),
+        F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
+    )
+    host_u = F.regexp_replace("hist_name", r"^HIST02(\.1)?-", "")
+    octet_u = F.element_at(F.split(host_u, r"\."), 4).try_cast("int")
+    u = updates.select(
+        F.when(F.col("hist_name").startswith("HIST02.1-"), F.lit("u021s"))
+        .when(octet_u % 7 == 0, F.lit("u02i"))
+        .otherwise(F.lit("u02r"))
+        .alias("part"),
+        host_u.alias("hostname"),
+        F.explode("values").alias("tcpports", "weight"),
+        F.col("size"),
+        F.lit(None).cast("long").alias("bytes_up"),
+        F.lit(None).cast("long").alias("bytes_down"),
+        F.lit(None).cast("long").alias("number_pkts"),
+    ).select(
+        "part", "hostname", "tcpports", "weight", "size",
+        "bytes_up", "bytes_down", "number_pkts",
+    )
+    return a.unionByName(u)
+
 #: the per-user location every seeded HIST20 knows (São Paulo) — the
 #: "home" every scenario slot measures against
 _AUTH_SAVED_COORDS = "-23.55,-46.63"
@@ -1818,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     range+asof) to stay inside the budget."""
     return {
         # new/changed this round — need fresh driver evidence
+        "hz_atypical_alien": q_hz_atypical_alien,
         "hz_auth": q_hz_auth,
         "lm_perplexity": q_lm_perplexity,
         "m5_taint": q_m5_taint,
@@ -1863,9 +2053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
-        # long-stable basics
-        "a1_lineitem_rollup": q_a1_lineitem_rollup,
-        "a2_a3_rollups": q_a2_a3_rollups,
+        # long-stable basics (a1 absorbed into a_rollups in r8 to fund
+        # the hz_atypical_alien slot)
+        "a_rollups": q_a_rollups,
         "a5_a9_counts": q_a5_a9_counts,
         "a14_interarrival": q_a14_interarrival,
         "j3_j5_joins": q_j3_j5_joins,
@@ -1892,20 +2082,24 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet('{_MEDIA_PARQUET}')
     """
 
-    sql["a1_lineitem_rollup"] = """
-        SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)        AS sum_qty_c,
-               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)   AS sum_price_c,
-               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
-               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS BIGINT) AS sum_charge_c,
-               COUNT(*)                                                          AS count_order,
-               MIN(epoch_ms(l_shipdate))                                         AS min_ship_ms,
-               MAX(epoch_ms(l_shipdate))                                         AS max_ship_ms,
-               CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT)        AS sum_disc_c
+    # a1 + a2 + a3 in one tagged union (a1 absorbed in r8 to fund the
+    # hz_atypical_alien slot within the 50-row recording budget)
+    sql["a_rollups"] = """
+        SELECT 'a1' AS part, l_returnflag || '|' || l_linestatus AS key,
+               CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)        AS c1,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)   AS c2,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS c3,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS BIGINT) AS c4,
+               COUNT(*)                                                          AS c5,
+               MIN(epoch_ms(l_shipdate))                                         AS c6,
+               MAX(epoch_ms(l_shipdate))                                         AS c7,
+               CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT)        AS c8
         FROM lineitem GROUP BY l_returnflag, l_linestatus
-    """
-
-    sql["a2_a3_rollups"] = """
+        UNION ALL
+        SELECT part, key, c1, c2, c3, c4, c5,
+               CAST(NULL AS BIGINT) AS c6, CAST(NULL AS BIGINT) AS c7,
+               CAST(NULL AS BIGINT) AS c8
+        FROM (
         SELECT 'a2' AS part, event_type AS key,
                CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS c1,
                COUNT(*) AS c2,
@@ -1927,6 +2121,7 @@ def oracle_sql() -> dict[str, str]:
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_nationkey, o_custkey)
         GROUP BY c_nationkey
+        )
     """
 
         # A5 + A9 in one tagged union (both are plain group-count shapes;
@@ -3250,6 +3445,109 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT) AS bytes_down,
                CAST(NULL AS BIGINT) AS number_pkts
         FROM proxies
+    """
+
+    # Eighth detector-level oracle: atypical ALIEN TCP port (826001004)
+    # — the J8 double state cross-check.  The traffic re-keying (web
+    # flows → slot-encoded alien/client ports, octet%4==1 hosts' ind-10
+    # rows collapsed onto myPort 30001), the parity-seeded HIST02 /
+    # HIST02.1 / HIST05 state, the client-port q>1 exclusion, the
+    # gate-1000 maturity check, the typical-in-prev AND atypical-in-
+    # saved double filter, the alien-side HIST05 check, and the
+    # immature-merge / mature-rotate / snapshot-replace state machine
+    # are all replicated relationally.
+    sql["hz_atypical_alien"] = "WITH " + _SYNTH_SQL + f"""
+        , sx AS (
+          SELECT *,
+                 TRY_CAST(string_split(myIP, '.')[4] AS INTEGER) AS octet,
+                 TRY_CAST(string_split(alienIP, '.')[3] AS INTEGER) AS slot,
+                 (proto = 'TCP' AND alienPort IN ('80', '443')) AS web,
+                 CASE WHEN alienPort = '80' THEN 10 ELSE 20 END AS ind
+          FROM summary),
+        s2 AS (
+          SELECT myIP, alienIP, octet, slot,
+                 CASE WHEN web THEN CAST(1000 + slot*100 + ind AS VARCHAR)
+                      ELSE alienPort END AS aport,
+                 CASE WHEN web THEN
+                      CASE WHEN octet % 4 = 1 AND ind = 10 THEN '30001'
+                           ELSE CAST(20000 + slot*20 + ind
+                                     + CASE WHEN myPort = '514' THEN 5 ELSE 0 END
+                                     AS VARCHAR) END
+                      ELSE myPort END AS mport,
+                 proto, bytesUp, bytesDown, numberPkts, direction,
+                 sampleRate, status
+          FROM sx),
+        flows AS (
+          SELECT * FROM s2
+          WHERE numberPkts >= 2
+            AND TRY_CAST(aport AS BIGINT) < 10000
+            AND direction > -1
+            AND TRY_CAST(mport AS BIGINT) > 1024
+            AND mport <> '8080'
+            AND NOT starts_with(alienIP, '10.1.')
+            AND proto = 'TCP'
+            AND status > 0),
+        totals AS (
+          SELECT myIP, COUNT(*) AS n_flows,
+                 SUM(bytesUp) AS bytesUp, SUM(bytesDown) AS bytesDown,
+                 SUM(numberPkts) AS numberPkts, AVG(sampleRate) AS sampleRate
+          FROM flows GROUP BY myIP),
+        client_ports AS (
+          SELECT DISTINCT myIP, unnest(aps) AS port
+          FROM (SELECT myIP, mport, list(DISTINCT aport) AS aps,
+                       COUNT(*) AS q
+                FROM flows GROUP BY myIP, mport)
+          WHERE q > 1),
+        port_rows AS (
+          SELECT p.myIP, p.port, CAST(p.cnt AS DOUBLE) / t.n_flows AS weight
+          FROM (SELECT myIP, aport AS port, COUNT(*) AS cnt
+                FROM flows GROUP BY myIP, aport) p
+          JOIN totals t USING (myIP)
+          WHERE NOT EXISTS (SELECT 1 FROM client_ports c
+                            WHERE c.myIP = p.myIP AND c.port = p.port)),
+        hosts AS (
+          SELECT myIP, TRY_CAST(string_split(myIP, '.')[4] AS INTEGER) AS octet
+          FROM (SELECT DISTINCT myIP FROM summary)),
+        scored AS (
+          SELECT p.myIP, p.port
+          FROM port_rows p JOIN hosts h USING (myIP)
+          WHERE h.octet % 7 <> 0                       -- HIST02 gate 1000
+            AND h.octet % 5 <> 0                       -- HIST02.1 exists
+            AND p.weight > {eps}
+            AND NOT (h.octet % 2 = 1 AND p.port = '1110')  -- saved share
+            AND p.port IN ('1010','1110','1210','1310','1410',
+                           '1020','1120','1220','1320','1420')),
+        checked AS (
+          SELECT DISTINCT s.myIP, s.port FROM scored s
+          WHERE EXISTS (
+            SELECT 1 FROM flows f
+            WHERE f.myIP = s.myIP AND f.aport = s.port
+              AND NOT (f.slot IN (0, 2, 4)
+                       AND (TRY_CAST(s.port AS INTEGER) - 1000) // 100 = f.slot)))
+        SELECT 'alert' AS part, c.myIP AS hostname,
+               string_agg(c.port, ',' ORDER BY c.port) AS tcpports,
+               CAST(NULL AS DOUBLE) AS weight, CAST(NULL AS BIGINT) AS size,
+               CAST(FLOOR(MAX(t.bytesUp) * MAX(t.sampleRate)) AS BIGINT) AS bytes_up,
+               CAST(FLOOR(MAX(t.bytesDown) * MAX(t.sampleRate)) AS BIGINT) AS bytes_down,
+               CAST(MAX(t.numberPkts) AS BIGINT) AS number_pkts
+        FROM checked c JOIN totals t USING (myIP) GROUP BY c.myIP
+        UNION ALL
+        SELECT CASE WHEN h.octet % 7 = 0 THEN 'u02i' ELSE 'u021s' END AS part,
+               p.myIP AS hostname, p.port AS tcpports,
+               p.weight AS weight, CAST(t.n_flows AS BIGINT) AS size,
+               CAST(NULL AS BIGINT) AS bytes_up, CAST(NULL AS BIGINT) AS bytes_down,
+               CAST(NULL AS BIGINT) AS number_pkts
+        FROM port_rows p JOIN hosts h USING (myIP) JOIN totals t USING (myIP)
+        UNION ALL
+        SELECT 'u02r' AS part, h.myIP AS hostname, pp.port AS tcpports,
+               0.1 AS weight, CAST(10 AS BIGINT) AS size,
+               CAST(NULL AS BIGINT) AS bytes_up, CAST(NULL AS BIGINT) AS bytes_down,
+               CAST(NULL AS BIGINT) AS number_pkts
+        FROM hosts h
+        CROSS JOIN (VALUES ('1010'),('1110'),('1210'),('1310'),('1410'),
+                           ('1020'),('1120'),('1220'),('1320'),('1420')) pp(port)
+        WHERE h.octet % 7 <> 0 AND h.octet % 5 <> 0
+          AND h.myIP IN (SELECT myIP FROM totals)
     """
 
     # Combined auth detector replicated over the same synthetic login

@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_bench_last_line_is_compact_summary():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
-    env["SPARK_GRAFT_QUERIES"] = "a1_lineitem_rollup,dedup_exact"
+    env["SPARK_GRAFT_QUERIES"] = "a_rollups,dedup_exact"
     env["SPARK_GRAFT_CPUS"] = "4"
     env["SPARK_DRIVER_MEMORY"] = "2g"
     proc = subprocess.run(
@@ -40,7 +40,7 @@ def test_bench_last_line_is_compact_summary():
     assert set(summary) == {"metric", "value", "unit", "queries", "sf"}
     assert summary["metric"] == "full_query_suite_wallclock"
     assert summary["unit"] == "sec"
-    assert set(summary["queries"]) == {"a1_lineitem_rollup", "dedup_exact"}
+    assert set(summary["queries"]) == {"a_rollups", "dedup_exact"}
     assert all(t > 0 for t in summary["queries"].values())
     assert summary["value"] > 0
     # the full 50-query suite adds ~45 more {name: sec} pairs (~30 B
@@ -55,4 +55,4 @@ def test_bench_last_line_is_compact_summary():
         if ln.startswith("{") and '"full_query_suite_io"' in ln
     ]
     for io in io_lines:
-        assert set(io["io"]) == {"a1_lineitem_rollup", "dedup_exact"}
+        assert set(io["io"]) == {"a_rollups", "dedup_exact"}

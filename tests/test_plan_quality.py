@@ -52,15 +52,15 @@ def test_sessionize_uses_native_session_merge(spark):
     assert plan.count("Exchange hashpartitioning(user_id") >= 1
 
 def test_a1_partial_aggregation(spark):
-    plan = plan_of(spark, "a1_lineitem_rollup")
+    # a1/a2/a3 live inside the a_rollups tagged union now
+    plan = plan_of(spark, "a_rollups")
     # map-side partial aggregate before the shuffle halves traffic
     # (codegen spans only appear once AQE finalizes the plan at run
     # time, so the static assertion is the map-side combine itself)
     assert re.search(r"partial_sum|partial_count", plan)
 
 def test_a3_broadcasts_dimension(spark):
-    # a3 lives inside the a2_a3_rollups tagged union now
-    plan = plan_of(spark, "a2_a3_rollups")
+    plan = plan_of(spark, "a_rollups")
     assert "BroadcastHashJoin" in plan
 
 def test_no_cartesian_products_anywhere(spark):
