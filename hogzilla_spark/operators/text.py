@@ -435,6 +435,101 @@ def _bigram_frame(
         id_col, F.col("__p.prev").alias("prev"), F.col("__p.cur").alias("cur")
     )
 
+class LMModel:
+    """A trained add-k bigram LM: two count DataFrames + the vocab
+    scalar, reusable across many `lm_score` calls (the corpus-pipeline
+    and streaming-ingest integration point — train once, score every
+    batch against the same static counts).
+
+    `b_cnt` (prev, cur, __bc) and `c_cnt` (prev, __cc) are materialized
+    with an eager localCheckpoint so per-batch scoring joins never
+    re-derive the reference corpus lineage."""
+
+    def __init__(self, b_cnt: DataFrame, c_cnt: DataFrame, vocab: int, k: float):
+        self.b_cnt = b_cnt
+        self.c_cnt = c_cnt
+        self.vocab = vocab
+        self.k = k
+
+def lm_train(
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> LMModel:
+    """Train the add-k bigram LM once over `ref` and materialize its
+    count tables (see `lm_cross_entropy` for the model definition).
+    Use with `lm_score` when the same model scores many frames —
+    per-micro-batch streaming ingest, or a foreign wiki-style
+    reference LM shared across pipeline runs (CCNet's actual shape)."""
+    vocab = (
+        ref.select(
+            F.explode(
+                tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+            ).alias("__t")
+        )
+        .agg(F.count_distinct("__t"))
+        .first()[0]
+    )
+    ref_bg = _bigram_frame(ref, id_col, text_col)
+    b_cnt = (
+        ref_bg.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .localCheckpoint(eager=True)
+    )
+    c_cnt = (
+        ref_bg.groupBy("prev")
+        .agg(F.count(F.lit(1)).alias("__cc"))
+        .localCheckpoint(eager=True)
+    )
+    return LMModel(b_cnt, c_cnt, vocab, k)
+
+def _lm_lp_expr(vocab: int, k: float):
+    return (
+        F.round(
+            -F.log(
+                (F.coalesce("__bc", F.lit(0)) + F.lit(k))
+                / (F.coalesce("__cc", F.lit(0)) + F.lit(k * vocab))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__lp")
+    )
+
+def lm_score(
+    df: DataFrame,
+    model: LMModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score `df` against a trained `LMModel` — the foreign-reference
+    half of `lm_cross_entropy`, factored out so the model trains once.
+    Returns (id, n_bigrams, xent_micro); same integer-micro-nat math,
+    bit-identical to `lm_cross_entropy(df, ref=...)` on the same ref."""
+    doc_bg = (
+        _bigram_frame(df, id_col, text_col)
+        .groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    scored = (
+        doc_bg.join(model.b_cnt, ["prev", "cur"], "left")
+        .join(model.c_cnt, ["prev"], "left")
+        .select(id_col, "__n", _lm_lp_expr(model.vocab, model.k))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__n").alias("n_bigrams"),
+        F.sum(F.col("__n") * F.col("__lp")).alias("xent_micro"),
+    )
+
+def perplexity_col(n_bigrams="n_bigrams", xent_micro="xent_micro"):
+    """exp(xent_micro / 1e6 / n_bigrams) — the perplexity a filtering
+    pipeline buckets on, as one shared expression so every caller
+    (batch plan, streaming sink, tests) does the identical double math."""
+    n = F.col(n_bigrams) if isinstance(n_bigrams, str) else n_bigrams
+    x = F.col(xent_micro) if isinstance(xent_micro, str) else xent_micro
+    return F.exp(x / F.lit(1e6) / n)
+
 def lm_cross_entropy(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -466,9 +561,15 @@ def lm_cross_entropy(
     handles; the count tables are Zipf-compact (vocab², realized far
     sparser) and broadcast when small.
     """
+    if ref is not None:
+        # Scoring against a foreign reference LM: doc bigrams can miss
+        # both tables (smoothing handles it via COALESCE→0), and the
+        # scored corpus is normally much smaller than the ref, so the
+        # two lookup joins stay on the small side.  Train-once + score
+        # is the factored pair so pipelines can reuse the model.
+        return lm_score(df, lm_train(ref, id_col, text_col, k), id_col, text_col)
     vocab = (
-        (ref if ref is not None else df)
-        .select(
+        df.select(
             F.explode(
                 tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
             ).alias("__t")
@@ -486,52 +587,25 @@ def lm_cross_entropy(
         .groupBy(id_col, "prev", "cur")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    if ref is None:
-        # self-scoring: the LM counts are aggregates OF the collapsed
-        # doc frame — two re-groupings of the same lineage instead of
-        # two more tokenize/explode passes over the full corpus text
-        b_cnt = doc_bg.groupBy("prev", "cur").agg(F.sum("__n").alias("__bc"))
-        c_cnt = doc_bg.groupBy("prev").agg(F.sum("__n").alias("__cc"))
-    else:
-        ref_bg = _bigram_frame(ref, id_col, text_col)
-        b_cnt = ref_bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bc"))
-        c_cnt = ref_bg.groupBy("prev").agg(F.count(F.lit(1)).alias("__cc"))
-    lp_expr = (
-        F.round(
-            -F.log(
-                (F.coalesce("__bc", F.lit(0)) + F.lit(k))
-                / (F.coalesce("__cc", F.lit(0)) + F.lit(k * vocab))
-            )
-            * 1e6
-        )
-        .cast("long")
-        .alias("__lp")
+    # self-scoring: the LM counts are aggregates OF the collapsed
+    # doc frame — two re-groupings of the same lineage instead of
+    # two more tokenize/explode passes over the full corpus text
+    b_cnt = doc_bg.groupBy("prev", "cur").agg(F.sum("__n").alias("__bc"))
+    c_cnt = doc_bg.groupBy("prev").agg(F.sum("__n").alias("__cc"))
+    # Self-scoring: every (prev,cur) in doc_bg IS in b_cnt and
+    # every prev in c_cnt (the counts are aggregates of doc_bg),
+    # so no miss fallback exists and the log-prob can be computed
+    # on the COUNT tables and joined to the position frame ONCE.
+    # Joining doc_bg → b_cnt → c_cnt instead shuffles the
+    # ~n_positions-row stream a second time on (prev); b_cnt ⋈
+    # c_cnt shuffles only distinct-bigram-sized tables.  Same
+    # double arithmetic on the same values — bit-identical __lp.
+    lp_tab = b_cnt.join(c_cnt, ["prev"], "inner").select(
+        "prev", "cur", _lm_lp_expr(vocab, k)
     )
-    if ref is None:
-        # Self-scoring: every (prev,cur) in doc_bg IS in b_cnt and
-        # every prev in c_cnt (the counts are aggregates of doc_bg),
-        # so no miss fallback exists and the log-prob can be computed
-        # on the COUNT tables and joined to the position frame ONCE.
-        # Joining doc_bg → b_cnt → c_cnt instead shuffles the
-        # ~n_positions-row stream a second time on (prev); b_cnt ⋈
-        # c_cnt shuffles only distinct-bigram-sized tables.  Same
-        # double arithmetic on the same values — bit-identical __lp.
-        lp_tab = b_cnt.join(c_cnt, ["prev"], "inner").select(
-            "prev", "cur", lp_expr
-        )
-        scored = doc_bg.join(lp_tab, ["prev", "cur"], "inner").select(
-            id_col, "__n", "__lp"
-        )
-    else:
-        # Scoring against a foreign reference LM: doc bigrams can miss
-        # both tables (smoothing handles it via COALESCE→0), and the
-        # scored corpus is normally much smaller than the ref, so the
-        # two lookup joins stay on the small side.
-        scored = (
-            doc_bg.join(b_cnt, ["prev", "cur"], "left")
-            .join(c_cnt, ["prev"], "left")
-            .select(id_col, "__n", lp_expr)
-        )
+    scored = doc_bg.join(lp_tab, ["prev", "cur"], "inner").select(
+        id_col, "__n", "__lp"
+    )
     return scored.groupBy(id_col).agg(
         F.sum("__n").alias("n_bigrams"),
         F.sum(F.col("__n") * F.col("__lp")).alias("xent_micro"),

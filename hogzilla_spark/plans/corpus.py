@@ -14,6 +14,11 @@ deduplicated, chunked, shard-packed corpus:
                         non-English corpora fail the stopword gate
                         wholesale, and silently emptying a corpus is
                         worse than shipping the flag
+  3b. LM perplexity     optional CCNet-style filter (`--lm-ppl-max`):
+                        self-trained add-k bigram LM scores every doc
+                        (`operators/text.lm_cross_entropy`); docs above
+                        the perplexity threshold are dropped, the `ppl`
+                        column rides on the output
   4. near-dup clusters  MinHash-LSH pairs → connected components →
                         keep each cluster's canonical (min-id) member
   5. chunk + shard      overlapping token windows + token-budget shard
@@ -52,6 +57,7 @@ def prepare_corpus(
     out_dir: str,
     min_jaccard: float = 0.3,
     drop_low_quality: bool = False,
+    lm_ppl_max: float | None = None,
     chunk_tokens: int = 64,
     stride: int = 48,
     shard_budget: int = 65_536,
@@ -61,7 +67,15 @@ def prepare_corpus(
     packs its token budget independently — language, source, ...).
     Default: `["lang"]` when the corpus has a `lang` column, else
     global packing.  Requesting a column the corpus lacks fails fast
-    HERE, before any stage pays compute, not at stage 5."""
+    HERE, before any stage pays compute, not at stage 5.
+
+    `lm_ppl_max` enables the CCNet-style LM-perplexity stage (3b):
+    every surviving doc is scored by the self-trained add-k bigram LM
+    (`operators/text.lm_cross_entropy`) and docs whose perplexity
+    exceeds the threshold are DROPPED; the `ppl` column rides on the
+    output either way once the stage runs.  Docs with <2 tokens carry
+    no LM signal (null ppl) and are kept — no evidence is not bad
+    evidence.  None (default) skips the stage entirely."""
     raw = spark.read.parquet(f"{src_dir}/documents.parquet")
     # validate BEFORE the eager checkpoint scans the corpus — the
     # schema is free from the parquet footer, the checkpoint is not
@@ -112,6 +126,25 @@ def prepare_corpus(
         docs = docs.filter("gopher_pass").localCheckpoint(eager=True)
         report["after_quality_drop"] = docs.count()
 
+    # 3b. optional CCNet-style LM-perplexity filter: self-train the
+    # add-k bigram LM on the (deduped, line-cleaned) survivors, score
+    # every doc, drop the high-perplexity tail.  Runs AFTER the dedup
+    # stages so boilerplate mass doesn't dominate the model, BEFORE
+    # near-dup clustering so the expensive LSH pass never pays for
+    # docs the LM already rejected.
+    if lm_ppl_max is not None:
+        from hogzilla_spark.operators.text import lm_cross_entropy, perplexity_col
+
+        lm = lm_cross_entropy(docs).select(
+            "doc_id", perplexity_col().alias("ppl")
+        )
+        docs = docs.join(lm, "doc_id", "left").localCheckpoint(eager=True)
+        report["lm_scored"] = docs.filter(F.col("ppl").isNotNull()).count()
+        docs = docs.filter(
+            F.col("ppl").isNull() | (F.col("ppl") <= lm_ppl_max)
+        ).localCheckpoint(eager=True)
+        report["after_lm_filter"] = docs.count()
+
     # 4. near-dup clusters → keep canonical member per component
     pairs = DD.minhash_lsh_pairs(docs, min_jaccard=min_jaccard)
     comp = DD.connected_components(pairs)
@@ -141,6 +174,14 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--min-jaccard", type=float, default=0.3)
     ap.add_argument("--drop-low-quality", action="store_true")
+    ap.add_argument(
+        "--lm-ppl-max",
+        type=float,
+        default=None,
+        help="enable the CCNet-style LM-perplexity stage and drop docs "
+        "whose self-trained bigram-LM perplexity exceeds this value "
+        "(default: stage off)",
+    )
     ap.add_argument("--shard-budget", type=int, default=65_536)
     ap.add_argument(
         "--shard-partition-cols",
@@ -157,6 +198,7 @@ def main() -> None:
         spark, args.src, args.out,
         min_jaccard=args.min_jaccard,
         drop_low_quality=args.drop_low_quality,
+        lm_ppl_max=args.lm_ppl_max,
         shard_budget=args.shard_budget,
         shard_partition_cols=(
             args.shard_partition_cols.split(",")

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from hogzilla_spark.operators.quality import doc_quality_signals
+from hogzilla_spark.operators.text import LMModel, lm_score, perplexity_col
 from hogzilla_spark.streaming.dedup_stream import dedup_stream
 from hogzilla_spark.streaming.neardup_stream import minhash_pair_stream
 
@@ -49,6 +50,8 @@ def corpus_ingest_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     ts_col: str = "ts",
+    lm_model: LMModel | None = None,
+    lm_ppl_max: float | None = None,
 ) -> tuple[StreamingQuery, StreamingQuery]:
     """Start both ingest queries over a streaming document frame
     (`id_col`, `text_col`, event-time `ts_col`).
@@ -60,7 +63,18 @@ def corpus_ingest_stream(
     `available_now=True` drains the currently-available input and stops
     (backfill / test mode); the default runs continuously.  Returns the
     two running queries; the caller owns awaitTermination.
+
+    `lm_model` (a pre-trained `operators/text.lm_train` model — train
+    ONCE on a reference corpus at rest; the count tables are static
+    checkpointed frames, so per-batch scoring is two stateless joins,
+    no streaming state) adds a `ppl` column to every surviving doc;
+    `lm_ppl_max` additionally DROPS docs above the threshold, the
+    streaming twin of batch stage 3b.  Self-scoring has no streaming
+    twin by design — a per-batch self-trained LM would make keep/drop
+    depend on batch boundaries.
     """
+    if lm_ppl_max is not None and lm_model is None:
+        raise ValueError("lm_ppl_max requires lm_model (train with lm_train)")
 
     def sink_clean(batch_df: DataFrame, batch_id: int) -> None:
         # batch_df is a plain batch frame here: the quality signals
@@ -71,7 +85,19 @@ def corpus_ingest_stream(
         # its own partition directory (a plain append would duplicate
         # the batch's rows, exact duplicates in an exact-dedup output).
         sig = doc_quality_signals(batch_df, text_col=text_col, id_col=id_col)
-        batch_df.join(sig, id_col).write.mode("overwrite").parquet(
+        out = batch_df.join(sig, id_col)
+        if lm_model is not None:
+            lm = lm_score(batch_df, lm_model, id_col=id_col, text_col=text_col)
+            out = out.join(
+                lm.select(id_col, perplexity_col().alias("ppl")), id_col, "left"
+            )
+            if lm_ppl_max is not None:
+                from pyspark.sql import functions as F
+
+                out = out.filter(
+                    F.col("ppl").isNull() | (F.col("ppl") <= lm_ppl_max)
+                )
+        out.write.mode("overwrite").parquet(
             f"{out_dir}/clean_docs.parquet/batch_id={batch_id}"
         )
 

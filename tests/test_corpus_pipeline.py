@@ -72,6 +72,111 @@ def test_prepare_corpus_quality_drop(spark, tmp_path):
         f"{out}/clean_docs.parquet"
     ).count()
 
+def _lm_test_corpus(spark):
+    """20 docs sharing bigram structure + 1 gibberish doc of unique
+    tokens: under a self-trained bigram LM the structured docs score
+    low perplexity, the gibberish doc's singleton bigrams score near
+    the smoothing floor (high ppl) — a deterministic separation."""
+    rows = [
+        (i, f"the cat number {i} sat on the mat and the cat looked at the dog", "en")
+        for i in range(20)
+    ]
+    rows.append((99, "zxq qwv plm wok jxr vbn ytr mnb uio qaz", "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+def test_prepare_corpus_lm_perplexity_filter(spark, tmp_path):
+    """Stage 3b (--lm-ppl-max): the self-trained bigram LM drops the
+    high-perplexity doc, keeps the rest, reports both counts, and the
+    ppl column rides on the output."""
+    from hogzilla_spark.operators.text import lm_cross_entropy, perplexity_col
+
+    docs = _lm_test_corpus(spark)
+    src = str(tmp_path / "src")
+    docs.write.parquet(f"{src}/documents.parquet")
+
+    # derive a robust threshold from the operator itself: midpoint
+    # between the worst structured doc and the gibberish doc
+    ppl = {
+        r.doc_id: r.ppl
+        for r in lm_cross_entropy(docs)
+        .select("doc_id", perplexity_col().alias("ppl"))
+        .collect()
+    }
+    worst_normal = max(v for k, v in ppl.items() if k != 99)
+    assert ppl[99] > worst_normal * 1.5, (ppl[99], worst_normal)
+    threshold = (worst_normal + ppl[99]) / 2
+
+    out = str(tmp_path / "corpus_lm")
+    report = prepare_corpus(spark, src, out, lm_ppl_max=threshold)
+    # stage 3b: all 21 docs scored, exactly the gibberish doc dropped
+    assert report["lm_scored"] == 21
+    assert report["after_lm_filter"] == 20
+    clean = spark.read.parquet(f"{out}/clean_docs.parquet")
+    assert "ppl" in clean.columns
+    ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    # stage 4 (near-dup) legitimately collapses the deliberately-similar
+    # structured docs further; the LM stage's work is that 99 is gone
+    # and no survivor exceeds the threshold
+    assert 99 not in ids and ids <= set(range(20)) and ids
+    assert clean.filter(F.col("ppl") > threshold).count() == 0
+
+def test_corpus_ingest_stream_lm_filter(spark, tmp_path):
+    """Streaming twin of stage 3b: a model trained once on a reference
+    corpus scores every micro-batch; the gibberish doc is dropped at
+    ingest, survivors carry ppl."""
+    from hogzilla_spark.operators.text import lm_score, lm_train, perplexity_col
+
+    ref = _lm_test_corpus(spark).filter("doc_id < 20")
+    model = lm_train(ref)
+
+    input_dir = str(tmp_path / "in_lm")
+    out_dir = str(tmp_path / "out_lm")
+    ckpt = str(tmp_path / "ckpt_lm")
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch = spark.createDataFrame(
+        [
+            (1, "the cat number one sat on the mat and the cat looked", t0),
+            (2, "zxq qwv plm wok jxr vbn ytr mnb uio qaz", t0),
+        ],
+        schema,
+    )
+    batch.coalesce(1).write.mode("append").parquet(input_dir)
+
+    # threshold from the operator itself: midpoint between the in-model
+    # doc and the gibberish doc (the floor tracks vocab size, so a
+    # fixed literal would be corpus-fragile)
+    ppl = {
+        r.doc_id: r.ppl
+        for r in lm_score(batch, model)
+        .select("doc_id", perplexity_col().alias("ppl"))
+        .collect()
+    }
+    assert ppl[2] > ppl[1] * 1.5, ppl
+    threshold = (ppl[1] + ppl[2]) / 2
+
+    qs = corpus_ingest_stream(
+        spark.readStream.schema(schema).parquet(input_dir),
+        out_dir, ckpt, available_now=True,
+        lm_model=model, lm_ppl_max=threshold,
+    )
+    for q in qs:
+        q.awaitTermination(120)
+    clean = spark.read.parquet(f"{out_dir}/clean_docs.parquet")
+    assert "ppl" in clean.columns
+    rows = {r.doc_id: r.ppl for r in clean.collect()}
+    assert set(rows) == {1}
+    assert rows[1] is not None and rows[1] == ppl[1]
+
+    # misuse guard: the drop rule without a model is a fail-fast error
+    import pytest
+
+    with pytest.raises(ValueError, match="lm_model"):
+        corpus_ingest_stream(
+            spark.readStream.schema(schema).parquet(input_dir),
+            out_dir, ckpt, lm_ppl_max=1.0,
+        )
+
 def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
     """Streaming twin: exact dups are dropped ACROSS micro-batches, a
     near-dup arriving later pairs against the band index, quality
