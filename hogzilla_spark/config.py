@@ -90,6 +90,11 @@ class AuthConfig:
     location_domain_whitelist: frozenset[str] = frozenset({"google.com", "gmail.com"})
     ua_domain_whitelist: frozenset[str] = frozenset({"google.com", "gmail.com"})
     system_domain_whitelist: frozenset[str] = frozenset({"google.com", "gmail.com"})
+    # per-branch excluded-city guards (HogAuth.scala:383-384 UA, :401-402
+    # service) — empty in the reference's defaults, configurable here for
+    # full config-surface parity
+    ua_excluded_cities: frozenset[str] = frozenset()
+    system_excluded_cities: frozenset[str] = frozenset()
 
 @dataclass(frozen=True)
 class HistogramConfig:

@@ -39,9 +39,19 @@ def _saved(histograms: DataFrame, family: str, prefix_len: int) -> DataFrame:
         F.col("labels").alias(f"{family}_labels"),
     )
 
-def prepare_auth(auth: DataFrame) -> DataFrame:
+def prepare_auth(auth: DataFrame, ua_count_hint: int | None = None) -> DataFrame:
     """Projection + validity filter (HogAuth.scala:272-316): accents
     stripped, UA parsed to family, coords sanity, non-empty user.
+
+    CONTRACT NOTE — this function is not fully lazy by default: unless
+    `ua_count_hint` is given, it runs ONE eager Spark job (the
+    shuffle-free ``approx_count_distinct`` probe below) at
+    plan-construction time to pick the dictionary-join strategy.
+    Callers that (a) loop per micro-batch or (b) read a
+    non-deterministic source should persist the input and/or pass a
+    carried `ua_count_hint` (see streaming/auth_stream.py) so the gate,
+    the dictionary, and the fact join all observe the same data and the
+    probe isn't re-paid per call.
 
     UA parsing is dictionary-encoded: the ~140-rule uap-core rlike
     chain evaluates once per DISTINCT user-agent string and the
@@ -70,7 +80,11 @@ def prepare_auth(auth: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("__ua_fam", ua_family(F.col("__ua_raw")))
     )
-    n_ua = auth.agg(F.approx_count_distinct("__ua_raw").alias("n")).first()["n"]
+    n_ua = (
+        ua_count_hint
+        if ua_count_hint is not None
+        else auth.agg(F.approx_count_distinct("__ua_raw").alias("n")).first()["n"]
+    )
     auth = auth.join(F.broadcast(fams) if n_ua <= 500_000 else fams, "__ua_raw", "left")
     return (
         auth.select(
@@ -104,10 +118,12 @@ def auth_profile(
     cfg: AuthConfig,
     hcfg: HistogramConfig,
     batch_time: int = 0,
+    ua_count_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One batch pass: returns (combined alerts 826001204, state updates
-    for HIST20/21/22)."""
-    rec = prepare_auth(auth)
+    for HIST20/21/22).  `ua_count_hint` forwards to `prepare_auth` —
+    when given, plan construction is fully lazy (no probe job)."""
+    rec = prepare_auth(auth, ua_count_hint=ua_count_hint)
     loc_label = F.concat(
         F.regexp_replace(F.trim("city"), " ", "_"),
         F.lit("/"),
@@ -153,12 +169,18 @@ def auth_profile(
         & (F.coalesce(F.element_at("HIST21_values", F.col("userAgent")), F.lit(0.0)) <= EPSILON)
         & ~_ends_with_any(F.col("clientReverse"), list(cfg.ua_domain_whitelist))
     )
+    if cfg.ua_excluded_cities:  # HogAuth.scala:383-384 (default empty)
+        ua_event = ua_event & ~F.col("city").isin(sorted(cfg.ua_excluded_cities))
     # gate reads HIST21 size — reference slip preserved (HogAuth.scala:398)
     service_event = (
         (F.coalesce("HIST21_size", F.lit(0)) >= hcfg.gate_auth)
         & (F.coalesce(F.element_at("HIST22_values", F.col("service_label")), F.lit(0.0)) <= EPSILON)
         & ~_ends_with_any(F.col("clientReverse"), list(cfg.system_domain_whitelist))
     )
+    if cfg.system_excluded_cities:  # HogAuth.scala:401-402 (default empty)
+        service_event = service_event & ~F.col("city").isin(
+            sorted(cfg.system_excluded_cities)
+        )
     scored = joined.select(
         "*",
         city_event.alias("cityEvent"),

@@ -31,6 +31,8 @@ def start_auth_stream(
     checkpoint_dir: str,
     cfg: EngineConfig = DEFAULT,
     trigger: dict | None = None,
+    ua_probe_every: int = 10,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """File-source streaming: drop auth-record parquet/json files into
     input_dir; each micro-batch scores against saved state, appends
@@ -48,8 +50,26 @@ def start_auth_stream(
     state commit rewrites the same alert files instead of appending
     duplicates.  One state_path pairs with one checkpoint_dir (batch
     ids are monotonic per checkpoint).
+
+    UA-cardinality probe caching: `prepare_auth`'s dictionary-join gate
+    needs a distinct-UA estimate; probing every micro-batch is a full
+    extra pass over the (persisted) batch.  Login streams' UA mix is
+    stable, so the HLL estimate is probed on the first processed batch
+    and then every `ua_probe_every`-th, carried in between
+    (`ua_probe_every=1` restores per-batch probing).  Staleness is
+    bounded: a UA-fuzzing storm can at worst win `ua_probe_every - 1`
+    batches of a too-eager broadcast before the next probe flips the
+    gate; each batch is persisted, so the micro-batch dictionary stays
+    batch-sized either way.
     """
-    stream = spark.readStream.schema(AUTHRECORDS).parquet(input_dir)
+    reader = spark.readStream.schema(AUTHRECORDS)
+    if max_files_per_trigger is not None:
+        # pins micro-batch granularity (one source file ≈ one batch) —
+        # rate limiting in production, deterministic batch counts in
+        # the throughput harness
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    probe = {"n_ua": None, "since": 0}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         last = store.last_applied_batch(state_path)
@@ -57,9 +77,24 @@ def start_auth_stream(
             return  # replay of an already-committed batch
         if batch_df.isEmpty():
             return
+        # persist: the gate probe (when due), the dictionary build, the
+        # alert scoring, and the three histogram updates all re-read
+        # this frame — and a re-scan of a non-deterministic source
+        # could otherwise observe different data per consumer
+        batch_df = batch_df.persist()
+        if probe["n_ua"] is None or probe["since"] + 1 >= ua_probe_every:
+            from pyspark.sql import functions as F
+
+            probe["n_ua"] = batch_df.agg(
+                F.approx_count_distinct(F.coalesce("userAgent", F.lit("")))
+            ).first()[0]
+            probe["since"] = 0
+        else:
+            probe["since"] += 1
         saved = store.load(spark, state_path).persist()
         alerts, updates = auth_profile(
-            batch_df, saved, cfg.auth, cfg.hist, batch_time=batch_id
+            batch_df, saved, cfg.auth, cfg.hist, batch_time=batch_id,
+            ua_count_hint=probe["n_ua"],
         )
         alerts.write.mode("overwrite").parquet(
             os.path.join(alerts_dir, f"batch_id={batch_id}")
@@ -68,6 +103,7 @@ def start_auth_stream(
             store.apply_updates(saved, updates), state_path, batch_id=batch_id
         )
         saved.unpersist()
+        batch_df.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

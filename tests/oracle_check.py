@@ -145,10 +145,22 @@ def _digest_chunks(chunks) -> tuple[int, list[str] | None, dict[str, str], int]:
                 # chunk WITH nulls into float64 but leaves a null-free
                 # chunk int64, and hash(5) != hash(5.0) — hashing the
                 # raw dtype breaks chunk-invariance.  float64 is exact
-                # for every value these results carry (|v| < 2^53);
-                # the dtype FAMILY still comes from the arrow-reported
+                # only below 2^53, so integer columns are ASSERTED into
+                # that range — an out-of-range value fails loudly
+                # instead of silently weakening the comparison to a
+                # lossy-rounded digest (two results differing only in
+                # such values could otherwise digest-equal).  The
+                # dtype FAMILY still comes from the arrow-reported
                 # kind so int-vs-float drift is flagged, not hashed.
                 kinds.setdefault(c, "f" if k == "f" else "i")
+                if k in "iu":
+                    vals = s.to_numpy().astype(np.float64)
+                    if len(vals) and np.abs(vals).max() >= 2.0**53:
+                        raise AssertionError(
+                            f"digest: integer column {c!r} carries |v| >= 2^53 "
+                            "— float64 canonicalization would hash it lossily; "
+                            "extend _digest_chunks with an exact int path first"
+                        )
                 s = s.astype("float64")
             else:
                 kinds.setdefault(c, "O")

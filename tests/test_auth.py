@@ -56,6 +56,44 @@ def test_state_updates_shapes(result):
     assert h20.labels["-22.90,-43.20"] == "Rio_de_Janeiro/Brazil"
     assert "HIST21-alice" in updates and "HIST22-alice" in updates
 
+def test_branch_excluded_cities_parity(spark):
+    """HogAuth.scala:383-384/:401-402: the UA and service branches have
+    their OWN excluded-city sets (empty by default — the default run
+    above proves out-of-the-box parity); configuring them suppresses
+    exactly that branch's alert from the listed city."""
+    import dataclasses
+
+    for field, gone, kept in (
+        ("ua_excluded_cities", "U", {"C", "S"}),
+        ("system_excluded_cities", "S", {"C", "U"}),
+    ):
+        cfg = dataclasses.replace(
+            DEFAULT.auth, **{field: frozenset({"Sao Paulo"})}
+        )
+        alerts, _ = auth_profile(
+            datagen.auth_df(spark),
+            datagen.auth_histograms_df(spark),
+            cfg,
+            DEFAULT.hist,
+        )
+        vars_seen = {a.data["atypicalVars"] for a in alerts.collect()}
+        assert vars_seen == kept, (field, vars_seen)
+        assert gone not in vars_seen
+
+def test_prepare_auth_count_hint_is_lazy(spark):
+    """With ua_count_hint, prepare_auth runs NO eager job at
+    plan-construction time (the streaming path's contract)."""
+    from hogzilla_spark.detectors.auth import prepare_auth
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = prepare_auth(datagen.auth_df(spark), ua_count_hint=3)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after  # plan built, nothing executed
+    # and the hint-driven plan still computes the same families
+    fams = {r.userAgent for r in df.select("userAgent").distinct().collect()}
+    assert "Windows/Chrome" in fams and "Other/curl" in fams
+
 def test_ua_family_expression(spark):
     df = spark.createDataFrame(
         [
