@@ -1803,7 +1803,15 @@ def q_hz_atypical_alien(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "hist_name string, size long, values map<string,double>",
     )
-    hists = h02.unionByName(h021).unionByName(h05)
+    # materialize the seeded state once, as production does (the batch
+    # plan hands detectors a loaded store table, store.load): the
+    # detector references saved02/saved021/histograms SIX times across
+    # the score + J8 + state-transition branches, and re-deriving the
+    # distinct-hosts + map-build lineage per reference costs real time
+    # (warm-run A/B at sf0.1: 6.3 s without the checkpoint, 4.1 s with;
+    # the in-suite number additionally carries first-registry-slot
+    # session warmup)
+    hists = h02.unionByName(h021).unionByName(h05).localCheckpoint(eager=True)
     empty_pairs = spark.createDataFrame([], "myIP string, alienIP string")
     empty_ips = spark.createDataFrame([], "myIP string")
     alerts, updates = atypical_alien_tcp_port(
