@@ -7,9 +7,14 @@ per-micro-batch latency and state-size series for both queries — the
 evidence that the state-bounded design (fingerprint state = rate ×
 watermark horizon; FIFO-capped band buckets) holds beyond toy batches.
 
-Usage: python tools/stream_throughput.py [sf_dir] [n_chunks]
+Usage: python tools/stream_throughput.py [sf_dir] [n_chunks] [--lm]
   sf_dir    default /root/testdata/sf0.1
   n_chunks  default 20 (≈ docs/20 per micro-batch)
+  --lm      also run the LM-perplexity ingest stage: train the bigram
+            model ONCE on the staged corpus, score every micro-batch
+            against it with a median-perplexity drop threshold — the
+            per-batch cost of the r8 streaming LM wiring shows up in
+            the clean query's latency series
 """
 
 from __future__ import annotations
@@ -23,8 +28,10 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    args = [a for a in sys.argv[1:] if a != "--lm"]
+    with_lm = "--lm" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    n_chunks = int(args[1]) if len(args) > 1 else 20
 
     from pyspark.sql import functions as F
 
@@ -54,11 +61,32 @@ def main() -> None:
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{work}/staged")
         )
+        lm_kwargs = {}
+        lm_meta = {}
+        if with_lm:
+            from hogzilla_spark.operators.text import (
+                lm_score,
+                lm_train,
+                perplexity_col,
+            )
+
+            model = lm_train(docs)
+            # median self-perplexity as the drop line: a real threshold
+            # that rejects a measurable tail, derived from the operator
+            ppl_med = (
+                lm_score(docs, model)
+                .select(perplexity_col().alias("ppl"))
+                .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ppl)"))
+                .first()[0]
+            )
+            lm_kwargs = {"lm_model": model, "lm_ppl_max": float(ppl_med)}
+            lm_meta = {"lm_ppl_max": round(float(ppl_med), 3)}
         q_clean, q_cand = corpus_ingest_stream(
             stream,
             out_dir=f"{work}/out",
             ckpt_dir=f"{work}/ckpt",
             available_now=True,
+            **lm_kwargs,
         )
         q_clean.awaitTermination()
         q_cand.awaitTermination()
@@ -100,6 +128,7 @@ def main() -> None:
                 {
                     "metric": "corpus_stream_throughput",
                     "sf_dir": sf_dir,
+                    **lm_meta,
                     "input_docs": n_docs,
                     "clean_docs": clean_rows,
                     "neardup_candidates": cand_rows,
