@@ -143,14 +143,18 @@ def main() -> None:
             {"metric": "full_query_suite_io", "unit": "MiB", "io": io}
         )
         print(io_line)
-        try:
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_IO.json"), "w"
-            ) as f:
-                f.write(io_line + "\n")
-        except OSError:
-            pass
+        # side-file mirror ONLY for full-suite runs: a subset sweep
+        # (SPARK_GRAFT_QUERIES — incl. the contract test's 2-query
+        # run) must not clobber the committed full-suite artifact
+        if not only:
+            try:
+                with open(
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_IO.json"), "w"
+                ) as f:
+                    f.write(io_line + "\n")
+            except OSError:
+                pass
     print(
         json.dumps(
             {

@@ -1127,9 +1127,11 @@ def dedup_lines(
       behind the materialization barrier — slower on wall-clock at
       every tested sf.)
     * The line key is a 128-bit pair of xxhash64 values (the line
-      alone, and the line salted with a constant) rather than a 32-B
-      md5 hex — the key IS most of the shuffled row, and hex strings
-      double it.  64 bits alone is NOT enough at design scale: at
+      under Spark's default seed, and the line under a second seed
+      derived from a leading salt — salt FIRST, because multi-arg
+      xxhash64 chains left-to-right and a trailing salt would be a
+      pure function of the first hash) rather than a 32-B md5 hex —
+      the key IS most of the shuffled row, and hex strings double it.  64 bits alone is NOT enough at design scale: at
       10^11-10^12 corpus lines the birthday bound expects thousands
       of colliding line pairs, each silently merging two distinct
       lines (their combined count passes min_count and every
@@ -1150,8 +1152,14 @@ def dedup_lines(
             id_col,
             "pos",
             F.when(norm != "", F.xxhash64(norm)).otherwise(F.lit(None)).alias("lh"),
-            # second 64-bit hash over a salted input -> 128-bit key pair
-            F.when(norm != "", F.xxhash64(norm, F.lit("hzs2")))
+            # second 64-bit hash under a DIFFERENT effective seed ->
+            # 128-bit key pair.  The salt must come FIRST: Spark's
+            # multi-arg xxhash64 folds left-to-right with the running
+            # hash as the next seed, so xxhash64(line, salt) would be
+            # a pure function of xxhash64(line) (lh collisions would
+            # propagate, adding zero entropy); xxhash64(salt, line)
+            # hashes the line under seed XXH64(salt, 42) instead.
+            F.when(norm != "", F.xxhash64(F.lit("hzs2"), norm))
             .otherwise(F.lit(None))
             .alias("lh2"),
         )

@@ -443,7 +443,11 @@ class LMModel:
 
     `b_cnt` (prev, cur, __bc) and `c_cnt` (prev, __cc) are materialized
     with an eager localCheckpoint so per-batch scoring joins never
-    re-derive the reference corpus lineage."""
+    re-derive the reference corpus lineage.  The checkpointed blocks
+    live until the model object is garbage-collected (Spark's
+    ContextCleaner frees the backing RDDs then) — drop the reference
+    when done; for ONE-SHOT scoring prefer `lm_cross_entropy(df,
+    ref=...)`, which builds the same counts lazily and pins nothing."""
 
     def __init__(self, b_cnt: DataFrame, c_cnt: DataFrame, vocab: int, k: float):
         self.b_cnt = b_cnt
@@ -565,9 +569,38 @@ def lm_cross_entropy(
         # Scoring against a foreign reference LM: doc bigrams can miss
         # both tables (smoothing handles it via COALESCE→0), and the
         # scored corpus is normally much smaller than the ref, so the
-        # two lookup joins stay on the small side.  Train-once + score
-        # is the factored pair so pipelines can reuse the model.
-        return lm_score(df, lm_train(ref, id_col, text_col, k), id_col, text_col)
+        # two lookup joins stay on the small side.  This one-shot path
+        # stays LAZY (no localCheckpoint of the count tables) — only
+        # the vocab scalar runs eagerly, exactly as before; callers
+        # that reuse one model across many frames should use the
+        # factored lm_train/lm_score pair, whose eager checkpoints
+        # amortize over the reuses.
+        vocab = (
+            ref.select(
+                F.explode(
+                    tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+                ).alias("__t")
+            )
+            .agg(F.count_distinct("__t"))
+            .first()[0]
+        )
+        ref_bg = _bigram_frame(ref, id_col, text_col)
+        doc_bg = (
+            _bigram_frame(df, id_col, text_col)
+            .groupBy(id_col, "prev", "cur")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        b_cnt = ref_bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bc"))
+        c_cnt = ref_bg.groupBy("prev").agg(F.count(F.lit(1)).alias("__cc"))
+        scored = (
+            doc_bg.join(b_cnt, ["prev", "cur"], "left")
+            .join(c_cnt, ["prev"], "left")
+            .select(id_col, "__n", _lm_lp_expr(vocab, k))
+        )
+        return scored.groupBy(id_col).agg(
+            F.sum("__n").alias("n_bigrams"),
+            F.sum(F.col("__n") * F.col("__lp")).alias("xent_micro"),
+        )
     vocab = (
         df.select(
             F.explode(

@@ -70,6 +70,16 @@ def main() -> None:
             store.save(df, path)
 
         results = {}
+        # throwaway warmup drain: whichever configuration runs first
+        # would otherwise absorb one-time JVM/codegen/parquet-reader
+        # warmup and the A/B would misattribute it to the probe cache
+        seed_state(f"{work}/state_warm")
+        start_auth_stream(
+            spark, f"{work}/staged", f"{work}/state_warm",
+            f"{work}/alerts_warm", f"{work}/ckpt_warm",
+            trigger={"availableNow": True}, ua_probe_every=1,
+            max_files_per_trigger=max(1, n_chunks // 2),
+        ).awaitTermination(1800)
         for label, every in (("probe_per_batch", 1), ("probe_cached", 10)):
             state = f"{work}/state_{label}"
             seed_state(state)

@@ -36,10 +36,9 @@ DNS_ANOM_UID, HTTP_ANOM_UID = 13, 7
 
 
 def synth_flows(spark, sf_dir: str):
-    """events → planted nDPI flows (pure deterministic mapping)."""
+    """events → planted nDPI flows (pure deterministic mapping,
+    FLOWS_TEST_SCHEMA-shaped)."""
     from pyspark.sql import functions as F
-
-    from hogzilla_spark.datagen import FLOWS_TEST_SCHEMA
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "user_id"
@@ -108,13 +107,11 @@ def synth_flows(spark, sf_dir: str):
     )
     # pin partitioning so seeded fits see a stable data layout across
     # file-split differences between runs/machines
-    return df.repartitionByRange(8, "flow_id"), FLOWS_TEST_SCHEMA
+    return df.repartitionByRange(8, "flow_id")
 
 
 def planted_metrics(members, anom_ip: str) -> dict:
     """Integer selection-quality metrics for one taint path."""
-    from pyspark.sql import functions as F
-
     got = members.select("lower_ip", "flow_id").collect()
     n_sel = len(got)
     n_planted_sel = sum(1 for r in got if r.lower_ip == anom_ip)
@@ -145,7 +142,7 @@ def main() -> None:
         "by design."
     )}
     for sf_dir in sf_dirs:
-        flows, _ = synth_flows(spark, sf_dir)
+        flows = synth_flows(spark, sf_dir)
         flows = flows.localCheckpoint(eager=True)
         rec: dict = {"n_flows": flows.count()}
 
