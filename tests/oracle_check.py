@@ -232,6 +232,12 @@ if shards > 1:
 reader = con.execute(sql).fetch_record_batch(65_536)
 kinds = _arrow_kinds(reader.schema)
 rows, cols, _, digest = _digest_chunks(b.to_pandas() for b in reader)
+if cols is None:
+    # empty result stream yields no chunks; the column list still
+    # exists in the reader schema — without this an EMPTY oracle
+    # result false-FAILs the column comparison against a Spark side
+    # whose parquet spill always knows its schema
+    cols = sorted(f.name for f in reader.schema)
 print(json.dumps({"rows": rows, "cols": cols, "kinds": kinds, "digest": digest}))
 """
 
@@ -360,6 +366,8 @@ def digest_compare(name: str, sf_dir: str, sql: str) -> tuple[list[str], dict]:
                 yield batch.to_pandas()
 
         s_rows, s_cols, _, s_digest = _digest_chunks(spark_chunks())
+        if s_cols is None:  # empty result — schema still known (see duck twin)
+            s_cols = sorted(dset.schema.names)
         try:
             o_rows, o_cols, o_kinds, o_digest = _duck_digest_subprocess(sf_dir, sql)
         except RuntimeError as ex:
