@@ -1307,6 +1307,56 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_fraction=0.0625,
     )
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/sampling.dsir_select; Xie
+    et al. 2023): select the raw docs (lang<>'en') whose hashed
+    {uni,bi}gram distribution best matches the target corpus
+    (lang='en'), by Gumbel-top-k over integer-micro-nat importance
+    weights — deterministic end-to-end (hash-derived Gumbel noise),
+    so DuckDB replays the whole fit+score+resample exactly.
+
+    Tagged union: 'sel' rows = the k=200 selected docs (k=doc_id,
+    a=logw_micro, b=score_micro, c=rank); 'bkt' rows = the fitted
+    λ table itself (k=bucket, a=target count, b=raw count,
+    c=λ_micro), evidencing the model fit as well as the selection."""
+    from hogzilla_spark.operators.sampling import dsir_log_ratio, dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    m, a = 1024, 0.5
+    lam = dsir_log_ratio(target, raw, n_buckets=m, alpha=a)
+    sel = dsir_select(
+        raw, target, k=200, n_buckets=m, alpha=a, log_ratio=lam
+    ).select(
+        F.lit("sel").alias("part"),
+        F.col("doc_id").alias("k"),
+        F.col("logw_micro").alias("a"),
+        F.col("score_micro").alias("b"),
+        F.col("rank").alias("c"),
+    )
+    bkt = lam.select(
+        F.lit("bkt").alias("part"),
+        F.col("__b").alias("k"),
+        F.col("__tc").alias("a"),
+        F.col("__rc").alias("b"),
+        F.col("__lam").alias("c"),
+    )
+    return sel.unionByName(bkt)
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate-NN scale paths in one tagged union (merged in
+    r8 to fund the dsir_select slot; each long-stable): 'lsh' rows =
+    q_ann_lsh_topk (hyperplane buckets), 'ivf' rows = q_ann_ivf_topk
+    (fixed-centroid inverted lists, nprobe=2)."""
+    lsh = q_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("part"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    ivf = q_ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("part"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return lsh.unionByName(ivf)
+
 def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source interleave (training-mix scheduler): r-th row of
     a weight-w source sorts at r/w; power-of-two weights keep the
@@ -2012,9 +2062,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cannot replay — covered by codec round-trip unit suites) sits last.
     Near-duplicate basics are tagged unions of their originals
     (a5+a9, j3+j5, s6+p2, h1+h2, f5+quantiles+o1topk, w1+w2w4,
-    range+asof) to stay inside the budget."""
+    range+asof, lsh+ivf ANN) to stay inside the budget."""
     return {
         # new/changed this round — need fresh driver evidence
+        "dsir_select": q_dsir_select,
         "hz_atypical_alien": q_hz_atypical_alien,
         "hz_auth": q_hz_auth,
         "lm_perplexity": q_lm_perplexity,
@@ -2054,8 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "embedding_neardup": q_embedding_neardup,
         "knn_brute_force": q_knn_brute_force,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        # merged in r8 (funds the dsir_select slot): 'lsh' + 'ivf' parts
+        "ann_topk": q_ann_topk,
         "label_centroids": q_label_centroids,
         # training-mix / text pipeline
         "scrub_pii": q_scrub_pii,
@@ -3076,7 +3127,7 @@ def oracle_sql() -> dict[str, str]:
     # Replays the exact hyperplane bucketing: plane i, component j is
     # ((i*2654435761 + j*40503) % 1000)/500.0 - 1.0 — the same closed
     # form q_ann_lsh_topk bakes into the Spark plan.
-    sql["ann_lsh_topk"] = """
+    _ann_lsh_sql = """
         WITH v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         planes AS (
@@ -3108,7 +3159,7 @@ def oracle_sql() -> dict[str, str]:
     # lists, exact cosine ranks inside the probed lists.  Distances are
     # round-6 before ordering (ties break on list id) to mirror
     # nearest_lists_expr's engine-portable comparisons.
-    sql["ann_ivf_topk"] = """
+    _ann_ivf_sql = """
         WITH v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         cent AS (
@@ -3142,6 +3193,79 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    sql["ann_topk"] = f"""
+        SELECT 'lsh' AS part, * FROM ({_ann_lsh_sql})
+        UNION ALL
+        SELECT 'ivf' AS part, * FROM ({_ann_ivf_sql})
+    """
+
+    # DSIR replicated from first principles: the text family's
+    # tokenization, md5-first-8-hex % 1024 bucketing (the dedup/sampling
+    # hash convention), add-1/2-smoothed log-ratios micro-nat-rounded
+    # BEFORE the per-doc integer sum (the lm_perplexity trick), and the
+    # hash-derived Gumbel noise u = (md5_32(id)+0.5)/2^32 — so the
+    # whole fit → weight → resample chain is engine-exact.
+    sql["dsir_select"] = """
+        WITH tt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+'),
+                             t -> t <> '') AS w
+          FROM documents WHERE lang = 'en'),
+        rt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+'),
+                             t -> t <> '') AS w
+          FROM documents WHERE lang <> 'en'),
+        tg AS (
+          SELECT doc_id, unnest(w) AS g FROM tt
+          UNION ALL
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+          FROM tt WHERE len(w) >= 2),
+        rg AS (
+          SELECT doc_id, unnest(w) AS g FROM rt
+          UNION ALL
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+          FROM rt WHERE len(w) >= 2),
+        tb AS (
+          SELECT CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS b,
+                 COUNT(*) AS tc
+          FROM tg GROUP BY 1),
+        rb AS (
+          SELECT CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS b,
+                 COUNT(*) AS rc
+          FROM rg GROUP BY 1),
+        tot AS (SELECT (SELECT COALESCE(SUM(tc), 0) FROM tb) AS t_tot,
+                       (SELECT COALESCE(SUM(rc), 0) FROM rb) AS r_tot),
+        lam AS (
+          SELECT rb.b, COALESCE(tb.tc, 0) AS tc, rb.rc,
+                 CAST(ROUND((LN((COALESCE(tb.tc, 0) + 0.5) / (t_tot + 0.5 * 1024))
+                           - LN((rb.rc + 0.5) / (r_tot + 0.5 * 1024))) * 1e6)
+                      AS BIGINT) AS lam
+          FROM rb LEFT JOIN tb USING (b), tot),
+        wgt AS (
+          SELECT d.doc_id, CAST(SUM(l.lam) AS BIGINT) AS logw
+          FROM (SELECT doc_id,
+                       CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS b
+                FROM rg) d
+          JOIN lam l USING (b)
+          GROUP BY d.doc_id),
+        scored AS (
+          SELECT doc_id, logw,
+                 logw + CAST(ROUND(-LN(-LN(
+                     (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      + 0.5) / 4294967296.0)) * 1e6) AS BIGINT) AS score
+          FROM wgt),
+        sel AS (SELECT doc_id, logw, score FROM scored
+                ORDER BY score DESC, doc_id LIMIT 200)
+        SELECT 'sel' AS part, doc_id AS k, logw AS a, score AS b,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS c
+        FROM sel
+        UNION ALL
+        SELECT 'bkt' AS part, b AS k, tc AS a, rc AS b, lam AS c FROM lam
     """
 
     sql["embedding_neardup"] = """

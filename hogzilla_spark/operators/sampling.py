@@ -1,5 +1,6 @@
 """Training-mix assembly operators: deterministic stratified sampling,
-weighted source interleaving, and token-budget shard packing.
+weighted source interleaving, token-budget shard packing, and DSIR
+importance resampling (target-matched data selection).
 
 These are the operations between "deduped corpus" and "training run":
 pick per-stratum fractions, order sources into a mix, cut the stream
@@ -183,3 +184,177 @@ def pack_token_shards(
     return df.withColumn(
         "shard_id", F.floor(cum_excl / F.lit(budget)).cast("long")
     ).withColumn("shard_offset", cum_excl.cast("long"))
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al., NeurIPS
+# 2023, arXiv:2302.03169).  Select raw-corpus documents whose hashed
+# n-gram distribution matches a target (quality) corpus: fit bag-of-
+# hashed-{uni,bi}gram multinomials p̂ (target) and q̂ (raw), weight each
+# raw doc by log p̂(doc) − log q̂(doc), then Gumbel-top-k resample.
+#
+# Engine-exact by construction: per-bucket log-ratios round to integer
+# micro-nats BEFORE the per-doc sum (the lm_cross_entropy trick — double
+# SUM order is engine-dependent, integer SUM is not), the hash bucket is
+# the md5-first-8-hex convention shared with the dedup family, and the
+# Gumbel noise derives from that same hash (u = (h+0.5)/2^32 — exactly
+# representable, never 0 or 1), so selection is deterministic and
+# replayable bit-for-bit in any engine: rerun equals re-read.
+#
+# Scale shape (100 TB): the fit is two map-side-combining groupBys onto
+# ≤ n_buckets rows each; the λ table is O(n_buckets) and BROADCAST into
+# the scoring pass, which is one explode → broadcast-join → groupBy(doc)
+# shuffle with map-side combine on doc id; selection is a global top-k
+# (TakeOrderedAndProject — no full sort).  The raw corpus text is
+# scanned twice (fit pass + score pass), exactly the paper's pipeline;
+# persist the gram frame between passes if the scan dominates.
+# ---------------------------------------------------------------------------
+
+def _hashed_grams(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, __b): one row per unigram AND space-joined-bigram occurrence
+    of the lowercased whitespace tokenization (the text family's shared
+    convention), bucketed by md5-first-8-hex % n_buckets."""
+    from hogzilla_spark.operators.text import tokens
+
+    toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    d = df.select(F.col(id_col), toks.alias("__w"))
+    uni = d.select(id_col, F.explode("__w").alias("__g"))
+    bi = d.filter(F.size("__w") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - 2),
+                lambda i: F.concat(
+                    F.get("__w", i), F.lit(" "), F.get("__w", i + 1)
+                ),
+            )
+        ).alias("__g"),
+    )
+    b = F.pmod(
+        F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    return uni.unionByName(bi).select(id_col, b.alias("__b"))
+
+def dsir_log_ratio(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65_536,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Fit the DSIR importance model: per-bucket integer-micro-nat
+    log-likelihood ratio λ[b] = round(1e6·(ln p̂[b] − ln q̂[b]))
+    under add-α smoothing, for every bucket OBSERVED IN RAW (the only
+    buckets a raw doc can score on; target-only buckets are irrelevant
+    to scoring and absent-everywhere buckets contribute a constant the
+    top-k is invariant to).
+
+    Returns (__b, __tc, __rc, __lam) — ≤ n_buckets rows, eagerly
+    localCheckpoint'ed so the two corpus scans behind it never re-run
+    when the table is broadcast into scoring.  The two grand totals are
+    O(1) driver scalars (same class as the my-nets collects)."""
+    tb = (
+        _hashed_grams(target, id_col, text_col, n_buckets)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+        .localCheckpoint(eager=True)
+    )
+    rb = (
+        _hashed_grams(raw, id_col, text_col, n_buckets)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__rc"))
+        .localCheckpoint(eager=True)
+    )
+    t_tot = tb.agg(F.sum("__tc")).first()[0] or 0
+    r_tot = rb.agg(F.sum("__rc")).first()[0] or 0
+    lam = (
+        F.round(
+            (
+                F.log(
+                    (F.coalesce("__tc", F.lit(0)) + F.lit(alpha))
+                    / F.lit(float(t_tot) + alpha * n_buckets)
+                )
+                - F.log(
+                    (F.col("__rc") + F.lit(alpha))
+                    / F.lit(float(r_tot) + alpha * n_buckets)
+                )
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__lam")
+    )
+    return (
+        rb.join(tb, "__b", "left")
+        .select("__b", F.coalesce("__tc", F.lit(0)).alias("__tc"), "__rc", lam)
+        .localCheckpoint(eager=True)
+    )
+
+def dsir_weights(
+    raw: DataFrame,
+    log_ratio: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65_536,
+) -> DataFrame:
+    """(id, logw_micro): per-doc importance log-weight = Σ over gram
+    occurrences of λ_micro — an exact integer sum.  One explode →
+    broadcast λ join → groupBy(id) with map-side combine.  Docs with no
+    grams (empty text) produce no row: they carry weight −∞ and are
+    never selected."""
+    return (
+        _hashed_grams(raw, id_col, text_col, n_buckets)
+        .join(F.broadcast(log_ratio.select("__b", "__lam")), "__b")
+        .groupBy(id_col)
+        .agg(F.sum("__lam").alias("logw_micro"))
+    )
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65_536,
+    alpha: float = 0.5,
+    gumbel: bool = True,
+    log_ratio: DataFrame | None = None,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: score = logw_micro +
+    round(1e6·(−ln(−ln u))) with u = (md5_32(id)+0.5)/2^32 — i.e. a
+    WITHOUT-replacement sample ∝ exp(logw), the paper's resampling
+    step, made deterministic by deriving the uniform from the doc id
+    (same convention as `stratified_sample`).  ``gumbel=False`` gives
+    the plain hardmax top-k variant.
+
+    Returns (id, logw_micro, score_micro, rank) for the k selected
+    docs; rank 1 = highest score.  The top-k runs as
+    TakeOrderedAndProject (orderBy+limit) — never a global sort — and
+    the rank window touches only the k survivors."""
+    if log_ratio is None:
+        log_ratio = dsir_log_ratio(
+            target, raw, id_col, text_col, n_buckets, alpha
+        )
+    w = dsir_weights(raw, log_ratio, id_col, text_col, n_buckets)
+    idc = F.col(id_col)
+    if gumbel:
+        u = (
+            F.conv(F.substring(F.md5(idc.cast("string")), 1, 8), 16, 10)
+            .cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 32))
+        score = F.col("logw_micro") + F.round(-F.log(-F.log(u)) * 1e6).cast(
+            "long"
+        )
+    else:
+        score = F.col("logw_micro").cast("long")
+    sel = (
+        w.select(idc, "logw_micro", score.alias("score_micro"))
+        .orderBy(F.desc("score_micro"), idc)
+        .limit(k)
+    )
+    rk = Window.orderBy(F.desc("score_micro"), idc)
+    return sel.withColumn("rank", F.row_number().over(rk).cast("long"))

@@ -247,3 +247,122 @@ def test_lm_cross_entropy_external_ref(spark):
     V = 2  # ref vocab {a, b}
     assert row.n_bigrams == 1
     assert row.xent_micro == round(-math.log(0.5 / (0 + 0.5 * V)) * 1e6)
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+def _dsir_ref(target_texts, raw_docs, m=64, alpha=0.5):
+    """Pure-python replica of the operator chain: hashed {uni,bi}gram
+    buckets, add-alpha micro-nat log-ratios, per-doc integer weights."""
+    import hashlib
+    import math
+
+    def grams(text):
+        w = [t for t in text.lower().strip().split() if t]
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    tc, rc = {}, {}
+    for t in target_texts:
+        for g in grams(t):
+            b = bucket(g)
+            tc[b] = tc.get(b, 0) + 1
+    for _, t in raw_docs:
+        for g in grams(t):
+            b = bucket(g)
+            rc[b] = rc.get(b, 0) + 1
+    T, R = sum(tc.values()), sum(rc.values())
+    lam = {
+        b: round(
+            (
+                math.log((tc.get(b, 0) + alpha) / (T + alpha * m))
+                - math.log((n + alpha) / (R + alpha * m))
+            )
+            * 1e6
+        )
+        for b, n in rc.items()
+    }
+    return lam, {
+        i: sum(lam[bucket(g)] for g in grams(t))
+        for i, t in raw_docs
+        if grams(t)
+    }
+
+def test_dsir_weights_hand_computed(spark):
+    from hogzilla_spark.operators.sampling import dsir_log_ratio, dsir_weights
+
+    target_texts = ["the cat sat", "the cat ran", "a cat"]
+    raw_rows = [
+        (1, "the cat sat"),        # target-like
+        (2, "zx qy wv"),           # alien vocabulary
+        (3, "the cat"),            # partially target-like
+        (4, ""),                   # no grams -> no weight row
+    ]
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target_texts)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    lam_ref, w_ref = _dsir_ref(target_texts, raw_rows, m=64)
+
+    lam = dsir_log_ratio(target, raw, n_buckets=64)
+    got_lam = {r["__b"]: r["__lam"] for r in lam.collect()}
+    assert got_lam == lam_ref
+
+    got_w = {
+        r.doc_id: r.logw_micro
+        for r in dsir_weights(raw, lam, n_buckets=64).collect()
+    }
+    assert got_w == w_ref
+    assert 4 not in got_w  # empty doc: weight -inf, unselectable
+    # the target-like doc must outweigh the alien-vocab doc
+    assert got_w[1] > got_w[2]
+
+def test_dsir_select_hardmax_prefers_target_like(spark):
+    """gumbel=False: pure top-k by importance weight — the docs sharing
+    the target's vocabulary win; ranks are 1..k and deterministic."""
+    from hogzilla_spark.operators.sampling import dsir_select
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw_rows = [(i, "alpha beta gamma") for i in range(5)] + [
+        (i, "zz qq ww xx") for i in range(5, 10)
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    out = dsir_select(
+        raw, target, k=5, n_buckets=256, gumbel=False
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [0, 1, 2, 3, 4]
+    assert sorted(r.rank for r in out) == [1, 2, 3, 4, 5]
+    # identical texts -> identical weights -> rank order = id order
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [
+        0, 1, 2, 3, 4,
+    ]
+
+def test_dsir_select_gumbel_deterministic(spark):
+    """The Gumbel noise is hash-derived: rerun equals re-read, and the
+    score decomposes as logw_micro + round(-ln(-ln(u))*1e6)."""
+    import hashlib
+    import math
+
+    from hogzilla_spark.operators.sampling import dsir_select
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 else "qq zz") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = dsir_select(raw, target, k=8, n_buckets=128).collect()
+    b = dsir_select(raw, target, k=8, n_buckets=128).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        g = round(-math.log(-math.log((h + 0.5) / 2**32)) * 1e6)
+        assert r.score_micro == r.logw_micro + g
