@@ -33,13 +33,21 @@ def main() -> None:
     # per-stage shuffle/spill totals from the status REST API, so the
     # artifact records WHY a query is slow (spill regime vs plan
     # regression), not just wall-clock.  retainedStages is raised so
-    # cumulative diffs stay exact across the 50-query run.
+    # cumulative diffs stay exact across the 50-query run — but task
+    # and SQL-execution retention are cut to the bone: with the
+    # defaults (100k tasks) the in-memory status store grows by every
+    # task row of the whole suite and the listener/GC overhead
+    # MEASURABLY bleeds into query wall-clock (sf1 suite 326-385 s with
+    # default retention vs 234-242 s with tasks=1 or the UI off — the
+    # stage-level sums this harness reads are identical either way).
     spark = get_spark(
         app_name="hogzilla_bench",
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.retainedStages": "100000",
-            "spark.ui.retainedJobs": "100000",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedTasks": "1",
+            "spark.sql.ui.retainedExecutions": "10",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

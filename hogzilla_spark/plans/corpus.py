@@ -19,6 +19,12 @@ deduplicated, chunked, shard-packed corpus:
                         (`operators/text.lm_cross_entropy`); docs above
                         the perplexity threshold are dropped, the `ppl`
                         column rides on the output
+  3c. DSIR selection    optional target-matched data selection
+                        (`--dsir-target`, `--dsir-keep-frac`): hashed
+                        n-gram importance weights against a target
+                        corpus, Gumbel-top-k keeps the best-matching
+                        fraction (`operators/sampling.dsir_select`);
+                        the `logw_micro` weight rides on the output
   4. near-dup clusters  MinHash-LSH pairs → connected components →
                         keep each cluster's canonical (min-id) member
   5. chunk + shard      overlapping token windows + token-budget shard
@@ -58,6 +64,9 @@ def prepare_corpus(
     min_jaccard: float = 0.3,
     drop_low_quality: bool = False,
     lm_ppl_max: float | None = None,
+    dsir_target: str | None = None,
+    dsir_keep_frac: float = 0.5,
+    dsir_buckets: int = 65_536,
     chunk_tokens: int = 64,
     stride: int = 48,
     shard_budget: int = 65_536,
@@ -75,7 +84,19 @@ def prepare_corpus(
     exceeds the threshold are DROPPED; the `ppl` column rides on the
     output either way once the stage runs.  Docs with <2 tokens carry
     no LM signal (null ppl) and are kept — no evidence is not bad
-    evidence.  None (default) skips the stage entirely."""
+    evidence.  None (default) skips the stage entirely.
+
+    `dsir_target` (a parquet path whose `text` column defines the
+    distribution to match) enables the DSIR stage (3c): importance
+    weights are fit against that target over the current survivors and
+    Gumbel-top-k keeps `dsir_keep_frac` of them (at least 1).  Selection
+    is deterministic (hash-derived noise) — rerun equals re-read.  Docs
+    with no tokens carry weight −∞ and are always dropped by this
+    stage.  `dsir_buckets` must be small relative to the corpus gram
+    count: the add-½-per-bucket smoothing mass is buckets/2 grams, and
+    when that rivals the real counts both fitted distributions collapse
+    toward uniform and the weights degenerate to a length penalty —
+    shrink it for small corpora (the default suits ≥10⁶-gram runs)."""
     raw = spark.read.parquet(f"{src_dir}/documents.parquet")
     # validate BEFORE the eager checkpoint scans the corpus — the
     # schema is free from the parquet footer, the checkpoint is not
@@ -145,6 +166,27 @@ def prepare_corpus(
         ).localCheckpoint(eager=True)
         report["after_lm_filter"] = docs.count()
 
+    # 3c. optional DSIR selection: keep the dsir_keep_frac of survivors
+    # whose hashed n-gram distribution best matches the target corpus.
+    # Runs AFTER the quality/LM gates (select among docs already worth
+    # keeping), BEFORE near-dup clustering for the same reason as 3b:
+    # the LSH pass never pays for docs the selector already rejected.
+    if dsir_target is not None:
+        from hogzilla_spark.operators.sampling import dsir_select
+
+        tgt = spark.read.parquet(dsir_target)
+        n_now = report[
+            "after_lm_filter" if lm_ppl_max is not None
+            else "after_quality_drop" if drop_low_quality
+            else "after_exact_dedup"
+        ]
+        k = max(1, int(round(dsir_keep_frac * n_now)))
+        sel = dsir_select(docs, tgt, k=k, n_buckets=dsir_buckets).select(
+            "doc_id", "logw_micro"
+        )
+        docs = docs.join(sel, "doc_id").localCheckpoint(eager=True)
+        report["after_dsir_select"] = docs.count()
+
     # 4. near-dup clusters → keep canonical member per component
     pairs = DD.minhash_lsh_pairs(docs, min_jaccard=min_jaccard)
     comp = DD.connected_components(pairs)
@@ -182,6 +224,26 @@ def main() -> None:
         "whose self-trained bigram-LM perplexity exceeds this value "
         "(default: stage off)",
     )
+    ap.add_argument(
+        "--dsir-target",
+        default=None,
+        help="enable the DSIR selection stage: parquet path whose text "
+        "column defines the target distribution to match "
+        "(default: stage off)",
+    )
+    ap.add_argument(
+        "--dsir-keep-frac",
+        type=float,
+        default=0.5,
+        help="fraction of surviving docs the DSIR stage keeps",
+    )
+    ap.add_argument(
+        "--dsir-buckets",
+        type=int,
+        default=65_536,
+        help="hashed n-gram feature buckets; shrink for small corpora "
+        "(smoothing mass is buckets/2 grams)",
+    )
     ap.add_argument("--shard-budget", type=int, default=65_536)
     ap.add_argument(
         "--shard-partition-cols",
@@ -199,6 +261,9 @@ def main() -> None:
         min_jaccard=args.min_jaccard,
         drop_low_quality=args.drop_low_quality,
         lm_ppl_max=args.lm_ppl_max,
+        dsir_target=args.dsir_target,
+        dsir_keep_frac=args.dsir_keep_frac,
+        dsir_buckets=args.dsir_buckets,
         shard_budget=args.shard_budget,
         shard_partition_cols=(
             args.shard_partition_cols.split(",")

@@ -52,6 +52,9 @@ def corpus_ingest_stream(
     ts_col: str = "ts",
     lm_model: LMModel | None = None,
     lm_ppl_max: float | None = None,
+    dsir_log_ratio: DataFrame | None = None,
+    dsir_min_logw: int | None = None,
+    dsir_buckets: int = 65_536,
 ) -> tuple[StreamingQuery, StreamingQuery]:
     """Start both ingest queries over a streaming document frame
     (`id_col`, `text_col`, event-time `ts_col`).
@@ -72,9 +75,27 @@ def corpus_ingest_stream(
     streaming twin of batch stage 3b.  Self-scoring has no streaming
     twin by design — a per-batch self-trained LM would make keep/drop
     depend on batch boundaries.
+
+    `dsir_log_ratio` (a pre-fit `operators/sampling.dsir_log_ratio`
+    table — fit ONCE offline against the target corpus; an eagerly
+    checkpointed ≤`dsir_buckets`-row frame, broadcast into each batch)
+    adds a `logw_micro` importance weight to every surviving doc;
+    `dsir_min_logw` additionally DROPS docs below the threshold — the
+    streaming twin of batch stage 3c, threshold form instead of top-k
+    because a per-batch top-k would make keep/drop depend on batch
+    boundaries (the same reasoning as the LM note above).
+    `dsir_buckets` must equal the value the table was fit with.  When
+    the threshold is active, docs with no grams (null weight) are
+    DROPPED, matching the batch stage where weightless docs are never
+    selected.
     """
     if lm_ppl_max is not None and lm_model is None:
         raise ValueError("lm_ppl_max requires lm_model (train with lm_train)")
+    if dsir_min_logw is not None and dsir_log_ratio is None:
+        raise ValueError(
+            "dsir_min_logw requires dsir_log_ratio (fit with "
+            "sampling.dsir_log_ratio)"
+        )
 
     def sink_clean(batch_df: DataFrame, batch_id: int) -> None:
         # batch_df is a plain batch frame here: the quality signals
@@ -97,6 +118,18 @@ def corpus_ingest_stream(
                 out = out.filter(
                     F.col("ppl").isNull() | (F.col("ppl") <= lm_ppl_max)
                 )
+        if dsir_log_ratio is not None:
+            from pyspark.sql import functions as F
+
+            from hogzilla_spark.operators.sampling import dsir_weights
+
+            w = dsir_weights(
+                batch_df, dsir_log_ratio,
+                id_col=id_col, text_col=text_col, n_buckets=dsir_buckets,
+            )
+            out = out.join(w, id_col, "left")
+            if dsir_min_logw is not None:
+                out = out.filter(F.col("logw_micro") >= dsir_min_logw)
         out.write.mode("overwrite").parquet(
             f"{out_dir}/clean_docs.parquet/batch_id={batch_id}"
         )

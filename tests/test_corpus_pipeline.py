@@ -120,6 +120,59 @@ def test_prepare_corpus_lm_perplexity_filter(spark, tmp_path):
     assert 99 not in ids and ids <= set(range(20)) and ids
     assert clean.filter(F.col("ppl") > threshold).count() == 0
 
+def test_prepare_corpus_dsir_selection(spark, tmp_path):
+    """Stage 3c (--dsir-target): importance resampling against a target
+    corpus keeps the requested fraction, preferring target-like docs;
+    the logw_micro weight rides on the output."""
+    # alien docs are LONG (19 all-unseen grams ≈ −13 nats vs the alpha
+    # family's ≈ −4.5): the gap dwarfs the ±3-nat Gumbel noise, so the
+    # selection is exactly the alpha family
+    rows = [
+        (i, f"alpha beta gamma delta run {i}", "en") for i in range(10)
+    ] + [
+        (
+            100 + i,
+            " ".join(f"{p}{i}" for p in
+                     ["zz", "qq", "ww", "xx", "yy", "vv", "uu", "tt", "ss", "rr"]),
+            "xx",
+        )
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    src = str(tmp_path / "src")
+    docs.write.parquet(f"{src}/documents.parquet")
+
+    # 10 target docs: per-gram target count 10 vs raw count 10 gives
+    # shared grams λ = ln((R+αm)/(T+αm)) > 0 while unseen grams score
+    # ln(0.5(R+αm)/1.5(T+αm)) < 0 — a real separation (3 target docs
+    # would make BOTH ratios exactly 1:3 and the weights pure length)
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon") for i in range(10)],
+        "doc_id long, text string",
+    )
+    tgt_path = str(tmp_path / "target.parquet")
+    target.write.parquet(tgt_path)
+
+    out = str(tmp_path / "corpus_dsir")
+    # dsir_buckets small: the default's buckets/2 smoothing mass would
+    # swamp this 20-doc corpus's ~200 real gram counts and degrade the
+    # weights to a length penalty (the degeneration the docstring warns
+    # about — observed, not hypothetical)
+    report = prepare_corpus(
+        spark, src, out, dsir_target=tgt_path, dsir_keep_frac=0.5,
+        dsir_buckets=256,
+    )
+    # 20 in, no exact dups, keep round(0.5*20)=10
+    assert report["after_exact_dedup"] == 20
+    assert report["after_dsir_select"] == 10
+    clean = spark.read.parquet(f"{out}/clean_docs.parquet")
+    assert "logw_micro" in clean.columns
+    ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    # stage 4 (near-dup) legitimately collapses the deliberately-similar
+    # alpha docs further; the DSIR stage's work is that every zz doc is
+    # gone and only target-like docs remain
+    assert ids and ids <= set(range(10)), ids
+
 def test_corpus_ingest_stream_lm_filter(spark, tmp_path):
     """Streaming twin of stage 3b: a model trained once on a reference
     corpus scores every micro-batch; the gibberish doc is dropped at
@@ -175,6 +228,71 @@ def test_corpus_ingest_stream_lm_filter(spark, tmp_path):
         corpus_ingest_stream(
             spark.readStream.schema(schema).parquet(input_dir),
             out_dir, ckpt, lm_ppl_max=1.0,
+        )
+
+def test_corpus_ingest_stream_dsir_filter(spark, tmp_path):
+    """Streaming twin of stage 3c: a log-ratio table fit once offline
+    weights every micro-batch; below-threshold and weightless docs are
+    dropped at ingest, survivors carry logw_micro."""
+    from hogzilla_spark.operators.sampling import dsir_log_ratio, dsir_weights
+
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon") for i in range(10)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)]
+        + [(100 + i, "zz qq ww xx yy vv uu tt ss rr") for i in range(10)],
+        "doc_id long, text string",
+    )
+    lam = dsir_log_ratio(target, pool, n_buckets=256)
+
+    input_dir = str(tmp_path / "in_dsir")
+    out_dir = str(tmp_path / "out_dsir")
+    ckpt = str(tmp_path / "ckpt_dsir")
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", t0),       # target-like
+            (2, "zz qq ww xx yy vv uu tt ss rr", t0),  # alien
+            (3, "", t0),                              # weightless
+        ],
+        schema,
+    )
+    batch.coalesce(1).write.mode("append").parquet(input_dir)
+
+    # threshold from the operator itself: midpoint between the two
+    # weight families (fixed literals would be smoothing-fragile)
+    w = {
+        r.doc_id: r.logw_micro
+        for r in dsir_weights(
+            batch.select("doc_id", "text"), lam, n_buckets=256
+        ).collect()
+    }
+    assert w[1] > w[2], w
+    threshold = (w[1] + w[2]) // 2
+
+    qs = corpus_ingest_stream(
+        spark.readStream.schema(schema).parquet(input_dir),
+        out_dir, ckpt, available_now=True,
+        dsir_log_ratio=lam, dsir_min_logw=threshold, dsir_buckets=256,
+    )
+    for q in qs:
+        q.awaitTermination(120)
+    clean = spark.read.parquet(f"{out_dir}/clean_docs.parquet")
+    assert "logw_micro" in clean.columns
+    rows = {r.doc_id: r.logw_micro for r in clean.collect()}
+    assert set(rows) == {1}
+    assert rows[1] == w[1]
+
+    # misuse guard: the drop rule without a fitted table fails fast
+    import pytest
+
+    with pytest.raises(ValueError, match="dsir_log_ratio"):
+        corpus_ingest_stream(
+            spark.readStream.schema(schema).parquet(input_dir),
+            out_dir, ckpt, dsir_min_logw=0,
         )
 
 def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
