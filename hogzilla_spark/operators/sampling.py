@@ -219,23 +219,25 @@ def _hashed_grams(
 
     toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     d = df.select(F.col(id_col), toks.alias("__w"))
-    uni = d.select(id_col, F.explode("__w").alias("__g"))
-    bi = d.filter(F.size("__w") >= 2).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__w") - 2),
-                lambda i: F.concat(
-                    F.get("__w", i), F.lit(" "), F.get("__w", i + 1)
-                ),
-            )
-        ).alias("__g"),
-    )
+    # ONE explode over unigrams ++ bigrams: a union of two explodes
+    # tokenizes every document twice, and this frame is built three
+    # times per dsir_select call (fit target, fit raw, score raw)
+    bigrams = F.when(
+        F.size("__w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__w") - 2),
+            lambda i: F.concat(
+                F.get("__w", i), F.lit(" "), F.get("__w", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     b = F.pmod(
         F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10).cast("long"),
         F.lit(n_buckets),
     )
-    return uni.unionByName(bi).select(id_col, b.alias("__b"))
+    return d.select(
+        F.col(id_col), F.explode(F.concat("__w", bigrams)).alias("__g")
+    ).select(id_col, b.alias("__b"))
 
 def dsir_log_ratio(
     target: DataFrame,
