@@ -195,3 +195,19 @@ def test_text_profile_keyed_path_uses_codegen_aggregate(spark):
     # — tokenizer, fingerprint — are fine and not asserted against)
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "hashpartitioning(__" in plan, plan
+
+def test_dsir_select_broadcast_lambda_and_take_ordered(spark):
+    """dsir_select's scale shape: the λ table joins BROADCAST (≤
+    n_buckets rows — the gram stream must never shuffle on bucket),
+    the per-doc weight sum is a partial-aggregated groupBy(doc_id),
+    and the k-selection is TakeOrderedAndProject, never a global sort.
+    The gram column itself must not appear in any exchange: the only
+    hash exchange is the doc-id weight aggregation."""
+    plan = plan_of(spark, "dsir_select")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
+    # every hash exchange keys on doc_id (weight agg) — never on the
+    # exploded gram/bucket stream
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
+        assert m.group(1) == "doc_id", plan
