@@ -117,6 +117,21 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                     )
     return problems
 
+def _exact_pandas(batch):
+    """arrow→pandas with integer columns mapped to pandas nullable
+    Int64: the default conversion turns a null-carrying int64 chunk
+    into float64 — lossy at |v| >= 2^53 and chunk-variant (a null-free
+    chunk of the same column stays int64).  Both digest producers
+    (the Spark parquet-spill reader and the DuckDB record-batch
+    reader) MUST convert through this so the exact-int hash path in
+    `_digest_chunks` sees one canonical form."""
+    import pandas as _pd
+    import pyarrow.types as _pt
+
+    return batch.to_pandas(
+        types_mapper=lambda t: _pd.Int64Dtype() if _pt.is_integer(t) else None
+    )
+
 def _digest_chunks(chunks) -> tuple[int, list[str] | None, dict[str, str], int]:
     """Fold a stream of pandas chunks into (rows, sorted cols, dtype
     kinds, commutative digest).  Per row: columns in sorted-name order
@@ -139,28 +154,37 @@ def _digest_chunks(chunks) -> tuple[int, list[str] | None, dict[str, str], int]:
         for c in cols:
             s = pdf[c]
             k = s.dtype.kind if hasattr(s.dtype, "kind") else "O"
-            if k in "iufb":
-                # ONE numeric canonical form per column regardless of
-                # chunk-local nullness: arrow→pandas turns an int64
-                # chunk WITH nulls into float64 but leaves a null-free
-                # chunk int64, and hash(5) != hash(5.0) — hashing the
-                # raw dtype breaks chunk-invariance.  float64 is exact
-                # only below 2^53, so integer columns are ASSERTED into
-                # that range — an out-of-range value fails loudly
-                # instead of silently weakening the comparison to a
-                # lossy-rounded digest (two results differing only in
-                # such values could otherwise digest-equal).  The
-                # dtype FAMILY still comes from the arrow-reported
-                # kind so int-vs-float drift is flagged, not hashed.
+            if k in "iu":
+                # EXACT integer path (the 2^53 guard used to reject
+                # what float64 canonicalization would hash lossily —
+                # sf100 a_rollups sums crossed it honestly): every int
+                # chunk canonicalizes to nullable Int64 (producers
+                # convert through `_exact_pandas`, so null-carrying
+                # chunks arrive Int64 too, never float64) and hashes
+                # as raw int64 values + a separate null mask — exact
+                # at any magnitude, chunk-invariant by construction.
+                kinds.setdefault(c, "i")
+                s = s.astype("Int64")
+                mask = s.isna()
+                hv = (
+                    pd.util.hash_pandas_object(
+                        s.fillna(0).astype("int64"), index=False
+                    ).to_numpy().astype(np.uint64)
+                )
+                hm = (
+                    pd.util.hash_pandas_object(
+                        mask.astype("int8"), index=False
+                    ).to_numpy().astype(np.uint64)
+                )
+                h = h * np.uint64(1_000_003) + hv
+                h = h * np.uint64(1_000_003) + hm
+                continue
+            if k in "fb":
+                # floats hash as the float64 both engines computed;
+                # bools are exact in float64.  The dtype FAMILY still
+                # comes from the arrow-reported kind so int-vs-float
+                # drift is flagged, not hashed.
                 kinds.setdefault(c, "f" if k == "f" else "i")
-                if k in "iu":
-                    vals = s.to_numpy().astype(np.float64)
-                    if len(vals) and np.abs(vals).max() >= 2.0**53:
-                        raise AssertionError(
-                            f"digest: integer column {c!r} carries |v| >= 2^53 "
-                            "— float64 canonicalization would hash it lossily; "
-                            "extend _digest_chunks with an exact int path first"
-                        )
                 s = s.astype("float64")
             else:
                 kinds.setdefault(c, "O")
@@ -197,7 +221,7 @@ _DUCK_DIGEST_PROG = """
 import json, os, sys
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
-from oracle_check import duck_con, _digest_chunks, _arrow_kinds
+from oracle_check import duck_con, _digest_chunks, _arrow_kinds, _exact_pandas
 sf_dir, sql_path = sys.argv[1], sys.argv[2]
 shards, shard_idx = int(sys.argv[3]), int(sys.argv[4])
 # sf100-robust defaults (env still overrides): 32 threads double the
@@ -231,7 +255,7 @@ if shards > 1:
     )
 reader = con.execute(sql).fetch_record_batch(65_536)
 kinds = _arrow_kinds(reader.schema)
-rows, cols, _, digest = _digest_chunks(b.to_pandas() for b in reader)
+rows, cols, _, digest = _digest_chunks(_exact_pandas(b) for b in reader)
 if cols is None:
     # empty result stream yields no chunks; the column list still
     # exists in the reader schema — without this an EMPTY oracle
@@ -363,7 +387,7 @@ def digest_compare(name: str, sf_dir: str, sql: str) -> tuple[list[str], dict]:
 
         def spark_chunks():
             for batch in dset.to_batches(batch_size=65_536):
-                yield batch.to_pandas()
+                yield _exact_pandas(batch)
 
         s_rows, s_cols, _, s_digest = _digest_chunks(spark_chunks())
         if s_cols is None:  # empty result — schema still known (see duck twin)

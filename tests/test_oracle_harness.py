@@ -8,7 +8,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo/tests")
 
-from oracle_check import _digest_chunks
+from oracle_check import _digest_chunks, _exact_pandas
 
 
 def test_digest_order_and_chunk_invariant():
@@ -45,14 +45,41 @@ def test_digest_nulls_and_floats():
 
 def test_digest_nullable_int_chunk_invariant():
     """arrow→pandas turns an int64 chunk WITH nulls into float64 but
-    leaves a null-free chunk int64 — the digest must canonicalize, or
-    chunking placement of nulls changes the hash (found in review)."""
+    leaves a null-free chunk int64 — producers convert through
+    `_exact_pandas` (ints → nullable Int64) so chunking placement of
+    nulls cannot change the hash (found in review; the exact-int hash
+    path replaced the earlier float64 canonicalization)."""
     import pyarrow as pa
 
+    def batches(*slices):
+        return iter([_exact_pandas(s) for s in slices])
+
     t = pa.table({"x": pa.array([None, 7, 8], type=pa.int64())})
-    one = _digest_chunks(iter([t.to_pandas()]))
-    two = _digest_chunks(iter([t.slice(0, 1).to_pandas(), t.slice(1, 2).to_pandas()]))
+    one = _digest_chunks(batches(t))
+    two = _digest_chunks(batches(t.slice(0, 1), t.slice(1, 2)))
     assert one[3] == two[3] and one[0] == two[0] == 3
+    # null placement is hashed: [None, 7] != [7, None] as multisets of
+    # (value, nullness) rows
+    u = pa.table({"x": pa.array([None, 7], type=pa.int64())})
+    v = pa.table({"x": pa.array([7, None], type=pa.int64())})
+    assert _digest_chunks(batches(u))[3] == _digest_chunks(batches(v))[3]
+    w = pa.table({"x": pa.array([0, 7], type=pa.int64())})
+    assert _digest_chunks(batches(u))[3] != _digest_chunks(batches(w))[3]
+
+
+def test_digest_int_exact_beyond_2_53():
+    """Integers past 2^53 hash EXACTLY (the old float64 canonical form
+    was lossy there and the guard refused sf100 a_rollups sums): two
+    values that collide in float64 must produce different digests."""
+    import pyarrow as pa
+
+    big = 2**60
+    a = pa.table({"x": pa.array([big], type=pa.int64())})
+    b = pa.table({"x": pa.array([big + 1], type=pa.int64())})
+    assert float(big) == float(big + 1)  # the float64 collision is real
+    da = _digest_chunks(iter([_exact_pandas(a)]))[3]
+    db = _digest_chunks(iter([_exact_pandas(b)]))[3]
+    assert da != db
 
 
 def test_digest_null_not_conflated_with_none_string():
