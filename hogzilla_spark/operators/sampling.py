@@ -254,10 +254,13 @@ def dsir_log_ratio(
     to scoring and absent-everywhere buckets contribute a constant the
     top-k is invariant to).
 
-    Returns (__b, __tc, __rc, __lam) — ≤ n_buckets rows, eagerly
-    localCheckpoint'ed so the two corpus scans behind it never re-run
-    when the table is broadcast into scoring.  The two grand totals are
-    O(1) driver scalars (same class as the my-nets collects)."""
+    Returns (__b, __tc, __rc, __lam, __t_tot, __r_tot) — ≤ n_buckets
+    rows, eagerly localCheckpoint'ed so the two corpus scans behind it
+    never re-run when the table is broadcast into scoring.  The two
+    grand totals are O(1) driver scalars (same class as the my-nets
+    collects); they ride along as constant columns so a scoring pass
+    over a DIFFERENT corpus (streaming ingest) can reconstruct the
+    smoothed λ for buckets this fit never observed."""
     tb = (
         _hashed_grams(target, id_col, text_col, n_buckets)
         .groupBy("__b")
@@ -291,7 +294,14 @@ def dsir_log_ratio(
     )
     return (
         rb.join(tb, "__b", "left")
-        .select("__b", F.coalesce("__tc", F.lit(0)).alias("__tc"), "__rc", lam)
+        .select(
+            "__b",
+            F.coalesce("__tc", F.lit(0)).alias("__tc"),
+            "__rc",
+            lam,
+            F.lit(int(t_tot)).alias("__t_tot"),
+            F.lit(int(r_tot)).alias("__r_tot"),
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -301,18 +311,56 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 65_536,
+    alpha: float = 0.5,
+    unseen: str = "drop",
 ) -> DataFrame:
     """(id, logw_micro): per-doc importance log-weight = Σ over gram
     occurrences of λ_micro — an exact integer sum.  One explode →
     broadcast λ join → groupBy(id) with map-side combine.  Docs with no
     grams (empty text) produce no row: they carry weight −∞ and are
-    never selected."""
-    return (
-        _hashed_grams(raw, id_col, text_col, n_buckets)
-        .join(F.broadcast(log_ratio.select("__b", "__lam")), "__b")
-        .groupBy(id_col)
-        .agg(F.sum("__lam").alias("logw_micro"))
-    )
+    never selected.
+
+    ``unseen`` governs grams hashing to buckets ABSENT from the fitted
+    λ table (impossible when scoring the same corpus the fit saw, the
+    batch `dsir_select` case; routine when scoring NEW docs against a
+    pre-fit table, the streaming-ingest case):
+
+      - "drop" (default, exact batch semantics): such grams contribute
+        nothing, and a doc whose grams ALL land in unfitted buckets
+        gets no row at all (same −∞ class as empty text);
+      - "smooth": left-join with the add-α default
+        λ₀ = ln(α/(t_tot+αB)) − ln(α/(r_tot+αB)) — exactly what the
+        fit would have produced for a (0, 0)-count bucket — so every
+        gram-bearing doc always gets a finite weight.  Requires the
+        grand-total columns `dsir_log_ratio` emits; ``alpha`` must
+        match the fit's.
+    """
+    lam = F.broadcast(log_ratio.select("__b", "__lam"))
+    grams = _hashed_grams(raw, id_col, text_col, n_buckets)
+    if unseen == "smooth":
+        if "__t_tot" not in log_ratio.columns:
+            raise ValueError(
+                "unseen='smooth' needs the __t_tot/__r_tot columns — "
+                "re-fit with dsir_log_ratio"
+            )
+        tot = log_ratio.select("__t_tot", "__r_tot").first()
+        import math
+
+        lam0 = round(
+            (
+                math.log(alpha / (tot["__t_tot"] + alpha * n_buckets))
+                - math.log(alpha / (tot["__r_tot"] + alpha * n_buckets))
+            )
+            * 1e6
+        )
+        joined = grams.join(lam, "__b", "left").select(
+            id_col, F.coalesce("__lam", F.lit(lam0)).alias("__lam")
+        )
+    elif unseen == "drop":
+        joined = grams.join(lam, "__b")
+    else:
+        raise ValueError(f"unseen must be 'drop' or 'smooth', got {unseen!r}")
+    return joined.groupBy(id_col).agg(F.sum("__lam").alias("logw_micro"))
 
 def dsir_select(
     raw: DataFrame,

@@ -84,8 +84,13 @@ def corpus_ingest_stream(
     streaming twin of batch stage 3c, threshold form instead of top-k
     because a per-batch top-k would make keep/drop depend on batch
     boundaries (the same reasoning as the LM note above).
-    `dsir_buckets` must equal the value the table was fit with.  When
-    the threshold is active, docs with no grams (null weight) are
+    `dsir_buckets` must equal the value the table was fit with.
+    Streaming docs can hash grams to buckets the offline fit never
+    observed; scoring uses `dsir_weights(unseen="smooth")`, which gives
+    such grams the fit's add-α default λ₀ (what a zero-count bucket
+    would have been assigned) instead of silently ignoring them — so
+    every gram-bearing doc gets a finite weight and, when the threshold
+    is active, only docs with NO grams at all (null weight) are
     DROPPED, matching the batch stage where weightless docs are never
     selected.
     """
@@ -126,6 +131,7 @@ def corpus_ingest_stream(
             w = dsir_weights(
                 batch_df, dsir_log_ratio,
                 id_col=id_col, text_col=text_col, n_buckets=dsir_buckets,
+                unseen="smooth",
             )
             out = out.join(w, id_col, "left")
             if dsir_min_logw is not None:

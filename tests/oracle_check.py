@@ -119,18 +119,26 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 def _exact_pandas(batch):
     """arrow→pandas with integer columns mapped to pandas nullable
-    Int64: the default conversion turns a null-carrying int64 chunk
-    into float64 — lossy at |v| >= 2^53 and chunk-variant (a null-free
-    chunk of the same column stays int64).  Both digest producers
-    (the Spark parquet-spill reader and the DuckDB record-batch
-    reader) MUST convert through this so the exact-int hash path in
-    `_digest_chunks` sees one canonical form."""
+    Int64 and booleans to nullable boolean: the default conversion is
+    chunk-variant for both (a null-carrying int64 chunk becomes
+    float64 — lossy at |v| >= 2^53 — while a null-free chunk stays
+    int64; a null-carrying bool chunk becomes object, hashing
+    'True'/'False' strings, while a null-free chunk stays bool and
+    hashes 1.0/0.0).  Both digest producers (the Spark parquet-spill
+    reader and the DuckDB record-batch reader) MUST convert through
+    this so the exact value+mask hash path in `_digest_chunks` sees
+    one canonical form regardless of null placement across chunks."""
     import pandas as _pd
     import pyarrow.types as _pt
 
-    return batch.to_pandas(
-        types_mapper=lambda t: _pd.Int64Dtype() if _pt.is_integer(t) else None
-    )
+    def _mapper(t):
+        if _pt.is_integer(t):
+            return _pd.Int64Dtype()
+        if _pt.is_boolean(t):
+            return _pd.BooleanDtype()
+        return None
+
+    return batch.to_pandas(types_mapper=_mapper)
 
 def _digest_chunks(chunks) -> tuple[int, list[str] | None, dict[str, str], int]:
     """Fold a stream of pandas chunks into (rows, sorted cols, dtype
@@ -154,7 +162,12 @@ def _digest_chunks(chunks) -> tuple[int, list[str] | None, dict[str, str], int]:
         for c in cols:
             s = pdf[c]
             k = s.dtype.kind if hasattr(s.dtype, "kind") else "O"
-            if k in "iu":
+            if k in "iub":
+                # bools ride the exact int path too (True→1, False→0,
+                # null→mask) — producers canonicalize them to nullable
+                # BooleanDtype in `_exact_pandas`, so null placement
+                # across chunks can't flip them onto the float or
+                # string path
                 # EXACT integer path (the 2^53 guard used to reject
                 # what float64 canonicalization would hash lossily —
                 # sf100 a_rollups sums crossed it honestly): every int
@@ -179,12 +192,11 @@ def _digest_chunks(chunks) -> tuple[int, list[str] | None, dict[str, str], int]:
                 h = h * np.uint64(1_000_003) + hv
                 h = h * np.uint64(1_000_003) + hm
                 continue
-            if k in "fb":
-                # floats hash as the float64 both engines computed;
-                # bools are exact in float64.  The dtype FAMILY still
-                # comes from the arrow-reported kind so int-vs-float
-                # drift is flagged, not hashed.
-                kinds.setdefault(c, "f" if k == "f" else "i")
+            if k == "f":
+                # floats hash as the float64 both engines computed.
+                # The dtype FAMILY still comes from the arrow-reported
+                # kind so int-vs-float drift is flagged, not hashed.
+                kinds.setdefault(c, "f")
                 s = s.astype("float64")
             else:
                 kinds.setdefault(c, "O")

@@ -58,12 +58,37 @@ def test_digest_nullable_int_chunk_invariant():
     one = _digest_chunks(batches(t))
     two = _digest_chunks(batches(t.slice(0, 1), t.slice(1, 2)))
     assert one[3] == two[3] and one[0] == two[0] == 3
-    # null placement is hashed: [None, 7] != [7, None] as multisets of
-    # (value, nullness) rows
+    # the digest is commutative, so [None, 7] and [7, None] are the
+    # same multiset of (value, nullness) rows and digest EQUAL — while
+    # null vs zero (the w table below) must still differ
     u = pa.table({"x": pa.array([None, 7], type=pa.int64())})
     v = pa.table({"x": pa.array([7, None], type=pa.int64())})
     assert _digest_chunks(batches(u))[3] == _digest_chunks(batches(v))[3]
     w = pa.table({"x": pa.array([0, 7], type=pa.int64())})
+    assert _digest_chunks(batches(u))[3] != _digest_chunks(batches(w))[3]
+
+
+def test_digest_nullable_bool_chunk_invariant():
+    """Same bug class as the nullable-int fix: arrow→pandas turns a
+    bool chunk WITH nulls into object (hashing 'True'/'False' strings)
+    but leaves a null-free chunk bool (hashing 1.0/0.0 on the float
+    path) — producers convert through `_exact_pandas` (bools →
+    nullable BooleanDtype, hashed on the exact value+mask path) so
+    null placement across chunks cannot change the digest."""
+    import pyarrow as pa
+
+    def batches(*slices):
+        return iter([_exact_pandas(s) for s in slices])
+
+    t = pa.table({"x": pa.array([None, True, False], type=pa.bool_())})
+    one = _digest_chunks(batches(t))
+    two = _digest_chunks(batches(t.slice(0, 1), t.slice(1, 2)))
+    three = _digest_chunks(batches(t.slice(0, 2), t.slice(2, 1)))
+    assert one[3] == two[3] == three[3] and one[0] == 3
+    assert one[2] == {"x": "i"}  # same family _arrow_kinds reports
+    # null vs False must differ
+    u = pa.table({"x": pa.array([None, True], type=pa.bool_())})
+    w = pa.table({"x": pa.array([False, True], type=pa.bool_())})
     assert _digest_chunks(batches(u))[3] != _digest_chunks(batches(w))[3]
 
 

@@ -321,6 +321,82 @@ def test_dsir_weights_hand_computed(spark):
     # the target-like doc must outweigh the alien-vocab doc
     assert got_w[1] > got_w[2]
 
+def test_dsir_weights_unseen_smooth(spark):
+    """Scoring a NEW corpus against a pre-fit λ table (the streaming
+    case): with the default unseen='drop', grams in unfitted buckets
+    vanish and an all-unseen doc gets NO row; with unseen='smooth'
+    every unfitted gram contributes the add-α default
+    λ₀ = ln(α/(T+αm)) − ln(α/(R+αm)) — exactly what the fit would have
+    assigned a zero-count bucket — so every gram-bearing doc scores."""
+    import math
+
+    from hogzilla_spark.operators.sampling import dsir_log_ratio, dsir_weights
+
+    m, alpha = 64, 0.5
+    target_texts = ["the cat sat", "the cat ran", "a cat"]
+    fit_raw = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zx qy wv")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target_texts)],
+        "doc_id long, text string",
+    )
+    lam = dsir_log_ratio(target, fit_raw, n_buckets=m)
+    lam_ref, _ = _dsir_ref(target_texts, [(1, "the cat sat"), (2, "zx qy wv")], m=m)
+    T = sum(
+        sum(1 for g in _grams_py(t) if True) for t in target_texts
+    )  # total target grams
+    R = 5 + 5  # both fit docs: 3 unigrams + 2 bigrams each
+    lam0 = round(
+        (math.log(alpha / (T + alpha * m)) - math.log(alpha / (R + alpha * m)))
+        * 1e6
+    )
+
+    # 'novel' uses vocabulary the fit never saw; 'mixed' has 3 fitted
+    # grams ('the', 'cat', 'the cat') + 2 unfitted ('moo', 'cat moo')
+    new_docs = spark.createDataFrame(
+        [(10, "novel words here"), (11, "the cat moo")],
+        "doc_id long, text string",
+    )
+    dropped = {
+        r.doc_id: r.logw_micro
+        for r in dsir_weights(new_docs, lam, n_buckets=m).collect()
+    }
+    smoothed = {
+        r.doc_id: r.logw_micro
+        for r in dsir_weights(
+            new_docs, lam, n_buckets=m, alpha=alpha, unseen="smooth"
+        ).collect()
+    }
+    assert 10 not in dropped  # all-unseen doc: silently weightless
+    assert smoothed[10] == 5 * lam0  # 3 unigrams + 2 bigrams, all λ₀
+    assert smoothed[11] == dropped[11] + 2 * lam0
+    # fitted buckets score identically either way
+    fitted_part = sum(
+        lam_ref[b]
+        for b in map(_bucket_py(m), ["the", "cat", "the cat"])
+    )
+    assert dropped[11] == fitted_part
+
+    import pytest
+
+    with pytest.raises(ValueError, match="smooth"):
+        dsir_weights(new_docs, lam.select("__b", "__lam"), unseen="smooth")
+    with pytest.raises(ValueError, match="unseen"):
+        dsir_weights(new_docs, lam, unseen="zap")
+
+
+def _grams_py(text):
+    w = [t for t in text.lower().strip().split() if t]
+    return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+
+def _bucket_py(m):
+    import hashlib
+
+    return lambda g: int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+
 def test_dsir_select_hardmax_prefers_target_like(spark):
     """gumbel=False: pure top-k by importance weight — the docs sharing
     the target's vocabulary win; ranks are 1..k and deterministic."""
