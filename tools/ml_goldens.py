@@ -137,18 +137,29 @@ def record(spark, sf_dir: str) -> dict:
     flows = flows.localCheckpoint(eager=True)
     rec: dict = {"n_flows": flows.count()}
 
+    # cell-size VECTORS are excluded like centroids: k-means centroid
+    # sums depend on task-completion order (treeAggregate combine
+    # order), so borderline normal-mass rows hop cells run-to-run under
+    # different host load even at a fixed seed — found when the in-suite
+    # re-run diverged from a standalone recording.  The count of cells
+    # and the (well-separated) planted cell's size ARE stable, as are
+    # all selection metrics.
     dns_members, dns_cells = dns_kmeans(flows, cfg)
+    dns_sizes = sorted(
+        r.cell_count for r in dns_cells.select("cell_count").collect()
+    )
     rec["dns"] = {
-        "cells": sorted(
-            r.cell_count for r in dns_cells.select("cell_count").collect()
-        ),
+        "n_cells": len(dns_sizes),
+        "planted_cell": dns_sizes[0],
         **planted_metrics(dns_members, f"10.1.0.{DNS_ANOM_UID}"),
     }
     http_members, http_cells = http_kmeans(flows, cfg)
+    http_sizes = sorted(
+        r.cell_count for r in http_cells.select("cell_count").collect()
+    )
     rec["http"] = {
-        "cells": sorted(
-            r.cell_count for r in http_cells.select("cell_count").collect()
-        ),
+        "n_cells": len(http_sizes),
+        "planted_cell": http_sizes[0],
         **planted_metrics(http_members, f"10.1.0.{HTTP_ANOM_UID}"),
     }
 
@@ -198,10 +209,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"_note": (
         "Fixed-seed (MLConfig.seed=42) fit-level goldens over the planted "
-        "synth-flow mapping in tools/ml_goldens.py — re-run the tool and "
-        "diff to see ML drift. Integer metrics only (cluster/cell sizes, "
-        "selection counts); FP-jittery values (centroids) are excluded "
-        "by design."
+        "synth-flow mapping in tools/ml_goldens.py — asserted against a "
+        "re-run by tests/test_ml.py, so drift fails CI. Scheduling-robust "
+        "integer metrics only (cell counts, the planted cell's size, "
+        "selection counts); FP-order-jittery values (centroids, full "
+        "cell-size vectors — treeAggregate combine order moves borderline "
+        "rows between cells) are excluded by design."
     )}
     for sf_dir in sf_dirs:
         out[sf_dir.rstrip("/").rsplit("/", 1)[-1]] = record(spark, sf_dir)
