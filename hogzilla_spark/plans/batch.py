@@ -218,8 +218,10 @@ def run_and_persist(
     signatures_df(spark).write.mode("overwrite").parquet(
         f"{out_dir}/signatures.parquet"
     )
-    merged = store.apply_updates(histograms, result.state_updates)
-    store.save(merged, state_path)
+    if store.delta_available(spark):
+        store.merge_into(spark, result.state_updates, state_path)
+    else:
+        store.save(store.apply_updates(histograms, result.state_updates), state_path)
     histograms.unpersist()
     return result
 

@@ -4,9 +4,12 @@ The reference does a per-entity HBase Get before scoring and a Put after
 merging (HogHBaseHistogram.scala:75-136) — per-row RPCs inside foreach.
 The engine's contract (SURVEY.md §4 custom-work item 1): scoring reads
 are an equi-join against the saved state table, and writes are ONE
-batched upsert per family per run.  On Delta this would be MERGE INTO;
-on plain parquet we implement upsert as full-outer-join + staged
-rewrite, which is the same shuffle shape.
+batched upsert per family per run.  Two backends behind one entry
+point (:func:`upsert`): real Delta ``MERGE INTO`` when the session has
+delta-spark wired in (:func:`delta_available` probes at call time), else
+full-outer-join + staged parquet rewrite — the same shuffle shape, with
+crash-safety from the atomic generation pointer.  Both apply the
+identical per-mode merge expressions (:func:`_merge_exprs`).
 
 Update modes:
   - "merge":     weighted mean + decay (Histograms.merge, H5)
@@ -83,12 +86,39 @@ def _has_parquet_parts(path: str) -> bool:
 
 def load(spark: SparkSession, path: str | None) -> DataFrame:
     if path and os.path.exists(path):
+        if os.path.isdir(os.path.join(path, "_delta_log")) and delta_available(spark):
+            # a store written by merge_into(): read through the Delta log
+            # (reading the bare part files would resurrect overwritten rows)
+            return spark.read.format("delta").load(path)
         gen = _current_gen(path)
         if gen is not None and os.path.exists(os.path.join(path, gen)):
             return spark.read.schema(HISTOGRAMS).parquet(os.path.join(path, gen))
         if _has_parquet_parts(path):  # legacy flat layout
             return spark.read.schema(HISTOGRAMS).parquet(path)
     return spark.createDataFrame([], HISTOGRAMS)
+
+def _merge_exprs(
+    s_size: str, s_values: str, s_labels: str,
+    u_size: str, u_values: str, u_labels: str, mode: str,
+) -> dict[str, "F.Column"]:
+    """Per-mode merge expressions for a (saved, update) row pair.
+
+    The single source of truth for upsert semantics: the parquet path
+    (apply_updates, full-outer join) and the Delta path (merge_into,
+    MERGE INTO ... WHEN MATCHED UPDATE) both apply exactly these
+    Columns, so the two storage backends can't drift apart.
+    """
+    mode_c = F.col(mode)
+    return {
+        "size": F.when(mode_c == "replace", F.col(u_size))
+        .when(mode_c == "merge_max", F.col(s_size) + F.col(u_size))
+        .otherwise(merged_size(s_size, u_size)),
+        "values": F.when(mode_c == "replace", F.col(u_values))
+        .when(mode_c == "merge_max", merge_max(s_values, u_values))
+        .otherwise(merge_histograms(s_values, s_size, u_values, u_size)),
+        "labels": F.when(mode_c == "replace", F.col(u_labels))
+        .otherwise(merge_labels(s_labels, u_labels)),
+    }
 
 def apply_updates(saved: DataFrame, updates: DataFrame) -> DataFrame:
     """One batched upsert: full-outer join saved ↔ batch updates on
@@ -121,19 +151,14 @@ def apply_updates(saved: DataFrame, updates: DataFrame) -> DataFrame:
         F.col("u_values").alias("values"),
         F.col("u_labels").alias("labels"),
     )
+    exprs = _merge_exprs(
+        "s_size", "s_values", "s_labels", "u_size", "u_values", "u_labels", "mode"
+    )
     merged = both.select(
         "hist_name",
-        F.when(F.col("mode") == "replace", F.col("u_size"))
-        .when(F.col("mode") == "merge_max", F.col("s_size") + F.col("u_size"))
-        .otherwise(merged_size("s_size", "u_size"))
-        .alias("size"),
-        F.when(F.col("mode") == "replace", F.col("u_values"))
-        .when(F.col("mode") == "merge_max", merge_max("s_values", "u_values"))
-        .otherwise(merge_histograms("s_values", "s_size", "u_values", "u_size"))
-        .alias("values"),
-        F.when(F.col("mode") == "replace", F.col("u_labels"))
-        .otherwise(merge_labels("s_labels", "u_labels"))
-        .alias("labels"),
+        exprs["size"].alias("size"),
+        exprs["values"].alias("values"),
+        exprs["labels"].alias("labels"),
     )
     return merged.unionByName(only_saved).unionByName(only_new)
 
@@ -184,6 +209,84 @@ def save(df: DataFrame, path: str, batch_id: int | None = None) -> None:
             os.unlink(full)
         elif not legacy_live:  # flat-layout files one cycle after migration
             shutil.rmtree(full, ignore_errors=True) if os.path.isdir(full) else os.unlink(full)
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when BOTH halves of delta-spark are wired into this session:
+    the Python package (delta.tables.DeltaTable) and the JVM extension
+    (spark.sql.extensions must carry DeltaSparkSessionExtension — the
+    pip package alone cannot plan a MERGE).  Probed at call time so the
+    same code runs in this container (no delta → parquet-pointer store)
+    and on a cluster with Delta on the classpath (→ real MERGE INTO)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except Exception:
+        return False
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        return False
+    return "DeltaSparkSessionExtension" in ext
+
+def merge_into(spark: SparkSession, updates: DataFrame, path: str) -> None:
+    """Transactional upsert via Delta ``MERGE INTO`` — the cluster form
+    of :func:`apply_updates` + :func:`save` (SCALE.md "Known single-node
+    shortcuts").  Same shuffle shape (one hash join on hist_name), same
+    merge semantics (_merge_exprs is shared verbatim), but the commit is
+    a Delta transaction instead of the staged-parquet pointer swap.
+
+    Requires :func:`delta_available`; callers go through :func:`upsert`,
+    which dispatches here only when the probe passes.
+    """
+    from delta.tables import DeltaTable
+
+    u = updates.select(
+        "hist_name",
+        F.col("size").cast("long").alias("size"),
+        "values",
+        F.coalesce(F.col("labels"), EMPTY_MAP_S()).alias("labels"),
+        "mode",
+    )
+    if not DeltaTable.isDeltaTable(spark, path):
+        # first write: seed the table with the updates themselves
+        # (nothing saved yet, so every row is an insert)
+        u.drop("mode").write.format("delta").mode("overwrite").save(path)
+        return
+    t = DeltaTable.forPath(spark, path)
+    exprs = _merge_exprs(
+        "s.size", "s.values", "s.labels", "u.size", "u.values", "u.labels", "u.mode"
+    )
+    (
+        t.alias("s")
+        .merge(u.alias("u"), "s.hist_name = u.hist_name")
+        .whenMatchedUpdate(set=exprs)
+        .whenNotMatchedInsert(
+            values={
+                "hist_name": F.col("u.hist_name"),
+                "size": F.col("u.size"),
+                "values": F.col("u.values"),
+                "labels": F.col("u.labels"),
+            }
+        )
+        .execute()
+    )
+
+def upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+) -> None:
+    """One batched state upsert per run (SURVEY.md §4 item 1): Delta
+    MERGE when the session has delta-spark wired in, else the
+    full-outer-join + generation-pointer parquet store.  Streaming
+    callers that need replay idempotency (batch_id) stay on the parquet
+    store even under Delta — the pointer file is where
+    last_applied_batch() lives, and Delta's SetTransaction API is not
+    exposed through DeltaTable.merge."""
+    if batch_id is None and delta_available(spark):
+        merge_into(spark, updates, path)
+        return
+    save(apply_updates(load(spark, path), updates), path, batch_id=batch_id)
 
 def mk_update(
     df: DataFrame, family: str, entity_col: str, mode: str = "merge"

@@ -97,3 +97,65 @@ def test_legacy_flat_layout_migrates(spark, tmp_path):
     store.save(_mk_state(spark, ["HIST01-a", "HIST01-b", "HIST01-c"]), path)
     assert not [n for n in os.listdir(path) if n.startswith("part-")]
     assert store.load(spark, path).count() == 3
+
+
+def _mk_updates(spark, rows):
+    """(hist_name, size, values, labels, mode) update rows."""
+    from pyspark.sql.types import (
+        LongType, MapType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("hist_name", StringType()),
+            StructField("size", LongType()),
+            StructField("values", MapType(StringType(), StringType())),
+            StructField("labels", MapType(StringType(), StringType())),
+            StructField("mode", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "values", F.col("values").cast("map<string,double>")
+    )
+
+
+def test_delta_probe_is_honest_here(spark):
+    """This container has no delta-spark; the probe must say so (the
+    gated MERGE path is cluster-only by design — VERDICT r8 task 8)."""
+    assert store.delta_available(spark) is False
+
+
+def test_upsert_falls_back_to_parquet_store(spark, tmp_path):
+    """upsert() without Delta == apply_updates + save, byte for byte."""
+    path_a = str(tmp_path / "via_upsert")
+    path_b = str(tmp_path / "via_explicit")
+    first = _mk_updates(
+        spark, [("HIST01-a", 10, {"80": "1.0"}, {}, "merge")]
+    )
+    second = _mk_updates(
+        spark,
+        [
+            ("HIST01-a", 6, {"80": "0.5", "443": "0.5"}, {}, "merge"),
+            ("HIST07-b", 3, {"22": "2.0"}, {}, "merge_max"),
+        ],
+    )
+    for upd in (first, second):
+        store.upsert(spark, upd, path_a)
+        store.save(store.apply_updates(store.load(spark, path_b), upd), path_b)
+    a = {r["hist_name"]: r for r in store.load(spark, path_a).collect()}
+    b = {r["hist_name"]: r for r in store.load(spark, path_b).collect()}
+    assert set(a) == set(b) == {"HIST01-a", "HIST07-b"}
+    for k in a:
+        assert a[k]["size"] == b[k]["size"]
+        assert a[k]["values"] == b[k]["values"]
+
+
+def test_merge_into_requires_delta(spark, tmp_path):
+    """The MERGE path must fail loudly, not fall back silently, when
+    called without the probe (upsert() is the dispatching entry)."""
+    upd = _mk_updates(spark, [("HIST01-a", 1, {"80": "1.0"}, {}, "merge")])
+    with pytest.raises(Exception):
+        store.merge_into(spark, upd, str(tmp_path / "d"))
