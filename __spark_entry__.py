@@ -2706,6 +2706,10 @@ def oracle_sql() -> dict[str, str]:
                bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
         FROM cand
         WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+          -- the same width gate the engine applies (simhash_pairs
+          -- width="auto"): above SIMHASH_W64_MAX_DOCS the 16-bit-chunk
+          -- candidate space saturates, so BOTH sides emit s128 alone
+          AND (SELECT count(*) FROM documents) <= {DD.SIMHASH_W64_MAX_DOCS}
         UNION ALL
         SELECT 's128' AS part, id_a, id_b,
                bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
@@ -2990,8 +2994,8 @@ def oracle_sql() -> dict[str, str]:
     # reachability — fine at oracle scale (dup components are tiny);
     # the engine side replaces it with log-round label propagation.
     sql["dedup_components"] = f"""
-        WITH RECURSIVE {_mh_body},
-        edges AS (
+        WITH RECURSIVE {_mh_body.replace("mh_pairs AS (", "mh_pairs AS MATERIALIZED (")},
+        edges AS MATERIALIZED (
           SELECT id_a AS src, id_b AS dst FROM mh_pairs
           UNION
           SELECT id_b AS src, id_a AS dst FROM mh_pairs),
