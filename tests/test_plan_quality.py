@@ -211,3 +211,26 @@ def test_dsir_select_broadcast_lambda_and_take_ordered(spark):
     # exploded gram/bucket stream
     for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
         assert m.group(1) == "doc_id", plan
+
+
+def test_simhash_oracle_width_gate_in_sync():
+    """The dedup_simhash ORACLE's s64 half carries the engine's width
+    gate as a scalar subquery — the constant must track
+    SIMHASH_W64_MAX_DOCS or the two sides diverge exactly at the
+    boundary the guard exists for (r9: sf100 emits s128 alone)."""
+    from hogzilla_spark.operators import dedup as DD
+
+    sql = E.oracle_sql()["dedup_simhash"]
+    assert f"<= {DD.SIMHASH_W64_MAX_DOCS}" in sql
+    assert "SELECT count(*) FROM documents" in sql
+
+
+def test_components_oracle_materializes_pair_body():
+    """The dedup_components ORACLE must pin its MinHash body with
+    MATERIALIZED hints: DuckDB 1.0 inlines CTEs referenced more than
+    once, and the recursive reach CTE references the pair body 4×
+    transitively — un-materialized, the 5 M-doc body re-expands per
+    reference and the sf100 run fills the disk with spill (r9)."""
+    sql = E.oracle_sql()["dedup_components"]
+    assert "mh_pairs AS MATERIALIZED (" in sql
+    assert "edges AS MATERIALIZED (" in sql
