@@ -151,10 +151,13 @@ def main() -> None:
             {"metric": "full_query_suite_io", "unit": "MiB", "io": io}
         )
         print(io_line)
-        # side-file mirror ONLY for full-suite runs: a subset sweep
-        # (SPARK_GRAFT_QUERIES — incl. the contract test's 2-query
-        # run) must not clobber the committed full-suite artifact
-        if not only:
+        # side-file mirror ONLY for full-suite runs AT THE GRADED SCALE
+        # (sf0.1): a subset sweep (SPARK_GRAFT_QUERIES — incl. the
+        # contract test's 2-query run) or a scale-ladder run at another
+        # sf must not clobber the committed graded-scale artifact (an
+        # sf0.01 run once rode into a commit via a stale working tree;
+        # ladder IO maps live inside BENCH_sf*.json instead)
+        if not only and sf == "0.1":
             try:
                 with open(
                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
