@@ -218,10 +218,7 @@ def run_and_persist(
     signatures_df(spark).write.mode("overwrite").parquet(
         f"{out_dir}/signatures.parquet"
     )
-    if store.delta_available(spark):
-        store.merge_into(spark, result.state_updates, state_path)
-    else:
-        store.save(store.apply_updates(histograms, result.state_updates), state_path)
+    store.upsert(spark, result.state_updates, state_path, saved=histograms)
     histograms.unpersist()
     return result
 

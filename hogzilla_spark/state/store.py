@@ -84,11 +84,33 @@ def last_applied_batch(path: str) -> int | None:
 def _has_parquet_parts(path: str) -> bool:
     return any(n.startswith("part-") for n in os.listdir(path))
 
+def _store_backend(path: str | None) -> str | None:
+    """Which backend owns the store at `path`: ``"delta"`` (a ``_delta_log``
+    dir exists), ``"parquet"`` (a ``CURRENT`` pointer or flat part files
+    exist), or None (fresh / absent).  One store path stays on one backend
+    for its whole life — mixing them silently resurrects or discards rows
+    (the load()/merge_into() guards below enforce this)."""
+    if not path or not os.path.exists(path):
+        return None
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        return "delta"
+    if _current_gen(path) is not None or _has_parquet_parts(path):
+        return "parquet"
+    return None
+
 def load(spark: SparkSession, path: str | None) -> DataFrame:
     if path and os.path.exists(path):
-        if os.path.isdir(os.path.join(path, "_delta_log")) and delta_available(spark):
+        if os.path.isdir(os.path.join(path, "_delta_log")):
             # a store written by merge_into(): read through the Delta log
             # (reading the bare part files would resurrect overwritten rows)
+            if not delta_available(spark):
+                raise RuntimeError(
+                    f"state store at {path} was written by Delta MERGE "
+                    "(_delta_log present) but this session has no "
+                    "delta-spark; reading the bare part files would "
+                    "resurrect logically-overwritten rows. Wire in "
+                    "delta-spark or point at a parquet-pointer store."
+                )
             return spark.read.format("delta").load(path)
         gen = _current_gen(path)
         if gen is not None and os.path.exists(os.path.join(path, gen)):
@@ -247,8 +269,21 @@ def merge_into(spark: SparkSession, updates: DataFrame, path: str) -> None:
         "mode",
     )
     if not DeltaTable.isDeltaTable(spark, path):
-        # first write: seed the table with the updates themselves
-        # (nothing saved yet, so every row is an insert)
+        if _store_backend(path) == "parquet":
+            # an existing parquet-pointer store lives here; seeding Delta
+            # with only this batch's updates would silently discard every
+            # previously-saved histogram not in the batch (and Delta
+            # refuses non-empty non-Delta dirs anyway).  upsert() keeps
+            # such stores on the parquet backend; direct callers must
+            # migrate explicitly.
+            raise RuntimeError(
+                f"{path} holds an existing parquet-pointer state store; "
+                "refusing to overwrite it with a Delta seed. Use "
+                "upsert() (which keeps parquet stores on the parquet "
+                "backend) or migrate the store to a fresh Delta path."
+            )
+        # first write into a fresh path: seed the table with the updates
+        # themselves (nothing saved yet, so every row is an insert)
         u.drop("mode").write.format("delta").mode("overwrite").save(path)
         return
     t = DeltaTable.forPath(spark, path)
@@ -275,6 +310,7 @@ def upsert(
     updates: DataFrame,
     path: str,
     batch_id: int | None = None,
+    saved: DataFrame | None = None,
 ) -> None:
     """One batched state upsert per run (SURVEY.md §4 item 1): Delta
     MERGE when the session has delta-spark wired in, else the
@@ -282,11 +318,33 @@ def upsert(
     callers that need replay idempotency (batch_id) stay on the parquet
     store even under Delta — the pointer file is where
     last_applied_batch() lives, and Delta's SetTransaction API is not
-    exposed through DeltaTable.merge."""
-    if batch_id is None and delta_available(spark):
+    exposed through DeltaTable.merge.
+
+    A store path stays on the backend that created it: a session that
+    newly gains Delta keeps merging an existing parquet-pointer store
+    through the parquet path (switching would require migrating the
+    saved histograms, not overwriting them), and a batch_id write into a
+    Delta store is refused outright — the next MERGE would consult the
+    stale Delta log and silently ignore the parquet generation.
+
+    ``saved`` (optional) is a pre-loaded state DataFrame for the parquet
+    path, letting batch callers reuse a persisted load() instead of
+    re-reading; ignored under Delta (MERGE reads the table itself).
+    """
+    backend = _store_backend(path)
+    if batch_id is not None and backend == "delta":
+        raise RuntimeError(
+            f"{path} is a Delta store but batch_id={batch_id} requires "
+            "the parquet-pointer backend (last_applied_batch lives in "
+            "the pointer file); use a separate store path for this "
+            "stream."
+        )
+    if batch_id is None and backend != "parquet" and delta_available(spark):
         merge_into(spark, updates, path)
         return
-    save(apply_updates(load(spark, path), updates), path, batch_id=batch_id)
+    if saved is None:
+        saved = load(spark, path)
+    save(apply_updates(saved, updates), path, batch_id=batch_id)
 
 def mk_update(
     df: DataFrame, family: str, entity_col: str, mode: str = "merge"
