@@ -1392,17 +1392,22 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.unionByName(bkt)
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both approximate-NN scale paths in one tagged union (merged in
-    r8 to fund the dsir_select slot; each long-stable): 'lsh' rows =
-    q_ann_lsh_topk (hyperplane buckets), 'ivf' rows = q_ann_ivf_topk
-    (fixed-centroid inverted lists, nprobe=2)."""
+    """The exact baseline AND both approximate-NN scale paths in one
+    tagged union (lsh+ivf merged in r8 to fund the dsir_select slot;
+    'brute' absorbed in r10 to fund the hz_stateless_suite slot — each
+    long-stable): 'brute' rows = q_knn_brute_force (exact top-5 cosine),
+    'lsh' rows = q_ann_lsh_topk (hyperplane buckets), 'ivf' rows =
+    q_ann_ivf_topk (fixed-centroid inverted lists, nprobe=2)."""
+    brute = q_knn_brute_force(spark, sf_dir).select(
+        F.lit("brute").alias("part"), "query_id", "neighbor_id", "cosine", "rank"
+    )
     lsh = q_ann_lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("part"), "query_id", "neighbor_id", "cosine", "rank"
     )
     ivf = q_ann_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("part"), "query_id", "neighbor_id", "cosine", "rank"
     )
-    return lsh.unionByName(ivf)
+    return brute.unionByName(lsh).unionByName(ivf)
 
 def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source interleave (training-mix scheduler): r-th row of
@@ -1555,6 +1560,129 @@ _SYNTH_SQL = """
                  CAST(SUM(status) AS BIGINT) AS status
           FROM oriented WHERE IPprotocol IN ('6','17')
           GROUP BY myIP, myPort, alienIP, alienPort, proto)
+"""
+
+_SYNTH2_SQL = """
+        ev2 AS (
+          SELECT event_id % 6 AS lane,
+                 event_id // 6 AS k,
+                 user_id % 250 AS uid,
+                 CAST(ROUND(value*100) AS BIGINT) AS c,
+                 epoch_ms(ts) // 1000 AS tss
+          FROM events),
+        shaped AS (
+          SELECT lane, k, uid, tss,
+            CASE lane
+              WHEN 0 THEN '10.1.0.' || CAST(uid % 40 AS VARCHAR)
+              WHEN 1 THEN '10.1.1.' || CAST(uid % 8 AS VARCHAR)
+              WHEN 2 THEN '10.1.2.' || CAST(uid % 16 AS VARCHAR)
+              WHEN 3 THEN '10.1.3.' || CAST(uid % 30 AS VARCHAR)
+              WHEN 4 THEN '10.1.4.' || CAST(uid % 2 AS VARCHAR)
+              ELSE '10.1.5.' || CAST(uid AS VARCHAR) END AS myip,
+            CASE lane
+              WHEN 0 THEN '8.9.0.' || CAST(uid % 40 AS VARCHAR)
+              WHEN 1 THEN '7.7.7.' || CAST(uid % 8 AS VARCHAR)
+              WHEN 2 THEN '6.6.' || CAST(k % (uid % 16 % 8 + 1) AS VARCHAR)
+                        || '.' || CAST(uid % 16 AS VARCHAR)
+              WHEN 3 THEN '5.5.5.' || CAST(uid % 30 AS VARCHAR)
+              WHEN 4 THEN '4.4.' || CAST((k % (10 + (uid % 2) * 20)) // 8 AS VARCHAR)
+                        || '.' || CAST((k % (10 + (uid % 2) * 20)) % 8 AS VARCHAR)
+              ELSE CASE WHEN uid % 5 <= k % 5
+                        THEN '3.3.3.' || CAST(k % 5 AS VARCHAR)
+                        ELSE '8.8.8.' || CAST(uid AS VARCHAR) END END AS alien,
+            CASE lane
+              WHEN 0 THEN '123'
+              WHEN 1 THEN CASE WHEN k % 2 = 0 THEN '465' ELSE '587' END
+              WHEN 2 THEN '45000'
+              WHEN 3 THEN '8'
+              WHEN 4 THEN '80'
+              ELSE CASE WHEN uid % 5 <= k % 5 THEN '22' ELSE '40000' END
+            END AS myport,
+            CASE lane
+              WHEN 0 THEN '50000'
+              WHEN 1 THEN CAST(51000 + (k // 2) % (20 + (uid % 8 // 4) * 15) AS VARCHAR)
+              WHEN 2 THEN '8000'
+              WHEN 3 THEN '0'
+              WHEN 4 THEN CAST(52000 + (k // (10 + (uid % 2) * 20)) % 7 AS VARCHAR)
+              ELSE CASE WHEN uid % 5 <= k % 5 THEN '60000' ELSE '80' END
+            END AS alienport,
+            CASE lane WHEN 0 THEN '17' WHEN 3 THEN '1' ELSE '6' END AS ipproto,
+            CASE lane
+              WHEN 0 THEN c % 400 + (uid % 40 % 2) * 400
+              WHEN 3 THEN c % 300 + (uid % 30 % 2) * 300
+              ELSE c END AS packetSize,
+            CASE lane
+              WHEN 0 THEN k % 2 = 0
+              WHEN 1 THEN (k // 2) % 2 = 0
+              WHEN 2 THEN k % 4 = 0
+              WHEN 3 THEN TRUE
+              WHEN 4 THEN k % 4 = 0
+              ELSE NOT (uid % 5 <= k % 5)
+            END AS outb,
+            CASE lane
+              WHEN 1 THEN CASE WHEN (k // 2) % 2 = 0 THEN '0x02' ELSE '0x12' END
+              WHEN 2 THEN '0x10'
+              WHEN 4 THEN CASE WHEN k % 4 = 0 THEN '0x10' ELSE '0x02' END
+              WHEN 5 THEN CASE WHEN uid % 5 <= k % 5 THEN '0x02' ELSE '0x18' END
+              ELSE '0x00'
+            END AS tcpFlags,
+            CASE WHEN lane = 4
+                 THEN 1704067200
+                      + ((k // (10 + (uid % 2) * 20)) % 7)
+                        * (CASE WHEN (k % (10 + (uid % 2) * 20)) % 5 = 0
+                                THEN 90 ELSE 30 END)
+                 ELSE tss END AS ts2
+          FROM ev2),
+        packets2 AS (
+          SELECT CASE WHEN outb THEN myip ELSE alien END AS srcIP,
+                 CASE WHEN outb THEN myport ELSE alienport END AS srcPort,
+                 CASE WHEN outb THEN alien ELSE myip END AS dstIP,
+                 CASE WHEN outb THEN alienport ELSE myport END AS dstPort,
+                 ipproto, packetSize, 1024 AS samplingRate, tcpFlags,
+                 ts2 AS ts_s
+          FROM shaped),
+        oriented2 AS (
+          SELECT CASE WHEN starts_with(srcIP,'10.1.') THEN srcIP ELSE dstIP END AS myIP,
+                 CASE WHEN starts_with(srcIP,'10.1.') THEN srcPort ELSE dstPort END AS myPort,
+                 CASE WHEN starts_with(srcIP,'10.1.') THEN dstIP ELSE srcIP END AS alienIP,
+                 CASE WHEN starts_with(srcIP,'10.1.') THEN dstPort ELSE srcPort END AS alienPort,
+                 CASE WHEN ipproto='6' THEN 'TCP' ELSE 'UDP' END AS proto,
+                 CASE WHEN starts_with(srcIP,'10.1.') THEN packetSize ELSE 0 END AS bytesUp,
+                 CASE WHEN starts_with(srcIP,'10.1.') THEN 0 ELSE packetSize END AS bytesDown,
+                 (CASE WHEN starts_with(srcIP,'10.1.') THEN 1 ELSE -1 END) *
+                 (CASE WHEN ipproto='6' THEN
+                     CASE WHEN tcpFlags='0x02' THEN 1 WHEN tcpFlags='0x12' THEN -1
+                          ELSE CASE WHEN TRY_CAST(srcPort AS INTEGER) < 1024 THEN -1
+                                    WHEN TRY_CAST(dstPort AS INTEGER) < 1024 THEN 1
+                                    ELSE 0 END END
+                   ELSE 0 END) AS dirvote,
+                 ts_s, ipproto, samplingRate
+          FROM packets2),
+        summary2 AS (
+          SELECT myIP, myPort, alienIP, alienPort, proto,
+                 CAST(SUM(bytesUp) AS BIGINT) AS bytesUp,
+                 CAST(SUM(bytesDown) AS BIGINT) AS bytesDown,
+                 COUNT(*) AS numberPkts,
+                 CAST(SUM(dirvote) AS BIGINT) AS direction,
+                 MIN(ts_s) AS beginTime, MAX(ts_s) AS endTime,
+                 AVG(CAST(samplingRate AS DOUBLE)) AS sampleRate
+          FROM oriented2 WHERE ipproto IN ('6','17')
+          GROUP BY myIP, myPort, alienIP, alienPort, proto),
+        icmp2 AS (
+          SELECT myIP, icmpType, alienIP, icmpCode,
+                 CAST(SUM(bytesUp) AS BIGINT) AS bytesUp,
+                 CAST(SUM(bytesDown) AS BIGINT) AS bytesDown,
+                 COUNT(*) AS numberPkts,
+                 AVG(CAST(samplingRate AS DOUBLE)) AS sampleRate
+          FROM (SELECT CASE WHEN starts_with(srcIP,'10.1.') THEN srcIP ELSE dstIP END AS myIP,
+                       CASE WHEN starts_with(srcIP,'10.1.') THEN srcPort ELSE dstPort END AS icmpType,
+                       CASE WHEN starts_with(srcIP,'10.1.') THEN dstIP ELSE srcIP END AS alienIP,
+                       CASE WHEN starts_with(srcIP,'10.1.') THEN dstPort ELSE srcPort END AS icmpCode,
+                       CASE WHEN starts_with(srcIP,'10.1.') THEN packetSize ELSE 0 END AS bytesUp,
+                       CASE WHEN starts_with(srcIP,'10.1.') THEN 0 ELSE packetSize END AS bytesDown,
+                       samplingRate
+                FROM packets2 WHERE ipproto = '1')
+          GROUP BY myIP, icmpType, alienIP, icmpCode)
 """
 
 def q_hz_sflow_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2345,6 +2473,209 @@ def q_hz_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("data", "atypicalServices").alias("services"),
     )
 
+def _synth_sflows2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second deterministic events→packets mapping, dedicated to the six
+    STATELESS detectors the v1 corpus cannot exercise (no port-465/587,
+    no ICMP, no mid-port TCP sessions, no many-host alien there).  Each
+    event lands in exactly one of six lanes (event_id % 6), one lane per
+    detector, so the suite's parts cannot cross-contaminate; every lane
+    carries a STRUCTURAL discriminating gate (a modular property of the
+    host id, not a data-volume threshold) so alert sets stay non-vacuous
+    and non-universal at every scale factor:
+
+      lane 0 → UDP amplifier (sig 826001009): my NTP server (myPort 123)
+        answers one alien; reply size is c%400 + (uid%2)*400, so ODD
+        hosts clear the hardcoded bytesUp/numberPkts > 250 reflection
+        gate (mean/2 ≈ 300) and EVEN hosts sit safely under (≈ 100).
+      lane 1 → abused SMTP (sig 826001010): alien clients fan over
+        20+15*(uid//4) ephemeral ports × 2 submission ports, so hosts
+        with uid%8 ≥ 4 reach ~70 distinct 5-tuples (> the hardcoded
+        connections>50) while uid%8 < 4 caps at 40 — never fires.
+      lane 2 → media streaming (sig 826001011): download-heavy (3:1)
+        long TCP sessions on 45000→8000; hosts hold (uid%8)+1 alien
+        pairs, so the pairs < 5 few-sessions gate passes exactly half.
+      lane 3 → ICMP tunnel (sig 826001013): echo stream whose payload is
+        c%300 + (uid%2)*300 — odd hosts clear the per-packet >200 gate.
+      lane 4 → DDoS (sig 826001016): 10+uid%2*20 attackers hit victim
+        port 80 from 7 ephemeral ports whose flow beginTimes are EXACTLY
+        30 s apart (90 s for every 5th attacker, tripping the
+        drop-3-largest mean-inter-arrival < 60 s gate); only the
+        30-attacker victim clears attackers > 17.
+      lane 5 → alien-many-hosts (sig 826001007): scanner s=k%5 SYNs
+        hosts with uid%5 ≤ s, so scanner reach grows 1/5..5/5 of the
+        address pool and the pairs > 110 gate cuts mid-pool; disallowed
+        events degrade to inert outbound web flows (vote +1, so they
+        enter no detector's scope).
+
+    Mirrored verbatim by _SYNTH2_SQL; consumed only by
+    q_hz_stateless_suite."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % 6).alias("lane"),
+        F.expr("event_id div 6").alias("k"),
+        (F.col("user_id") % 250).alias("uid"),
+        _cents(F.col("value")).alias("c"),
+        F.expr("ts div 1000000000").alias("tss"),
+    )
+    lane, k, uid, c = F.col("lane"), F.col("k"), F.col("uid"), F.col("c")
+
+    def s(col) -> F.Column:
+        return col.cast("string")
+
+    u0, u1, u2, u3, u4 = uid % 40, uid % 8, uid % 16, uid % 30, uid % 2
+    npairs2 = (u2 % 8) + 1  # media sessions per host, 1..8
+    n_att = F.lit(10) + u4 * 20  # ddos attackers per victim: 10 or 30
+    att = k % n_att
+    pslot = F.expr("(k div (10 + (uid % 2) * 20)) % 7")
+    scanner = k % 5
+    allowed = (uid % 5) <= scanner  # lane-5 scanner reach
+
+    myip = (
+        F.when(lane == 0, F.concat(F.lit("10.1.0."), s(u0)))
+        .when(lane == 1, F.concat(F.lit("10.1.1."), s(u1)))
+        .when(lane == 2, F.concat(F.lit("10.1.2."), s(u2)))
+        .when(lane == 3, F.concat(F.lit("10.1.3."), s(u3)))
+        .when(lane == 4, F.concat(F.lit("10.1.4."), s(u4)))
+        .otherwise(F.concat(F.lit("10.1.5."), s(uid)))
+    )
+    alien = (
+        F.when(lane == 0, F.concat(F.lit("8.9.0."), s(u0)))
+        .when(lane == 1, F.concat(F.lit("7.7.7."), s(u1)))
+        .when(lane == 2, F.concat(F.lit("6.6."), s(k % npairs2), F.lit("."), s(u2)))
+        .when(lane == 3, F.concat(F.lit("5.5.5."), s(u3)))
+        .when(lane == 4, F.concat(F.lit("4.4."), s(F.expr("(k % (10 + (uid % 2) * 20)) div 8")), F.lit("."), s(att % 8)))
+        .otherwise(
+            F.when(allowed, F.concat(F.lit("3.3.3."), s(scanner)))
+            .otherwise(F.concat(F.lit("8.8.8."), s(uid)))
+        )
+    )
+    myport = (
+        F.when(lane == 0, F.lit("123"))
+        .when(lane == 1, F.when(k % 2 == 0, "465").otherwise("587"))
+        .when(lane == 2, F.lit("45000"))
+        .when(lane == 3, F.lit("8"))  # ICMP echo-request type
+        .when(lane == 4, F.lit("80"))
+        .otherwise(F.when(allowed, "22").otherwise("40000"))
+    )
+    alienport = (
+        F.when(lane == 0, F.lit("50000"))
+        .when(lane == 1, s(F.lit(51000) + F.expr("k div 2") % (F.lit(20) + (u1 / 4).cast("long") * 15)))
+        .when(lane == 2, F.lit("8000"))
+        .when(lane == 3, F.lit("0"))  # ICMP code
+        .when(lane == 4, s(F.lit(52000) + pslot))
+        .otherwise(F.when(allowed, "60000").otherwise("80"))
+    )
+    proto = F.when(lane == 0, "17").when(lane == 3, "1").otherwise("6")
+    size = (
+        F.when(lane == 0, c % 400 + (u0 % 2) * 400)
+        .when(lane == 3, c % 300 + (u3 % 2) * 300)
+        .otherwise(c)
+    )
+    outb = (
+        F.when(lane == 0, k % 2 == 0)
+        .when(lane == 1, F.expr("(k div 2) % 2") == 0)
+        .when(lane == 2, k % 4 == 0)
+        .when(lane == 3, F.lit(True))
+        .when(lane == 4, k % 4 == 0)
+        .otherwise(~allowed)
+    )
+    flags = (
+        F.when(lane == 1, F.when(outb, "0x02").otherwise("0x12"))  # both vote +1
+        .when(lane == 2, F.lit("0x10"))  # mid ports → vote 0
+        .when(lane == 4, F.when(outb, "0x10").otherwise("0x02"))  # both vote -1
+        .when(lane == 5, F.when(outb, "0x18").otherwise("0x02"))
+        .otherwise(F.lit("0x00"))
+    )
+    ts2 = F.when(
+        lane == 4,
+        F.lit(1704067200)
+        + pslot * (F.lit(30) + F.when(att % 5 == 0, 60).otherwise(0)),
+    ).otherwise(F.col("tss"))
+
+    return base.select(
+        F.when(outb, myip).otherwise(alien).alias("srcIP"),
+        F.when(outb, myport).otherwise(alienport).alias("srcPort"),
+        F.when(outb, alien).otherwise(myip).alias("dstIP"),
+        F.when(outb, alienport).otherwise(myport).alias("dstPort"),
+        proto.alias("IPprotocol"),
+        size.alias("packetSize"),
+        F.lit(1024).cast("long").alias("samplingRate"),
+        flags.alias("tcpFlags"),
+        ts2.alias("timestamp"),
+    )
+
+def q_hz_stateless_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six REAL stateless detectors with no detector-level oracle
+    until now, replayed end-to-end in one tagged union (VERDICT r9 task
+    2): UDP amplifier (HogSFlow.scala:2150-2208), abused SMTP
+    (:2215-2269), media streaming client (:1288-1363), ICMP tunnel
+    (:2330-2386), DDoS incl. the drop-3-largest inter-arrival
+    regularity gate (:2648-2758), and alien-accessing-too-many-hosts
+    (:2079-2142).  Engine side runs detectors/sflow.py verbatim over
+    the dedicated _synth_sflows2 corpus; the P2P-talker suppression
+    inputs (media, DDoS) are provably empty on this corpus — no lane
+    produces high/high or mid-range-UDP port pairs — which the oracle
+    mirrors by omission (the hz_p2p ftp precedent)."""
+    from hogzilla_spark.config import SFlowConfig
+    from hogzilla_spark.detectors.sflow import (
+        abused_smtp,
+        alien_accessing_many_hosts,
+        ddos_attack,
+        icmp_tunnel,
+        media_streaming_clients,
+        udp_amplifier,
+    )
+    from hogzilla_spark.operators.rollup import icmp_summary, sflow_summary
+
+    cfg = SFlowConfig(
+        abused_smtp_min_bytes=1_000_000,
+        p2p_min_pairs_2nd=5,  # media's few-sessions gate (pairs < 5)
+        media_max_duration_s=10_000_000,  # sessions span the event window
+        media_max_upload_bytes=1_000_000_000_000_000,
+        media_min_download_bytes=1_000_000,
+        icmp_tunnel_min_bytes=1_000_000,
+        ddos_min_flows=6,  # 7 ephemeral-port flow groups per pair
+        ddos_min_pairs=17,  # 24 regular attackers pass, 8 fail
+        alien_min_pairs=110,  # scanner reach 1/5..5/5 of the pool
+    )
+    mynets = ["10.1."]
+    pkts = _synth_sflows2(spark, sf_dir)
+    # materialize the shared rollup once (the production batch DAG
+    # persists it too, plans/batch.py) — six detectors fan out of it
+    summary = sflow_summary(pkts, mynets).localCheckpoint(eager=True)
+    icmp = icmp_summary(pkts, mynets)
+    no_p2p = spark.createDataFrame([], "myIP string")
+
+    amp = udp_amplifier(summary, mynets, cfg)
+    smtp = abused_smtp(summary, mynets, cfg)
+    media_alerts, _ips = media_streaming_clients(summary, mynets, cfg, no_p2p)
+    icmp_alerts = icmp_tunnel(icmp, cfg)
+    ddos_alerts = ddos_attack(summary, mynets, cfg, no_p2p)
+    alien_alerts = alien_accessing_many_hosts(summary, mynets, cfg)
+
+    def shape(alerts: DataFrame, part: str, cnt_key: str, peer) -> DataFrame:
+        return alerts.select(
+            F.lit(part).alias("part"),
+            F.col("lower_ip_str").alias("host"),
+            peer.cast("string").alias("peer"),
+            F.element_at("data", cnt_key).try_cast("long").alias("cnt"),
+            F.element_at("data", "bytesUp").try_cast("long").alias("bytes_up"),
+            F.element_at("data", "bytesDown").try_cast("long").alias("bytes_down"),
+            F.element_at("data", "numberPkts").try_cast("long").alias("number_pkts"),
+        )
+
+    null_peer = F.lit(None)
+    return (
+        shape(amp, "amp", "connections", null_peer)
+        .unionByName(shape(smtp, "smtp", "connections", F.col("upper_ip_str")))
+        .unionByName(shape(media_alerts, "media", "numberOfPairs", null_peer))
+        .unionByName(shape(icmp_alerts, "icmp", "connections", null_peer))
+        .unionByName(shape(ddos_alerts, "ddos", "numberOfAttackers", null_peer))
+        .unionByName(
+            shape(alien_alerts, "alien", "numberOfPairs", F.element_at("data", "ports"))
+        )
+    )
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2361,11 +2692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cannot replay — covered by codec round-trip unit suites) sits last.
     Near-duplicate basics are tagged unions of their originals
     (a5+a9, all J basics, s6+p2, the whole H pure-function family,
-    f5+quantiles+o1topk, w1+w2w4, range+asof, lsh+ivf ANN, setops
-    riding in x_pivot_rollup) to stay inside the budget — the three
-    slots freed in r9 fund the last three stateful-detector oracles."""
+    f5+quantiles+o1topk, w1+w2w4, range+asof, brute+lsh+ivf ANN, setops
+    riding in x_pivot_rollup) to stay inside the budget — the r10
+    brute-into-ann_topk merge funds the hz_stateless_suite slot."""
     return {
         # new/changed this round — need fresh driver evidence
+        "hz_stateless_suite": q_hz_stateless_suite,
         "hz_vportscan": q_hz_vportscan,
         "hz_atypical_volume": q_hz_atypical_volume,
         "hz_alien_profile": q_hz_alien_profile,
@@ -2407,8 +2739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "embedding_neardup": q_embedding_neardup,
-        "knn_brute_force": q_knn_brute_force,
-        # merged in r8 (funds the dsir_select slot): 'lsh' + 'ivf' parts
+        # merged r8 ('lsh'+'ivf') and r10 ('brute', funding the
+        # hz_stateless_suite slot)
         "ann_topk": q_ann_topk,
         "label_centroids": q_label_centroids,
         # training-mix / text pipeline
@@ -3433,7 +3765,7 @@ def oracle_sql() -> dict[str, str]:
         FROM feat
     """
 
-    sql["knn_brute_force"] = """
+    _knn_brute_sql = """
         WITH v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
@@ -3521,6 +3853,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["ann_topk"] = f"""
+        SELECT 'brute' AS part, * FROM ({_knn_brute_sql})
+        UNION ALL
         SELECT 'lsh' AS part, * FROM ({_ann_lsh_sql})
         UNION ALL
         SELECT 'ivf' AS part, * FROM ({_ann_ivf_sql})
@@ -3794,6 +4128,134 @@ def oracle_sql() -> dict[str, str]:
                CAST(bytesDown * sampleRate AS BIGINT) AS bytes_down,
                CAST(numberPkts AS BIGINT) AS number_pkts
         FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+    """
+
+    # Full relational replication of all six stateless detectors over
+    # the dedicated v2 corpus (thresholds match q_hz_stateless_suite's
+    # SFlowConfig; strict gates as in the reference).  The P2P-talker
+    # suppressions (media, ddos) are provably empty on this corpus (no
+    # lane emits high/high or mid-range-UDP port pairs) and therefore
+    # omitted, like hz_p2p's ftp suppression.  FLOOR before BIGINT casts
+    # matches Spark's truncating long cast (hz_top_talkers note).
+    sql["hz_stateless_suite"] = "WITH " + _SYNTH2_SQL + """
+        , amp AS (
+          SELECT myIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 CAST(SUM(numberPkts) AS BIGINT) AS np, COUNT(*) AS conn,
+                 AVG(sampleRate) AS sr
+          FROM summary2
+          WHERE myPort IN ('19','53','123','1900') AND proto = 'UDP'
+            AND numberPkts * sampleRate > 2000
+            AND bytesUp // numberPkts > 250
+            AND NOT starts_with(alienIP, '10.1.')
+          GROUP BY myIP),
+        smtp AS (
+          SELECT myIP, alienIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 CAST(SUM(numberPkts) AS BIGINT) AS np, COUNT(*) AS conn,
+                 AVG(sampleRate) AS sr
+          FROM summary2
+          WHERE myPort IN ('465','587') AND proto = 'TCP'
+            AND NOT starts_with(alienIP, '10.1.')
+          GROUP BY myIP, alienIP
+          HAVING COUNT(*) > 50 AND SUM(bytesDown) * AVG(sampleRate) > 1000000
+          ORDER BY SUM(bytesDown) DESC, myIP, alienIP LIMIT 100),
+        med_pairs AS (
+          SELECT myIP, alienIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 SUM(numberPkts) AS np, AVG(sampleRate) AS sr
+          FROM summary2
+          WHERE proto = 'TCP'
+            AND TRY_CAST(myPort AS INTEGER) > 1000
+            AND TRY_CAST(alienPort AS INTEGER) > 1000
+            AND TRY_CAST(alienPort AS INTEGER) < 10000
+            AND numberPkts > 1
+            AND myPort <> '1194' AND alienPort <> '1194'
+            AND NOT starts_with(alienIP, '10.1.')
+          GROUP BY myIP, alienIP
+          HAVING MAX(endTime) - MIN(beginTime) > 300
+             AND MAX(endTime) - MIN(beginTime) < 10000000),
+        media AS (
+          SELECT myIP, SUM(bu) AS bu, SUM(bd) AS bd,
+                 CAST(SUM(np) AS BIGINT) AS np, COUNT(*) AS pairs,
+                 AVG(sr) AS sr
+          FROM med_pairs GROUP BY myIP
+          HAVING COUNT(*) < 5
+             AND SUM(bu) * AVG(sr) < 1000000000000000
+             AND SUM(bd) * AVG(sr) >= 1000000),
+        icmpd AS (
+          SELECT myIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 CAST(SUM(numberPkts) AS BIGINT) AS np, COUNT(*) AS conn,
+                 AVG(sampleRate) AS sr
+          FROM icmp2
+          WHERE (bytesUp + bytesDown) // numberPkts > 200
+          GROUP BY myIP
+          HAVING (SUM(bytesUp) + SUM(bytesDown)) * AVG(sampleRate) > 1000000
+          ORDER BY SUM(bytesUp) + SUM(bytesDown) DESC, myIP LIMIT 30),
+        dd_pairs AS (
+          SELECT myIP, alienIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 SUM(numberPkts) AS np, COUNT(*) AS nflows,
+                 AVG(sampleRate) AS sr,
+                 list_sort(list(beginTime)) AS ts
+          FROM summary2
+          WHERE NOT starts_with(alienIP, '10.1.')
+            AND alienPort NOT IN ('80','443','587','465','993','995')
+            AND direction < 1
+          GROUP BY myIP, alienIP),
+        dd_keep AS (
+          SELECT * FROM (
+            SELECT *, len(ts) AS n,
+                   list_sort(list_transform(range(1, len(ts)),
+                                            i -> ts[i+1] - ts[i])) AS diffs
+            FROM dd_pairs)
+          WHERE nflows > 6 AND n > 6
+            AND CAST(list_sum(list_slice(diffs, 1, n-4)) AS DOUBLE) / (n-4) < 60
+            AND bd > bu),
+        ddos AS (
+          SELECT myIP, SUM(bu) AS bu, SUM(bd) AS bd,
+                 CAST(SUM(np) AS BIGINT) AS np, COUNT(*) AS attackers,
+                 AVG(sr) AS sr
+          FROM dd_keep GROUP BY myIP
+          HAVING COUNT(*) > 17),
+        al_pairs AS (
+          SELECT myIP, alienIP, SUM(bytesUp) AS bu, SUM(bytesDown) AS bd,
+                 SUM(numberPkts) AS np, AVG(sampleRate) AS sr,
+                 list(DISTINCT proto || '/' || myPort) AS portset
+          FROM summary2
+          WHERE direction < 0 AND NOT starts_with(alienIP, '10.1.')
+          GROUP BY myIP, alienIP),
+        alienq AS (
+          SELECT alienIP, SUM(bu) AS bu, SUM(bd) AS bd,
+                 CAST(SUM(np) AS BIGINT) AS np, COUNT(*) AS pairs,
+                 AVG(sr) AS sr,
+                 array_to_string(list_sort(list_distinct(flatten(list(portset)))), ', ') AS ports
+          FROM al_pairs
+          WHERE alienIP <> '0.0.0.0'
+          GROUP BY alienIP
+          HAVING COUNT(*) > 110)
+        SELECT 'amp' AS part, myIP AS host, CAST(NULL AS VARCHAR) AS peer,
+               CAST(conn AS BIGINT) AS cnt,
+               CAST(FLOOR(bu * sr) AS BIGINT) AS bytes_up,
+               CAST(FLOOR(bd * sr) AS BIGINT) AS bytes_down,
+               np AS number_pkts
+        FROM amp
+        UNION ALL
+        SELECT 'smtp', myIP, alienIP, CAST(conn AS BIGINT),
+               CAST(FLOOR(bu * sr) AS BIGINT), CAST(FLOOR(bd * sr) AS BIGINT), np
+        FROM smtp
+        UNION ALL
+        SELECT 'media', myIP, NULL, CAST(pairs AS BIGINT),
+               CAST(FLOOR(bu * sr) AS BIGINT), CAST(FLOOR(bd * sr) AS BIGINT), np
+        FROM media
+        UNION ALL
+        SELECT 'icmp', myIP, NULL, CAST(conn AS BIGINT),
+               CAST(FLOOR(bu * sr) AS BIGINT), CAST(FLOOR(bd * sr) AS BIGINT), np
+        FROM icmpd
+        UNION ALL
+        SELECT 'ddos', myIP, NULL, CAST(attackers AS BIGINT),
+               CAST(FLOOR(bu * sr) AS BIGINT), CAST(FLOOR(bd * sr) AS BIGINT), np
+        FROM ddos
+        UNION ALL
+        SELECT 'alien', alienIP, ports, CAST(pairs AS BIGINT),
+               CAST(FLOOR(bu * sr) AS BIGINT), CAST(FLOOR(bd * sr) AS BIGINT), np
+        FROM alienq
     """
 
     # Horizontal portscan with the pre-seeded HIST07 replicated in SQL:

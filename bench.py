@@ -8,9 +8,19 @@ tail-capture window.  Per-query shuffle/spill IO metrics print on their
 own EARLIER line (metric "full_query_suite_io") and are mirrored to
 BENCH_IO.json.  tests/test_bench_contract.py pins this schema.
 
-Each query is executed twice: a warm-up is NOT done (cold numbers are the
-honest ones for a batch engine); timing wraps the full action
-(plan + execute + count-style sink) via a noop write.
+Each query is timed ONCE (cold numbers are the honest ones for a batch
+engine); timing wraps the full action (plan + execute + count-style
+sink) via a noop write.  One-time JVM/codegen/JIT cost is paid by an
+untimed warm-up that exercises the heavy execution paths BEFORE the
+suite, so the first registry slot doesn't absorb it (r9: the first
+query read 8.75 s in-suite vs ~3 s warm).
+
+Variance attribution (r9 verdict task 3): after the suite, any query
+whose in-suite time exceeds its committed prior (BENCH_PRIOR_sf*.json,
+written by the previous full-suite run at the same sf) by >1.5× is
+re-measured in the same process; both numbers and both IO deltas go
+into the "remeasure" key of the IO line, so a host-variance episode
+carries its own evidence instead of needing a hand-assembled case.
 """
 
 from __future__ import annotations
@@ -92,6 +102,27 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
     except Exception:
         pass
+    # untimed JIT warm-up of the heavy execution paths — hash aggregate,
+    # broadcast hash join, sort-merge join, window, noop sink — so
+    # whole-stage-codegen compilation and JIT tiering are paid before
+    # the first timed query instead of inside it
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = spark.range(0, 200_000).select(
+        "id",
+        (F.col("id") % 97).alias("k"),
+        (F.col("id") % 7).cast("string").alias("g"),
+    )
+    agg = w.groupBy("k").agg(F.count(F.lit(1)).alias("c"), F.sum("id").alias("s"))
+    bhj = agg.join(F.broadcast(agg.select("k")), "k")
+    win = bhj.withColumn(
+        "r", F.row_number().over(Window.partitionBy("c").orderBy(F.col("s").desc()))
+    )
+    win.filter(F.col("r") <= 5).write.format("noop").mode("overwrite").save()
+    w.alias("a").join(w.alias("b").hint("merge"), "id").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Optional subset: comma-separated names in $SPARK_GRAFT_QUERIES
     # (scale sweeps bench the linear family at sfs where the declared
@@ -139,7 +170,72 @@ def main() -> None:
         if before is not None and after is not None:
             io[name] = {k: round(after[k] - before[k], 2) for k in after}
         before = after
+
+    # --- variance attribution (r9 verdict task 3) ---------------------
+    # A query >1.5× over its committed prior is re-measured in the same
+    # process; a genuine plan/size regression reproduces on the retry
+    # (and moves shuffle bytes), ambient host variance collapses.
+    # artifact dir: the repo root in production; tests point it at a
+    # tmp dir so contract runs can't clobber committed artifacts
+    state_dir = os.environ.get(
+        "SPARK_GRAFT_STATE_DIR", os.path.dirname(os.path.abspath(__file__))
+    )
+    prior_path = os.path.join(state_dir, f"BENCH_PRIOR_sf{sf}.json")
+    floor = float(os.environ.get("SPARK_GRAFT_REMEASURE_FLOOR", "1.0"))
+    prior: dict[str, float] = {}
+    try:
+        with open(prior_path) as f:
+            prior = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    remeasure: dict[str, dict] = {}
+    outliers = sorted(
+        (
+            n
+            for n, t in timings.items()
+            if t > floor and prior.get(n, 0) > 0 and t > 1.5 * prior[n]
+        ),
+        key=lambda n: timings[n] / prior[n],
+        reverse=True,
+    )[:8]  # bound the retry budget
+    for name in outliers:
+        t0 = time.time()
+        try:
+            registry[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.time() - t0, 3)
+        except Exception:
+            dt = -1.0
+        after = stage_totals()
+        for _ in range(10):
+            time.sleep(0.1)
+            nxt = stage_totals()
+            if nxt == after:
+                break
+            after = nxt
+        entry = {
+            "in_suite": timings[name],
+            "retry": dt,
+            "prior": prior[name],
+            "io_in_suite": io.get(name),
+        }
+        if before is not None and after is not None:
+            entry["io_retry"] = {k: round(after[k] - before[k], 2) for k in after}
+        before = after
+        remeasure[name] = entry
     spark.stop()
+    # persist this run's timings as the next run's prior (full suite
+    # only — a subset sweep would record misleadingly warm numbers)
+    if not only:
+        try:
+            with open(prior_path, "w") as f:
+                json.dump(
+                    {"metric": "bench_prior", "sf": sf, "queries": timings}, f
+                )
+                f.write("\n")
+        except OSError:
+            pass
     # Two-line output contract (r7 verdict: a single line holding both the
     # wallclock summary AND the per-query IO map outgrew the driver's
     # stdout tail-capture window and BENCH_r07.json recorded parsed:null).
@@ -147,9 +243,10 @@ def main() -> None:
     # scale ledger); the LAST stdout line is always the compact
     # {"metric","value","unit","queries","sf"} summary the driver parses.
     if io:
-        io_line = json.dumps(
-            {"metric": "full_query_suite_io", "unit": "MiB", "io": io}
-        )
+        io_obj = {"metric": "full_query_suite_io", "unit": "MiB", "io": io}
+        if remeasure:
+            io_obj["remeasure"] = remeasure
+        io_line = json.dumps(io_obj)
         print(io_line)
         # side-file mirror ONLY for full-suite runs AT THE GRADED SCALE
         # (sf0.1): a subset sweep (SPARK_GRAFT_QUERIES — incl. the
@@ -159,10 +256,7 @@ def main() -> None:
         # ladder IO maps live inside BENCH_sf*.json instead)
         if not only and sf == "0.1":
             try:
-                with open(
-                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BENCH_IO.json"), "w"
-                ) as f:
+                with open(os.path.join(state_dir, "BENCH_IO.json"), "w") as f:
                     f.write(io_line + "\n")
             except OSError:
                 pass

@@ -56,3 +56,68 @@ def test_bench_last_line_is_compact_summary():
     ]
     for io in io_lines:
         assert set(io["io"]) == {"a_rollups", "dedup_exact"}
+
+
+def test_bench_remeasure_and_artifact_isolation(tmp_path):
+    """Pins the r10 additions in one subprocess run:
+
+    1. variance attribution: a query >1.5× over its BENCH_PRIOR_sf*
+       entry is re-run and the IO line carries a "remeasure" map with
+       {in_suite, retry, prior} (+ io deltas) per outlier;
+    2. artifact isolation: a run at a NON-graded scale must write
+       neither BENCH_IO.json nor (on a subset run) BENCH_PRIOR_sf*.json
+       into the state dir — the r9 fix (90f54ab) as a test, not lore.
+    """
+    state = tmp_path / "state"
+    state.mkdir()
+    # a prior low enough that both queries trip the 1.5× outlier test
+    (state / "BENCH_PRIOR_sf0.001.json").write_text(
+        json.dumps(
+            {
+                "metric": "bench_prior",
+                "sf": "0.001",
+                "queries": {"a_rollups": 0.001, "dedup_exact": 0.001},
+            }
+        )
+    )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_QUERIES"] = "a_rollups,dedup_exact"
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_DRIVER_MEMORY"] = "2g"
+    env["SPARK_GRAFT_STATE_DIR"] = str(state)
+    env["SPARK_GRAFT_REMEASURE_FLOOR"] = "0.0"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+
+    # last line: unchanged driver summary schema (remeasure never leaks in)
+    summary = json.loads(lines[-1])
+    assert set(summary) == {"metric", "value", "unit", "queries", "sf"}
+
+    io_lines = [
+        json.loads(ln)
+        for ln in lines[:-1]
+        if ln.startswith("{") and '"full_query_suite_io"' in ln
+    ]
+    assert io_lines, "IO line missing"
+    rem = io_lines[-1].get("remeasure", {})
+    assert set(rem) == {"a_rollups", "dedup_exact"}
+    for entry in rem.values():
+        assert {"in_suite", "retry", "prior"} <= set(entry)
+        assert entry["prior"] == 0.001
+        assert entry["retry"] > 0
+
+    # isolation: nothing written at a non-graded scale / subset run
+    written = {p.name for p in state.iterdir()}
+    assert written == {"BENCH_PRIOR_sf0.001.json"}
+    # and the prior was not overwritten by the subset run
+    prior = json.loads((state / "BENCH_PRIOR_sf0.001.json").read_text())
+    assert prior["queries"]["a_rollups"] == 0.001

@@ -65,9 +65,10 @@ def test_a3_broadcasts_dimension(spark):
 
 def test_no_cartesian_products_anywhere(spark):
     """No query may plan a CartesianProduct or BroadcastNestedLoopJoin —
-    except knn_brute_force, whose broadcast nested loop IS the declared
-    plan (tiny query set broadcast against an unshuffled corpus)."""
-    declared_exact = {"knn_brute_force"}
+    except ann_topk, whose 'brute' part (the exact k-NN baseline,
+    absorbed r10) broadcasts the tiny query set against an unshuffled
+    corpus: that nested loop IS the declared plan."""
+    declared_exact = {"ann_topk"}
     offenders = {}
     for name in E.queries():
         if name in declared_exact:
