@@ -727,6 +727,77 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return DD.minhash_lsh_pairs_incremental(new, corpus, min_jaccard=0.3)
 
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both MinHash-LSH ingest shapes in one tagged union (merged in r10
+    to fund the neardup_ann slot; each long-stable): 'full' rows =
+    q_dedup_minhash_lsh (whole-corpus self-dedup), 'incr' rows =
+    q_dedup_minhash_incremental (new-batch-vs-index)."""
+    full = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("full").alias("part"), "id_a", "id_b", "jaccard"
+    )
+    incr = q_dedup_minhash_incremental(spark, sf_dir).select(
+        F.lit("incr").alias("part"), "id_a", "id_b", "jaccard"
+    )
+    return full.unionByName(incr)
+
+def q_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-backed swap for BOTH declared-quadratic similarity
+    members, runnable and oracle-checked (VERDICT r9 task 1), as a
+    tagged union:
+
+    - part 'pairs': similarity.ann_candidate_pairs — IVF multi-probe
+      candidates (adaptive codebook, K = max(8, ceil(n/2500)) rows at
+      stride n//K from id 3; nprobe=3) verified with exact round-6
+      cosine >= 0.4.  The approximate companion of embedding_neardup
+      (same threshold): output ⊆ the exact pair set, recall pinned at
+      0.9+ by tests/test_ann_swap.py.  k=id_a, a=id_b,
+      b=cosine·1e6 (the round-6 value is integer-exact at 1e6).
+    - part 'sem': similarity.semantic_dedup(strategy='ann') — SemDeDup
+      dominance (coarse IVF_CENTROID_IDS codebook, threshold 0.35)
+      with candidates from a 16-centroid fine codebook (stride 32,
+      nprobe=3) instead of Σ|cluster|² all-pairs.  k=vec_id,
+      a=cluster_id, b=kept (1/0).
+
+    At sf100 the adaptive codebook reaches K=800 (2 M vectors, ~7.5 k
+    rows/list): per-list BLAS stays bounded and the member ENTERS the
+    sf100 bench family the exact path is excluded from."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cent_ids = SIM.adaptive_centroid_ids(n)
+    cent_rows = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(*cent_ids)).collect()
+    }
+    cents = [cent_rows[i] for i in cent_ids]
+    pairs = SIM.ann_candidate_pairs(emb, cents, nprobe=3, min_cosine=0.4).select(
+        F.lit("pairs").alias("part"),
+        F.col("id_a").alias("k"),
+        F.col("id_b").alias("a"),
+        (F.col("cosine") * 1e6 + F.lit(0.5)).cast("long").alias("b"),
+    )
+    coarse = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    fine_ids = [3 + 32 * i for i in range(16)]
+    fine = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(*fine_ids))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    sem = SIM.semantic_dedup(
+        emb, coarse, threshold=0.35, strategy="ann", fine_centroids=fine, nprobe=3
+    ).select(
+        F.lit("sem").alias("part"),
+        F.col("vec_id").alias("k"),
+        F.col("cluster_id").cast("long").alias("a"),
+        F.col("kept").cast("long").alias("b"),
+    )
+    return pairs.unionByName(sem)
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER extraction: the MinHash-LSH verified pair set
     (same edges as dedup_minhash_lsh) closed transitively into canonical
@@ -985,8 +1056,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same materialized parquet and must agree on every payload's
     identity (sha256 over the hex encoding — this DuckDB build only
     hashes VARCHAR), byte length, and typed metadata.  This is the
-    binary-column plumbing proven end-to-end; the decode stage stays in
-    multimodal_features (rows-only, DuckDB cannot run codecs)."""
+    binary-column plumbing proven end-to-end; the decode stage lives in
+    multimodal_features (golden-oracle since r10)."""
     from hogzilla_spark.operators.multimodal import write_media_parquet
 
     m = spark.read.parquet(write_media_parquet(_MEDIA_PARQUET))
@@ -1004,8 +1075,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: synthetic media (real PPM/PNG/
     JPEG/GIF/WAV payloads, same parquet fixture as multimodal_meta) →
-    Arrow-batched decode/featurize (real codecs; MP4 stubbed) →
-    feature rollup.  Rows-only: DuckDB cannot replay the codecs."""
+    Arrow-batched decode/featurize (real codecs; compressed MP4 video
+    stubbed) → per-item feature signatures + modality rollup.
+
+    VALUE-CHECKED since r10 (VERDICT task 5, was the one `no_oracle`
+    row): DuckDB cannot run the codecs, so the oracle is the COMMITTED
+    per-item feature goldens (micro-int signatures produced by the
+    codec round-trip-tested decoders on the deterministic fixture,
+    regenerable with the snippet in the oracle's comment) joined to the
+    real fixture parquet for n_bytes/modality, with the rollup
+    re-derived IN SQL from those constants.  part 'feat' = per-media
+    (id, n_bytes, 8-feature micro CSV); part 'roll' = per-modality
+    (count | Σ f0-micro) over exact integers (no float-average
+    boundary)."""
     from hogzilla_spark.operators import multimodal as MM
     from hogzilla_spark.operators.multimodal import write_media_parquet
 
@@ -1016,15 +1098,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # modality in the decode output; partition count follows splits)
     media = spark.read.parquet(write_media_parquet(_MEDIA_PARQUET)).repartition(4)
     feats = MM.decode_and_featurize(media)
-    return (
+
+    def micro(c) -> F.Column:
+        return _cents(c.cast("double"), 1_000_000)
+
+    sig = F.concat_ws(
+        ",", F.transform(F.col("feature"), lambda x: micro(x).cast("string"))
+    )
+    feat_rows = feats.select(
+        F.lit("feat").alias("part"),
+        F.col("media_id").cast("string").alias("key"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        sig.alias("sig"),
+    )
+    roll = (
         feats.join(F.broadcast(media.select("media_id", "modality")), "media_id")
         .groupBy("modality")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+            F.sum("n_bytes").alias("tb"),
+            F.sum(micro(F.element_at("feature", 1))).alias("sf0"),
+        )
+        .select(
+            F.lit("roll").alias("part"),
+            F.col("modality").alias("key"),
+            F.col("tb").cast("long").alias("n_bytes"),
+            F.concat_ws(
+                "|", F.col("n").cast("string"), F.col("sf0").cast("string")
+            ).alias("sig"),
         )
     )
+    return feat_rows.unionByName(roll)
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4; the synthetic
@@ -2687,9 +2791,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries (the driver records CORRECTNESS rows for at
     most the first 50 registry entries — r4 recorded exactly 50 of 56),
-    ordered newest/riskiest FIRST; 49 are oracle-checked and the single
-    rows-only entry (multimodal_features, whose binary decode DuckDB
-    cannot replay — covered by codec round-trip unit suites) sits last.
+    ordered newest/riskiest FIRST; ALL 50 are oracle-checked since r10
+    (multimodal_features, whose binary decode DuckDB cannot replay,
+    compares against committed per-item feature goldens + the real
+    fixture parquet — see its oracle's comment).
     Near-duplicate basics are tagged unions of their originals
     (a5+a9, all J basics, s6+p2, the whole H pure-function family,
     f5+quantiles+o1topk, w1+w2w4, range+asof, brute+lsh+ivf ANN, setops
@@ -2698,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new/changed this round — need fresh driver evidence
         "hz_stateless_suite": q_hz_stateless_suite,
+        "neardup_ann": q_neardup_ann,
         "hz_vportscan": q_hz_vportscan,
         "hz_atypical_volume": q_hz_atypical_volume,
         "hz_alien_profile": q_hz_alien_profile,
@@ -2734,10 +2840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_scalar_suite": q_f_scalar_suite,
         "a7_a8_global_stats": q_a7_a8_global_stats,
         "text_profile": q_text_profile,
-        # dedup / similarity family
+        # dedup / similarity family ('full'+'incr' minhash shapes merged
+        # r10, funding the neardup_ann slot)
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_minhash": q_dedup_minhash,
         "embedding_neardup": q_embedding_neardup,
         # merged r8 ('lsh'+'ivf') and r10 ('brute', funding the
         # hz_stateless_suite slot)
@@ -2752,7 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_a9_counts": q_a5_a9_counts,
         "a14_interarrival": q_a14_interarrival,
         "s6_p2_scan_parse": q_s6_p2_scan_parse,
-        # rows-only (no oracle possible) — keep last
+        # golden-oracle since r10 (committed feature constants)
         "multimodal_features": q_multimodal_features,
     }
 
@@ -2771,6 +2877,65 @@ def oracle_sql() -> dict[str, str]:
                sha256(hex(payload)) AS payload_sha,
                width, height, duration_ms
         FROM read_parquet('{_MEDIA_PARQUET}')
+    """
+
+    # multimodal_features golden oracle (VERDICT r9 task 5): DuckDB
+    # cannot run the codecs, so the per-item feature signatures are
+    # COMMITTED constants (produced by the round-trip-tested decoders
+    # on the deterministic fixture; regenerate by dumping
+    # decode_and_featurize with the micro-int signature expression in
+    # q_multimodal_features).  n_bytes/modality come from the REAL
+    # fixture parquet, and the modality rollup is re-derived in SQL
+    # from the constants — the engine's decode output must match all
+    # of it value-for-value.
+    sql["multimodal_features"] = f"""
+        WITH g(media_id, sig, f0) AS (VALUES
+            (0, '139227,65848,645833,354167,0,0,0,0', 139227),
+            (1, '353126,61503,318693,306340,332161,304209,328050,310828', 353126),
+            (2, '341348,182967,187500,322917,281250,156250,52083,0', 341348),
+            (3, '190627,79006,393939,575758,30303,0,0,0', 190627),
+            (4, '353524,98390,311299,321965,310297,314646,321078,314646', 353524),
+            (5, '342272,182940,187500,312500,291667,156250,52083,0', 342272),
+            (6, '191763,69878,370370,611111,18519,0,0,0', 191763),
+            (7, '353266,136966,317916,315217,322444,314421,321364,315908', 353266),
+            (8, '70588,517647,639216,317647,184314,894118,796078,627451', 70588),
+            (9, '243796,83505,208333,625000,166667,0,0,0', 243796),
+            (10, '353525,173967,316003,320435,315521,318379,319986,318379', 353525),
+            (11, '345484,182968,187500,302083,302083,145833,62500,0', 345484),
+            (12, '244671,74429,166667,700000,133333,0,0,0', 244671),
+            (13, '353334,212187,317951,316608,320247,316345,320082,316599', 353334),
+            (14, '346295,182940,187500,302083,302083,145833,62500,0', 346295),
+            (15, '245992,65848,145833,750000,104167,0,0,0', 245992),
+            (16, '353524,249278,300314,303187,300006,302049,302896,302049', 353524),
+            (17, '274510,231373,262745,964706,666667,941176,400000,611765', 274510),
+            (18, '297094,79007,45455,621212,333333,0,0,0', 297094),
+            (19, '353374,287317,317786,317660,318866,317560,319126,317165', 353374),
+            (20, '349184,183190,187500,302083,302083,145833,62500,0', 349184),
+            (21, '298981,69976,37037,648148,314815,0,0,0', 298981),
+            (22, '353525,324472,316684,319530,316646,318170,319505,318170', 353525),
+            (23, '350319,182940,187500,302083,302083,145833,62500,0', 350319),
+            (24, '350114,83732,0,444444,527778,27778,0,0', 350114),
+            (25, '353400,362402,317844,318090,318321,317991,318786,317351', 353400),
+            (26, '345098,666667,317647,635294,498039,772549,439216,650980', 345098),
+            (27, '351435,74429,0,416667,566667,16667,0,0', 351435),
+            (28, '353522,399605,307079,307794,307131,308293,307849,308293', 353522),
+            (29, '352900,182995,187500,302083,302083,145833,62500,0', 352900),
+            (30, '352392,65748,0,395833,604167,0,0,0', 352392),
+            (31, '353420,437462,316736,317162,317395,317118,317793,316458', 353420)),
+        m AS (
+          SELECT media_id, modality, octet_length(payload) AS n_bytes
+          FROM read_parquet('{_MEDIA_PARQUET}')),
+        j AS (
+          SELECT g.media_id, g.sig, g.f0, m.modality, m.n_bytes
+          FROM g JOIN m USING (media_id))
+        SELECT 'feat' AS part, CAST(media_id AS VARCHAR) AS key,
+               CAST(n_bytes AS BIGINT) AS n_bytes, sig
+        FROM j
+        UNION ALL
+        SELECT 'roll' AS part, modality AS key,
+               CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+               CAST(COUNT(*) AS VARCHAR) || '|' || CAST(SUM(f0) AS VARCHAR) AS sig
+        FROM j GROUP BY modality
     """
 
     # a1 + a2 + a3 in one tagged union (a1 absorbed in r8 to fund the
@@ -3262,9 +3427,16 @@ def oracle_sql() -> dict[str, str]:
           WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
                 / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.3)"""
 
-    sql["dedup_minhash_lsh"] = f"""
+    # 'full' + 'incr' tagged union (merged r10, funding neardup_ann):
+    # incremental = the full LSH pair set restricted to pairs touching
+    # the new batch (doc_id % 5 == 0) — candidate generation via the
+    # band index is provably that restriction.
+    sql["dedup_minhash"] = f"""
         WITH {_mh_body}
-        SELECT id_a, id_b, jaccard FROM mh_pairs
+        SELECT 'full' AS part, id_a, id_b, jaccard FROM mh_pairs
+        UNION ALL
+        SELECT 'incr' AS part, id_a, id_b, jaccard FROM mh_pairs
+        WHERE id_a % 5 = 0 OR id_b % 5 = 0
     """
 
     # Tagged union: part 'uncapped' = full shingle universe; part
@@ -3311,14 +3483,99 @@ def oracle_sql() -> dict[str, str]:
         WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     """
 
-    # Incremental = the full LSH pair set restricted to pairs touching
-    # the new batch (doc_id % 5 == 0): candidate generation via the band
-    # index is provably that restriction, so the oracle is the full
-    # relational pipeline plus the membership filter.
-    sql["dedup_minhash_incremental"] = f"""
-        WITH {_mh_body}
-        SELECT id_a, id_b, jaccard FROM mh_pairs
-        WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    # neardup_ann: IVF multi-probe candidates + exact verify, both parts
+    # replayed relationally.  'pairs' rebuilds the ADAPTIVE codebook in
+    # SQL (K = max(8, ceil(n/2500)), stride n//K from id 3 — the
+    # adaptive_centroid_ids convention) and probes 3 nearest lists with
+    # the _ann_ivf_sql round-6 + list-id-tie rule; 'sem' replays
+    # semantic_dedup(strategy='ann'): coarse 8-centroid dominance scope,
+    # fine 16-centroid (stride 32) nprobe-3 candidates, cosine >= 0.35.
+    sql["neardup_ann"] = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        prm AS (
+          SELECT COUNT(*) AS n,
+                 GREATEST(8, CAST(CEIL(COUNT(*) / 2500.0) AS BIGINT)) AS k
+          FROM v),
+        acent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY v.vec_id) - 1 AS list_id, v.e AS ce
+          FROM v, prm
+          WHERE v.vec_id >= 3
+            AND (v.vec_id - 3) % GREATEST(1, prm.n // prm.k) = 0
+            AND (v.vec_id - 3) // GREATEST(1, prm.n // prm.k) < prm.k),
+        adist AS (
+          SELECT v.vec_id, v.e, c.list_id,
+                 ROUND(list_dot_product(
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i]),
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i])), 6) AS d
+          FROM v CROSS JOIN acent c),
+        aprobes AS (
+          SELECT vec_id, e, list_id FROM (
+            SELECT vec_id, e, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+            FROM adist)
+          WHERE rn <= 3),
+        apairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_dot_product(a.e, b.e)
+                       / (SQRT(list_dot_product(a.e, a.e))
+                          * SQRT(list_dot_product(b.e, b.e))), 6) AS c
+          FROM aprobes a JOIN aprobes b
+            ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          WHERE ROUND(list_dot_product(a.e, b.e)
+                      / (SQRT(list_dot_product(a.e, a.e))
+                         * SQRT(list_dot_product(b.e, b.e))), 6) >= 0.4),
+        ccent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, e AS ce
+          FROM v WHERE vec_id IN (3, 67, 131, 195, 259, 323, 387, 451)),
+        cdist AS (
+          SELECT v.vec_id, v.e, c.list_id,
+                 ROUND(list_dot_product(
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i]),
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i])), 6) AS d
+          FROM v CROSS JOIN ccent c),
+        cassign AS (
+          SELECT vec_id, e, list_id AS cluster_id FROM (
+            SELECT vec_id, e, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+            FROM cdist)
+          WHERE rn = 1),
+        fcent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, e AS ce
+          FROM v WHERE vec_id IN (3, 35, 67, 99, 131, 163, 195, 227, 259,
+                                  291, 323, 355, 387, 419, 451, 483)),
+        fdist AS (
+          SELECT v.vec_id, v.e, c.list_id,
+                 ROUND(list_dot_product(
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i]),
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i])), 6) AS d
+          FROM v CROSS JOIN fcent c),
+        fprobes AS (
+          SELECT vec_id, e, list_id FROM (
+            SELECT vec_id, e, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+            FROM fdist)
+          WHERE rn <= 3),
+        fpairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM fprobes a JOIN fprobes b
+            ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          WHERE ROUND(list_dot_product(a.e, b.e)
+                      / (SQRT(list_dot_product(a.e, a.e))
+                         * SQRT(list_dot_product(b.e, b.e))), 6) >= 0.35),
+        sdropped AS (
+          SELECT DISTINCT p.id_b AS vec_id
+          FROM fpairs p
+          JOIN cassign ca ON p.id_a = ca.vec_id
+          JOIN cassign cb ON p.id_b = cb.vec_id
+          WHERE ca.cluster_id = cb.cluster_id)
+        SELECT 'pairs' AS part, id_a AS k, id_b AS a,
+               CAST(FLOOR(c * 1000000 + 0.5) AS BIGINT) AS b
+        FROM apairs
+        UNION ALL
+        SELECT 'sem' AS part, s.vec_id AS k, CAST(s.cluster_id AS BIGINT) AS a,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS b
+        FROM cassign s LEFT JOIN sdropped d ON s.vec_id = d.vec_id
     """
 
     # Transitive closure of the SAME verified edge set: component id =
@@ -3524,7 +3781,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT CASE WHEN id_a % 100 < 2 THEN id_b ELSE id_a END AS corpus_id,
                CASE WHEN id_a % 100 < 2 THEN id_a ELSE id_b END AS heldout_id,
                jaccard
-        FROM ({sql["dedup_minhash_lsh"]}) lsh
+        FROM (WITH {_mh_body} SELECT id_a, id_b, jaccard FROM mh_pairs) lsh
         WHERE (id_a % 100 < 2) <> (id_b % 100 < 2)
     """
 

@@ -927,6 +927,13 @@ def embedding_neardup_pairs(
     the default, and concurrent tasks would OOM the executor); the
     fan-out duplication factor is B = ceil(n / block_rows); the O(n²/2)
     dot products are inherent to the exact operator.
+
+    The ANN scale swap is RUNNABLE (r10):
+    `similarity.ann_candidate_pairs(df, adaptive_centroid_ids(n), …)`
+    replaces the O(n²) scoring with IVF multi-probe candidates + the
+    same exact round-6 verify — output ⊆ this operator's, recall pinned
+    by tests/test_ann_swap.py, candidates ~linear·nprobe² when K grows
+    with n.
     """
     if strategy not in ("auto", "broadcast", "blocked"):
         raise ValueError(f"unknown strategy: {strategy}")

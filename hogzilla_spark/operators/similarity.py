@@ -258,6 +258,137 @@ def label_centroids(
         F.count(F.lit(1)).alias("n"),
     )
 
+def adaptive_centroid_ids(n: int, target_list_rows: int = 2500, min_k: int = 8) -> list[int]:
+    """Deterministic, SQL-replayable centroid row ids for a corpus of n
+    contiguous vec_ids: K = max(min_k, ceil(n / target_list_rows)) rows
+    at stride n // K starting from id 3 (the IVF_CENTROID_IDS
+    convention, generalized so K grows with the corpus and per-list
+    sizes stay ~constant — the IVF scale knob)."""
+    k = max(min_k, -(-n // target_list_rows))
+    stride = max(1, n // k)
+    return [3 + stride * i for i in range(k)]
+
+def ann_candidate_pairs(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 3,
+    min_cosine: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expr_max_k: int = 32,
+) -> DataFrame:
+    """ANN near-dup pairs: IVF multi-probe candidate generation composed
+    with EXACT cosine verification (the runnable form of the "ANN is
+    the scale path" declaration on the quadratic similarity members).
+
+    Every vector fans out to its `nprobe` nearest lists (round-6 L2,
+    ties on list id — identical to ann_ivf_topk's probe rule); each
+    list's matrix scores itself with the slab-bounded BLAS kernel; a
+    pair is emitted when round-6 cosine >= min_cosine, and the final
+    distinct collapses pairs that co-reside in several probed lists
+    (their cosine is bit-identical across lists — same kernel, same op
+    order).  Output ⊆ the exact operator's output by construction; the
+    recall (vs embedding_neardup_pairs at the same threshold) is pinned
+    by tests/test_ann_swap.py.
+
+    Scale shape: shuffle = nprobe × corpus; per-task memory = one
+    list's vectors; candidates ≈ K · (nprobe·n/K)²/2 — K grows with n
+    (adaptive_centroid_ids) so per-list sizes, task memory, and
+    candidate counts per list stay constant while total work stays
+    ~linear · nprobe².  A hot list is the skew knob: raise K.
+
+    Centroid assignment is a Column expression over the broadcast
+    codebook for K <= 32 (bit-identical to the DuckDB twin); above
+    that the same argmin runs as an Arrow-batched kernel (an 800×64
+    codebook at sf100 would be a ~50k-literal expression) — used only
+    at scales where no SQL twin runs anyway.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hogzilla_spark.operators.dedup import (
+        _SIMS_SLAB_BYTES,
+        _round6_select,
+        _slab_rows,
+    )
+
+    v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    if len(centroids) <= expr_max_k:
+        probed = v.select(
+            "id",
+            "v",
+            F.explode(
+                nearest_lists_expr(F.col("v"), centroids, nprobe)
+            ).alias("list_id"),
+        )
+    else:
+        cmat = np.array(centroids, dtype=np.float64)
+        bc = v.sparkSession.sparkContext.broadcast(cmat)
+        np_probe = nprobe
+
+        def assign(batches):
+            cents = bc.value
+            for pdf in batches:
+                m = np.array(list(pdf["v"]), dtype=np.float64)
+                # same rule as nearest_lists_expr: round-6 squared L2,
+                # ties broken by list id (lexsort is stable on (d, id))
+                d = (
+                    (m * m).sum(1, keepdims=True)
+                    - 2.0 * (m @ cents.T)
+                    + (cents * cents).sum(1)
+                )
+                d = np.round(d, 6)
+                order = np.argsort(d, axis=1, kind="stable")[:, :np_probe]
+                n_rows = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy().repeat(np_probe),
+                        "v": [row for row in pdf["v"] for _ in range(np_probe)],
+                        "list_id": order.reshape(n_rows * np_probe),
+                    }
+                )
+
+        probed = v.mapInPandas(assign, "id long, v array<double>, list_id int")
+
+    slab_budget = _SIMS_SLAB_BYTES  # captured at plan build
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        m = np.array(list(pdf["v"]), dtype=np.float64)[order]
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        nsafe = np.where(norms == 0, 1.0, norms)
+        out_a, out_b, out_c = [], [], []
+        step = _slab_rows(len(ids), slab_budget)
+        for lo in range(0, len(ids), step):
+            hi = min(lo + step, len(ids))
+            # dot on UNNORMALIZED rows then one divide by na*nb — the
+            # exact kernels' shared op order, so round-6 boundaries
+            # cannot differ from embedding_neardup / semantic_dedup
+            sims = m[lo:hi] @ m.T
+            np.divide(sims, nsafe[lo:hi] * nsafe.T, out=sims)
+            ii, jj, s = _round6_select(sims, min_cosine)
+            keep = ids[jj] > ids[lo + ii]  # emit id_a < id_b once
+            out_a.append(ids[lo + ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_c.append(s[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    pairs = probed.groupBy("list_id").applyInPandas(
+        score, "id_a long, id_b long, cosine double"
+    )
+    return pairs.distinct()
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -266,6 +397,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     strategy: str = "kernel",
     block_rows: int = 2048,
+    fine_centroids: list[list[float]] | None = None,
+    nprobe: int = 3,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
@@ -298,12 +431,54 @@ def semantic_dedup(
     Column-expression twin (norms cached per row, one fold per pair) —
     oracle-portable and UDF-free for environments that want it;
     equivalence of the two paths is pinned by a unit test.
+
+    strategy='ann' (the runnable scale swap, VERDICT r9 task 1): when a
+    cluster is too large for Σ|c|² — the operator's declared failure
+    mode — candidate pairs come from `ann_candidate_pairs` over a FINER
+    codebook (`fine_centroids`, `nprobe` probes) instead of all
+    intra-cluster pairs; a vector is dropped when a verified candidate
+    partner with a LOWER id shares its PRIMARY cluster (the same
+    dominance rule).  Approximate: dropped ⊆ the kernel path's dropped
+    (so kept ⊇ kept-exact); the drop recall is pinned by
+    tests/test_ann_swap.py.  Per-task memory becomes one fine list, not
+    one coarse cluster.
     """
     assigned = emb.select(
         F.col(id_col),
         _as_double(vec_col).alias("v"),
         assign_lists(centroids, _as_double(vec_col)).alias("cluster_id"),
     )
+    if strategy == "ann":
+        if fine_centroids is None:
+            raise ValueError("strategy='ann' requires fine_centroids")
+        pairs = ann_candidate_pairs(
+            emb, fine_centroids, nprobe, threshold, id_col, vec_col
+        )
+        clusters = assigned.select(id_col, "cluster_id")
+        dropped = (
+            pairs.join(
+                clusters.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                    "cluster_id", "ca"
+                ),
+                "id_a",
+            )
+            .join(
+                clusters.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                    "cluster_id", "cb"
+                ),
+                "id_b",
+            )
+            .filter(F.col("ca") == F.col("cb"))  # same-primary-cluster dominance
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        return assigned.join(
+            dropped.withColumn("d", F.lit(True)), id_col, "left"
+        ).select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("d"), F.lit(True)).alias("kept"),
+        )
     if strategy == "kernel":
         import numpy as np
         import pandas as pd
