@@ -754,9 +754,11 @@ def q_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       b=cosine·1e6 (the round-6 value is integer-exact at 1e6).
     - part 'sem': similarity.semantic_dedup(strategy='ann') — SemDeDup
       dominance (coarse IVF_CENTROID_IDS codebook, threshold 0.35)
-      with candidates from a 16-centroid fine codebook (stride 32,
-      nprobe=3) instead of Σ|cluster|² all-pairs.  k=vec_id,
-      a=cluster_id, b=kept (1/0).
+      with candidates from an ADAPTIVE fine codebook (K = max(16,
+      ceil(n/2500)) — finer than the coarse clusters at the gate scale
+      so the approximation is non-trivially exercised, and growing with
+      n so per-list work stays bounded at sf100; nprobe=3) instead of
+      Σ|cluster|² all-pairs.  k=vec_id, a=cluster_id, b=kept (1/0).
 
     At sf100 the adaptive codebook reaches K=800 (2 M vectors, ~7.5 k
     rows/list): per-list BLAS stays bounded and the member ENTERS the
@@ -781,7 +783,7 @@ def q_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
-    fine_ids = [3 + 32 * i for i in range(16)]
+    fine_ids = SIM.adaptive_centroid_ids(n, min_k=16)
     fine = [
         [float(x) for x in r.embedding]
         for r in emb.filter(F.col("vec_id").isin(*fine_ids))
@@ -3489,7 +3491,9 @@ def oracle_sql() -> dict[str, str]:
     # adaptive_centroid_ids convention) and probes 3 nearest lists with
     # the _ann_ivf_sql round-6 + list-id-tie rule; 'sem' replays
     # semantic_dedup(strategy='ann'): coarse 8-centroid dominance scope,
-    # fine 16-centroid (stride 32) nprobe-3 candidates, cosine >= 0.35.
+    # ADAPTIVE fine codebook (K = max(16, ceil(n/2500)), stride n//K —
+    # the adaptive_centroid_ids(min_k=16) convention) with nprobe-3
+    # candidates, cosine >= 0.35.
     sql["neardup_ann"] = """
         WITH v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -3540,10 +3544,16 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
             FROM cdist)
           WHERE rn = 1),
+        fprm AS (
+          SELECT COUNT(*) AS n,
+                 GREATEST(16, CAST(CEIL(COUNT(*) / 2500.0) AS BIGINT)) AS k
+          FROM v),
         fcent AS (
-          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, e AS ce
-          FROM v WHERE vec_id IN (3, 35, 67, 99, 131, 163, 195, 227, 259,
-                                  291, 323, 355, 387, 419, 451, 483)),
+          SELECT ROW_NUMBER() OVER (ORDER BY v.vec_id) - 1 AS list_id, v.e AS ce
+          FROM v, fprm
+          WHERE v.vec_id >= 3
+            AND (v.vec_id - 3) % GREATEST(1, fprm.n // fprm.k) = 0
+            AND (v.vec_id - 3) // GREATEST(1, fprm.n // fprm.k) < fprm.k),
         fdist AS (
           SELECT v.vec_id, v.e, c.list_id,
                  ROUND(list_dot_product(
