@@ -263,10 +263,26 @@ def adaptive_centroid_ids(n: int, target_list_rows: int = 2500, min_k: int = 8) 
     contiguous vec_ids: K = max(min_k, ceil(n / target_list_rows)) rows
     at stride n // K starting from id 3 (the IVF_CENTROID_IDS
     convention, generalized so K grows with the corpus and per-list
-    sizes stay ~constant — the IVF scale knob)."""
+    sizes stay ~constant — the IVF scale knob).
+
+    Minimum corpus: the last id, 3 + stride·(K−1), must exist (< n) —
+    at the defaults that means n >= 25 (K floors at 8, stride n//8).
+    Raising instead of clamping keeps the closed form identical to the
+    SQL twin's (the neardup_ann oracle re-derives these ids relationally
+    from the same formula); a clamp would silently change the codebook
+    for tiny corpora and desync the twin."""
+    if n < 1:
+        raise ValueError("adaptive_centroid_ids needs a non-empty corpus")
     k = max(min_k, -(-n // target_list_rows))
     stride = max(1, n // k)
-    return [3 + stride * i for i in range(k)]
+    ids = [3 + stride * i for i in range(k)]
+    if ids[-1] >= n:
+        raise ValueError(
+            f"corpus too small for the centroid convention: last id "
+            f"{ids[-1]} >= n={n} (need n >= 25 at the defaults); pass "
+            "explicit centroids for tiny corpora"
+        )
+    return ids
 
 def ann_candidate_pairs(
     emb: DataFrame,
@@ -287,9 +303,12 @@ def ann_candidate_pairs(
     pair is emitted when round-6 cosine >= min_cosine, and the final
     distinct collapses pairs that co-reside in several probed lists
     (their cosine is bit-identical across lists — same kernel, same op
-    order).  Output ⊆ the exact operator's output by construction; the
-    recall (vs embedding_neardup_pairs at the same threshold) is pinned
-    by tests/test_ann_swap.py.
+    order).  Output ⊆ the exact operator's output by construction —
+    up to one round-6 ulp at an exact half boundary, because this
+    kernel shares the SQL oracle's op order (dot/(na·nb)) while
+    embedding_neardup normalizes rows before the matmul; the recall
+    (vs embedding_neardup_pairs at the same threshold) is pinned by
+    tests/test_ann_swap.py.
 
     Scale shape: shuffle = nprobe × corpus; per-task memory = one
     list's vectors; candidates ≈ K · (nprobe·n/K)²/2 — K grows with n
@@ -331,12 +350,20 @@ def ann_candidate_pairs(
             for pdf in batches:
                 m = np.array(list(pdf["v"]), dtype=np.float64)
                 # same rule as nearest_lists_expr: round-6 squared L2,
-                # ties broken by list id (lexsort is stable on (d, id))
-                d = (
-                    (m * m).sum(1, keepdims=True)
-                    - 2.0 * (m @ cents.T)
-                    + (cents * cents).sum(1)
-                )
+                # ties broken by list id (argsort is stable on d).
+                # Distance is Σ(v−c)² computed DIRECTLY — the same
+                # expression shape as nearest_lists_expr and the SQL
+                # twin — not the expanded |v|²−2v·c+|c|² form, whose
+                # different op order (and cancellation) could flip a
+                # round-6 tie at a probe boundary.  Slabbed: the full
+                # (rows × K × dim) difference cube for a 10k-row Arrow
+                # batch against an 800×64 codebook is ~4 GB.
+                slab = max(1, (64 * 1024 * 1024) // (cents.shape[0] * cents.shape[1] * 8))
+                d = np.empty((len(m), cents.shape[0]), dtype=np.float64)
+                for lo in range(0, len(m), slab):
+                    hi = min(lo + slab, len(m))
+                    diff = m[lo:hi, None, :] - cents[None, :, :]
+                    d[lo:hi] = np.einsum("ijk,ijk->ij", diff, diff)
                 d = np.round(d, 6)
                 order = np.argsort(d, axis=1, kind="stable")[:, :np_probe]
                 n_rows = len(pdf)
@@ -363,8 +390,14 @@ def ann_candidate_pairs(
         for lo in range(0, len(ids), step):
             hi = min(lo + step, len(ids))
             # dot on UNNORMALIZED rows then one divide by na*nb — the
-            # exact kernels' shared op order, so round-6 boundaries
-            # cannot differ from embedding_neardup / semantic_dedup
+            # op order of semantic_dedup's kernel/expr paths AND the
+            # SQL oracle (dot/(na·nb)), chosen so the DuckDB twin
+            # replays this value exactly.  embedding_neardup's kernels
+            # normalize rows BEFORE the matmul — a different FP op
+            # order whose last-ulp residual can flip a round-6 value
+            # at an exact half boundary; the subset/bit-match contract
+            # vs embedding_neardup is therefore pinned up to one
+            # round-6 ulp (tests/test_ann_swap.py), not bit-for-bit.
             sims = m[lo:hi] @ m.T
             np.divide(sims, nsafe[lo:hi] * nsafe.T, out=sims)
             ii, jj, s = _round6_select(sims, min_cosine)

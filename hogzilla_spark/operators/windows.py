@@ -40,9 +40,19 @@ def interarrival_stats(
     drop_largest: int = 4,
 ) -> DataFrame:
     """A14/W3: per-group mean inter-arrival time after dropping the
-    `drop_largest` biggest gaps (the reference's DDoS regularity test,
-    HogSFlow.scala:2695-2722: sort begin-times, adjacent diffs, drop 4
-    largest, mean).
+    `drop_largest` biggest gaps — the generalized window form of the
+    reference's DDoS regularity test.
+
+    Parameterization note: the reference (HogSFlow.scala:2695-2722)
+    sorts the n begin-times, takes the n−1 adjacent diffs, and keeps
+    the n−4 SMALLEST — i.e. it drops the 3 largest diffs and divides
+    by n−4.  This operator's knob counts dropped DIFFS, so the exact
+    reference semantics would be drop_largest=3 (and a n>6 group-size
+    gate); the bit-exact reference variant, including its n−4 divisor,
+    lives in detectors/sflow.py (ddos_victims, oracle-replayed by
+    hz_stateless_suite 'ddos').  The drop_largest=4 registry entry
+    (a14_interarrival) is the generalized operator under its own
+    oracle, not a claim about the reference constant.
 
     Returns (part_cols..., n_gaps, mean_interarrival).  Window lag + a
     second ranking window; one shuffle on part_cols reused by both

@@ -342,6 +342,19 @@ def upsert(
     if batch_id is None and backend != "parquet" and delta_available(spark):
         merge_into(spark, updates, path)
         return
+    if backend == "delta":
+        # Delta-owned dir but the MERGE path was not taken (delta-spark
+        # not wired into this session).  Falling through would write a
+        # parquet generation + CURRENT pointer into the Delta dir — the
+        # exact mixed-store hazard guarded against above: the next Delta
+        # session consults only the Delta log and silently ignores the
+        # parquet rows.  Raise here so a caller-supplied ``saved`` can't
+        # bypass the load()-side ownership check.
+        raise RuntimeError(
+            f"{path} is a Delta store but delta-spark is not available "
+            "in this session; refusing to write a parquet generation "
+            "into a Delta-owned directory."
+        )
     if saved is None:
         saved = load(spark, path)
     save(apply_updates(saved, updates), path, batch_id=batch_id)

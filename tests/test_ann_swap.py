@@ -47,6 +47,26 @@ def test_adaptive_centroid_ids_convention():
     assert ids[-1] < 2_000_000
 
 
+def test_adaptive_centroid_ids_rejects_tiny_corpora():
+    """ADVICE r10 (similarity.py:261): for small n the closed form used
+    to emit ids >= n (n=10 -> last id 10; n=16 -> 17), so callers that
+    materialize centroid rows hit KeyError or silently build a short
+    codebook that diverges from the SQL twin.  The convention now raises
+    below its documented floor instead of clamping (a clamp would change
+    the codebook and desync the twin's closed form)."""
+    import pytest
+
+    for n in (1, 10, 16, 24):
+        with pytest.raises(ValueError, match="too small|non-empty"):
+            SIM.adaptive_centroid_ids(n)
+    with pytest.raises(ValueError, match="non-empty"):
+        SIM.adaptive_centroid_ids(0)
+    # the documented floor and everything above it stays in range
+    for n in (25, 26, 32, 100, 20_001):
+        ids = SIM.adaptive_centroid_ids(n)
+        assert ids[-1] < n and len(set(ids)) == len(ids)
+
+
 def test_ann_pairs_subset_of_exact_with_recall(spark):
     emb = _emb(spark)
     exact = {
@@ -67,15 +87,27 @@ def test_ann_pairs_subset_of_exact_with_recall(spark):
 
 def test_ann_pair_cosines_match_exact(spark):
     """For every pair the ANN path surfaces, its cosine must equal the
-    exact operator's value bit-for-bit (same kernel, same op order)."""
+    exact operator's value to within one round-6 ulp.  Not bit-for-bit:
+    ann_candidate_pairs shares the SQL oracle's op order (unnormalized
+    dot, one divide by na·nb) while embedding_neardup normalizes rows
+    before the matmul — a different FP op order whose last-ulp residual
+    can flip a round-6 half boundary (ADVICE r10).  On this corpus the
+    values are in fact identical; the tolerance pins the documented
+    contract, the counter pins the observed one."""
     emb = _emb(spark)
     exact = {
         (r.id_a, r.id_b): r.cosine
         for r in DD.embedding_neardup_pairs(emb, min_cosine=0.4).collect()
     }
     cents = _centroids(emb, SIM.adaptive_centroid_ids(emb.count()))
-    for r in SIM.ann_candidate_pairs(emb, cents, nprobe=3, min_cosine=0.4).collect():
-        assert exact[(r.id_a, r.id_b)] == r.cosine
+    rows = SIM.ann_candidate_pairs(emb, cents, nprobe=3, min_cosine=0.4).collect()
+    assert rows
+    mismatched = 0
+    for r in rows:
+        got = exact[(r.id_a, r.id_b)]
+        assert abs(got - r.cosine) <= 1.000001e-6  # one round-6 ulp
+        mismatched += got != r.cosine
+    assert mismatched == 0  # observed: identical on the gate corpus
 
 
 def test_semantic_dedup_ann_superset_kept(spark):

@@ -301,6 +301,26 @@ def test_upsert_refuses_batch_id_into_delta_store(spark, tmp_path):
         store.upsert(spark, upd, str(path), batch_id=7)
 
 
+def test_upsert_refuses_saved_bypass_into_delta_store(spark, tmp_path):
+    """ADVICE r10 (store.py:345): with backend='delta', batch_id=None
+    and delta-spark unavailable, a caller passing ``saved`` used to skip
+    load() (whose ownership check would raise) and save() a parquet
+    generation + CURRENT pointer into the Delta-owned dir — rows the
+    next Delta session silently ignores.  upsert() must raise before
+    the parquet fallthrough whenever the merge path is not taken."""
+    path = tmp_path / "st"
+    (path / "_delta_log").mkdir(parents=True)
+    upd = _mk_updates(spark, [("HIST01-a", 1, {"80": "1.0"}, {}, "merge")])
+    pre = store.load(spark, None)  # an empty pre-loaded state
+    with pytest.raises(RuntimeError, match="[Dd]elta"):
+        store.upsert(spark, upd, str(path), saved=pre)
+    # and without saved too (load() would also catch it, but the guard
+    # fires first and names the actual hazard)
+    with pytest.raises(RuntimeError, match="[Dd]elta"):
+        store.upsert(spark, upd, str(path))
+    assert not (path / "CURRENT").exists()
+
+
 def test_upsert_keeps_parquet_store_on_parquet_under_delta(spark, tmp_path, delta_stub):
     """A session that newly gains Delta must keep an existing
     parquet-pointer store on the parquet backend (not clobber it)."""
