@@ -1,0 +1,245 @@
+"""Planted near-duplicate recall for ann_candidate_pairs in the
+production cosine band (VERDICT r10 task 1).
+
+The synthetic embeddings corpus has a gap between its noise floor
+(cos <= ~0.70) and its exact duplicates (cos = 1.0), so the r10 recall
+ladder said nothing about the band a real near-dup threshold targets
+(0.85-0.99).  This tool closes that gap with PLANTED perturbed
+near-duplicates at exact target cosines:
+
+    v = c * u_hat + sqrt(1 - c^2) * w_hat        (|u_hat|=|w_hat|=1, w ⊥ u)
+
+gives cos(u, v) = c exactly (up to float32 storage quantization, ~1e-7),
+scaled back to |u| so planted norms match the corpus.  Ground truth for
+a planted pair is known BY CONSTRUCTION — no exact O(n²) twin is needed,
+which is what makes the same measurement feasible at sf100 where the
+exact operator is excluded.
+
+Per band (default 0.85 / 0.90 / 0.95 / 0.99) the tool plants
+`--per-band` duplicates of distinct, deterministically-chosen source
+rows, appends them with fresh contiguous vec_ids, rebuilds the adaptive
+codebook over the augmented corpus (the same `adaptive_centroid_ids`
+convention the registry query uses), runs `ann_candidate_pairs` at
+`--min-cosine`, and reports per-band recall of the planted pairs.
+Bands are assigned by the engine's own value rule — round-6 cosine of
+the STORED float32 vectors in float64 — not by the requested target.
+
+Usage:
+    python tools/ann_recall.py /tmp/scale/sf1  --per-band 500
+    python tools/ann_recall.py /tmp/scale/sf10 --per-band 2000 --merge
+
+--merge updates ANN_RECALL.json's "planted_band_recall" list in place
+(one entry per sf, replaced on re-run); otherwise prints JSON to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SEED = 20260816
+DEFAULT_BANDS = (0.85, 0.90, 0.95, 0.99)
+
+
+def load_embeddings(sf_dir: str):
+    """(ids int64[n], mat float32[n,dim], labels int32[n]) from parquet."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    labels = t.column("label").to_numpy().astype(np.int32)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order], labels[order]
+
+
+def plant_near_duplicates(
+    mat: np.ndarray,
+    ids: np.ndarray,
+    bands: tuple[float, ...] = DEFAULT_BANDS,
+    per_band: int = 500,
+    seed: int = SEED,
+):
+    """Deterministic planted near-dups at the target cosines.
+
+    Returns (new_mat float32[m,dim], src_ids int64[m], target float64[m]).
+    Source rows are drawn without replacement across ALL bands so no
+    corpus row hosts two plants (keeps planted pairs independent).
+    """
+    rng = np.random.default_rng(seed)
+    n, dim = mat.shape
+    total = per_band * len(bands)
+    if total > n:
+        raise ValueError(f"cannot plant {total} dups on {n} rows without reuse")
+    src = rng.choice(n, size=total, replace=False)
+    m64 = mat.astype(np.float64)
+    out = np.empty((total, dim), dtype=np.float64)
+    targets = np.repeat(np.array(bands, dtype=np.float64), per_band)
+    for i, (s, c) in enumerate(zip(src, targets)):
+        u = m64[s]
+        nu = np.linalg.norm(u)
+        if nu == 0:  # degenerate row: re-draw deterministically
+            u = m64[(s + 1) % n]
+            nu = np.linalg.norm(u)
+            src[i] = (s + 1) % n
+        uh = u / nu
+        r = rng.standard_normal(dim)
+        w = r - (r @ uh) * uh
+        w /= np.linalg.norm(w)
+        out[i] = nu * (c * uh + np.sqrt(1.0 - c * c) * w)
+    return out.astype(np.float32), ids[src], targets
+
+
+def round6(x: np.ndarray) -> np.ndarray:
+    """SQL ROUND half-away-from-zero at 6 places (matches the kernels)."""
+    return np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)
+
+
+def actual_cosines(mat: np.ndarray, a_idx: np.ndarray, b_mat: np.ndarray) -> np.ndarray:
+    """Engine-rule cosine of stored float32 pairs: float64 dot, one
+    divide by na*nb, round-6 — the ann_candidate_pairs op order."""
+    a = mat[a_idx].astype(np.float64)
+    b = b_mat.astype(np.float64)
+    dots = np.einsum("ij,ij->i", a, b)
+    na = np.linalg.norm(a, axis=1)
+    nb = np.linalg.norm(b, axis=1)
+    return round6(dots / (na * nb))
+
+
+def run(sf_dir: str, per_band: int, min_cosine: float, nprobe: int, bands):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time
+
+    from pyspark.sql import SparkSession
+
+    from hogzilla_spark.operators import similarity as SIM
+
+    ids, mat, labels = load_embeddings(sf_dir)
+    n = len(ids)
+    planted, src_ids, targets = plant_near_duplicates(
+        mat, ids, tuple(bands), per_band
+    )
+    new_ids = np.arange(ids.max() + 1, ids.max() + 1 + len(planted), dtype=np.int64)
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    cos_actual = actual_cosines(
+        mat, np.array([id_to_row[int(s)] for s in src_ids]), planted
+    )
+
+    aug_ids = np.concatenate([ids, new_ids])
+    aug_mat = np.concatenate([mat, planted])
+    aug_path = "/tmp/ann_recall_aug.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": aug_ids,
+                "embedding": pa.array(list(aug_mat), type=pa.list_(pa.float32())),
+                "label": np.concatenate(
+                    [labels, np.full(len(planted), -1, dtype=np.int32)]
+                ),
+            }
+        ),
+        aug_path,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(aug_path)
+    n_total = len(aug_ids)
+    cent_ids = SIM.adaptive_centroid_ids(n_total)
+    centroids = [[float(x) for x in aug_mat[i].astype(np.float64)] for i in cent_ids]
+    t0 = time.time()
+    got = {
+        (r.id_a, r.id_b)
+        for r in SIM.ann_candidate_pairs(
+            emb, centroids, nprobe=nprobe, min_cosine=min_cosine
+        ).collect()
+    }
+    t_ann = round(time.time() - t0, 1)
+    spark.stop()
+    os.unlink(aug_path)
+
+    rows = []
+    for c in bands:
+        sel = targets == c
+        pairs = {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in zip(src_ids[sel], new_ids[sel])
+        }
+        found = len(pairs & got)
+        # sanity: the engine-rule cosine of every planted pair must sit
+        # inside its band (float32 storage moves it ~1e-7, never 0.005)
+        dev = float(np.abs(cos_actual[sel] - c).max())
+        rows.append(
+            {
+                "target_cos": c,
+                "planted": len(pairs),
+                "found": found,
+                "recall": round(found / len(pairs), 4),
+                "max_f32_deviation": round(dev, 7),
+            }
+        )
+    return {
+        "sf_dir": sf_dir,
+        "n_vectors": n,
+        "n_planted": len(planted),
+        "k_lists": len(centroids),
+        "nprobe": nprobe,
+        "min_cosine": min_cosine,
+        "t_ann_s": t_ann,
+        "bands": rows,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--per-band", type=int, default=500)
+    ap.add_argument("--min-cosine", type=float, default=0.8)
+    ap.add_argument("--nprobe", type=int, default=3)
+    ap.add_argument("--bands", type=float, nargs="+", default=list(DEFAULT_BANDS))
+    ap.add_argument("--merge", action="store_true", help="update ANN_RECALL.json")
+    args = ap.parse_args()
+    rec = run(args.sf_dir, args.per_band, args.min_cosine, args.nprobe, args.bands)
+    print(json.dumps(rec, indent=1))
+    if args.merge:
+        path = "/root/repo/ANN_RECALL.json"
+        doc = json.load(open(path))
+        entries = [
+            e
+            for e in doc.get("planted_band_recall", [])
+            if e["sf_dir"] != rec["sf_dir"]
+        ]
+        entries.append(rec)
+        entries.sort(key=lambda e: e["n_vectors"])
+        doc["planted_band_recall"] = entries
+        doc.setdefault(
+            "_planted_note",
+            "planted_band_recall: perturbed near-duplicates at exact target "
+            "cosines (v = c*u_hat + sqrt(1-c^2)*w_hat, w orthogonal, scaled "
+            "to |u|; seed 20260816) appended to the corpus, adaptive codebook "
+            "rebuilt over the augmented corpus, ann_candidate_pairs at "
+            "min_cosine 0.8 / nprobe 3. Ground truth is by construction - no "
+            "exact twin needed, so the measurement scales to sf100. Bands "
+            "verified within ~1e-7 of target after float32 storage "
+            "(max_f32_deviation). CI pin: tests/test_ann_swap.py "
+            "test_planted_band_recall_production.",
+        )
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"merged into {path}")
+
+
+if __name__ == "__main__":
+    main()
