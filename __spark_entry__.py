@@ -762,37 +762,52 @@ def q_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At sf100 the adaptive codebook reaches K=800 (2 M vectors, ~7.5 k
     rows/list): per-list BLAS stays bounded and the member ENTERS the
-    sf100 bench family the exact path is excluded from."""
+    sf100 bench family the exact path is excluded from.
+
+    Probe-pass sharing (VERDICT r10 task 4): for n >= 40 000 the two
+    adaptive K rules coincide (ceil(n/2500) clears both floors), so
+    'pairs' and 'sem' share ONE probe + score pass — candidates are
+    generated once at the looser 0.35 threshold, localCheckpointed,
+    filtered to >= 0.4 for 'pairs' and handed to semantic_dedup as
+    `candidate_pairs` for 'sem'.  The candidate set is
+    threshold-independent, so both parts are row-identical to their
+    own-pass form — pinned by tests/test_ann_swap.py
+    test_shared_probe_pass_matches_two_runs.  Below 40 000 (every
+    oracle gate scale) the codebooks differ (K=8/9 vs 16) and each
+    part runs its own pass, exactly as before."""
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
     cent_ids = SIM.adaptive_centroid_ids(n)
-    cent_rows = {
+    fine_ids = SIM.adaptive_centroid_ids(n, min_k=16)
+    need = sorted(set(cent_ids) | set(fine_ids) | set(IVF_CENTROID_IDS))
+    rows = {
         r.vec_id: [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id").isin(*cent_ids)).collect()
+        for r in emb.filter(F.col("vec_id").isin(*need)).collect()
     }
-    cents = [cent_rows[i] for i in cent_ids]
-    pairs = SIM.ann_candidate_pairs(emb, cents, nprobe=3, min_cosine=0.4).select(
+    cents = [rows[i] for i in cent_ids]
+    fine = [rows[i] for i in fine_ids]
+    coarse = [rows[i] for i in sorted(IVF_CENTROID_IDS)]
+    if cent_ids == fine_ids:
+        cand = SIM.ann_candidate_pairs(
+            emb, cents, nprobe=3, min_cosine=0.35
+        ).localCheckpoint()
+        raw_pairs = cand.filter(F.col("cosine") >= 0.4)
+        sem_raw = SIM.semantic_dedup(
+            emb, coarse, threshold=0.35, strategy="ann", candidate_pairs=cand
+        )
+    else:
+        raw_pairs = SIM.ann_candidate_pairs(emb, cents, nprobe=3, min_cosine=0.4)
+        sem_raw = SIM.semantic_dedup(
+            emb, coarse, threshold=0.35, strategy="ann",
+            fine_centroids=fine, nprobe=3,
+        )
+    pairs = raw_pairs.select(
         F.lit("pairs").alias("part"),
         F.col("id_a").alias("k"),
         F.col("id_b").alias("a"),
         (F.col("cosine") * 1e6 + F.lit(0.5)).cast("long").alias("b"),
     )
-    coarse = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
-        .orderBy("vec_id")
-        .collect()
-    ]
-    fine_ids = SIM.adaptive_centroid_ids(n, min_k=16)
-    fine = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id").isin(*fine_ids))
-        .orderBy("vec_id")
-        .collect()
-    ]
-    sem = SIM.semantic_dedup(
-        emb, coarse, threshold=0.35, strategy="ann", fine_centroids=fine, nprobe=3
-    ).select(
+    sem = sem_raw.select(
         F.lit("sem").alias("part"),
         F.col("vec_id").alias("k"),
         F.col("cluster_id").cast("long").alias("a"),

@@ -432,6 +432,7 @@ def semantic_dedup(
     block_rows: int = 2048,
     fine_centroids: list[list[float]] | None = None,
     nprobe: int = 3,
+    candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
@@ -475,18 +476,31 @@ def semantic_dedup(
     (so kept ⊇ kept-exact); the drop recall is pinned by
     tests/test_ann_swap.py.  Per-task memory becomes one fine list, not
     one coarse cluster.
-    """
+
+    ``candidate_pairs`` (ann only): a pre-computed
+    `ann_candidate_pairs`-shaped frame (id_a, id_b, cosine) generated
+    at a min_cosine <= `threshold`, reused instead of probing again —
+    the caller-side dedup of the probe pass when several consumers
+    share one codebook (q_neardup_ann shares 'pairs' and 'sem' this
+    way at scales where the adaptive K rules coincide).  Filtered to
+    cosine >= threshold here, so a looser-threshold frame yields the
+    same result as an in-place probe with the same codebook (the
+    candidate set is threshold-independent; only the emit filter
+    moves)."""
     assigned = emb.select(
         F.col(id_col),
         _as_double(vec_col).alias("v"),
         assign_lists(centroids, _as_double(vec_col)).alias("cluster_id"),
     )
     if strategy == "ann":
-        if fine_centroids is None:
+        if candidate_pairs is not None:
+            pairs = candidate_pairs.filter(F.col("cosine") >= threshold)
+        elif fine_centroids is None:
             raise ValueError("strategy='ann' requires fine_centroids")
-        pairs = ann_candidate_pairs(
-            emb, fine_centroids, nprobe, threshold, id_col, vec_col
-        )
+        else:
+            pairs = ann_candidate_pairs(
+                emb, fine_centroids, nprobe, threshold, id_col, vec_col
+            )
         clusters = assigned.select(id_col, "cluster_id")
         dropped = (
             pairs.join(

@@ -211,6 +211,47 @@ def test_kernel_assignment_matches_expression_path(spark):
     assert via_expr  # non-vacuous
 
 
+def test_shared_probe_pass_matches_two_runs(spark):
+    """VERDICT r10 task 4: q_neardup_ann shares ONE probe/score pass
+    between 'pairs' and 'sem' when the adaptive K rules coincide
+    (n >= 40k), by generating candidates once at the looser threshold.
+    The candidate set is threshold-independent — only the emit filter
+    moves — so (a) a loose run filtered to the tight threshold equals
+    the tight run, and (b) semantic_dedup fed the loose frame via
+    candidate_pairs equals its own-probe form on the same codebook."""
+    emb = _emb(spark)
+    cb = _centroids(emb, [3 + 31 * i for i in range(16)])
+    coarse = _centroids(emb, [3 + 64 * i for i in range(8)])
+    loose = SIM.ann_candidate_pairs(emb, cb, nprobe=3, min_cosine=0.35)
+    loose.localCheckpoint()
+    tight = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in SIM.ann_candidate_pairs(
+            emb, cb, nprobe=3, min_cosine=0.4
+        ).collect()
+    }
+    via_filter = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in loose.filter(F.col("cosine") >= 0.4).collect()
+    }
+    assert via_filter == tight and tight
+    own = {
+        (r.vec_id, r.cluster_id, r.kept)
+        for r in SIM.semantic_dedup(
+            emb, coarse, threshold=0.35, strategy="ann",
+            fine_centroids=cb, nprobe=3,
+        ).collect()
+    }
+    shared = {
+        (r.vec_id, r.cluster_id, r.kept)
+        for r in SIM.semantic_dedup(
+            emb, coarse, threshold=0.35, strategy="ann", candidate_pairs=loose
+        ).collect()
+    }
+    assert shared == own
+    assert any(not kept for _, _, kept in own)  # non-vacuous drop path
+
+
 def test_semantic_dedup_ann_requires_fine_centroids(spark):
     import pytest
 
