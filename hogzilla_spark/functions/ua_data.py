@@ -38,11 +38,18 @@ Camino/Galeon/K-Meleon/Iceape/Fennec/Phoenix/Firebird, webkit shells
 OmniWeb/iCab/Shiira/Lunascape/Avant, feature-phone engines NetFront/
 Obigo/Polaris/Blazer, text browsers ELinks/Links/w3m/Dillo/Amaya/
 NetSurf/Mosaic), so every family CLASS in the public dataset now has
-coverage.  What remains un-vendored is only regexes.yaml's ultra-rare
-residue (regional carrier builds, one-off handsets) — adding any of
-them is one dict in the right layer (the compiler in
-functions/scalar.py consumes them unchanged; regexes must stay in the
-Java∩RE2-safe subset — no lookbehind).
+coverage.  Round 11 vendored regexes.yaml's declared residue: the
+regional carrier builds (DoCoMo/KDDI/SoftBank/Vodafone prefix rows,
+model = first token after the carrier), the remaining regional
+handset makers (Transsion's Tecno/Infinix/itel, Realme RMX codes,
+ZTE/Blade, Asus, HTC, Alcatel, Lenovo, Meizu, Wiko, BLU, Micromax,
+Sharp), the Chinese browser long tail (Sogou, Baidu App/Browser,
+360, 2345, Quark, HeyTap/Oppo/Vivo browsers, LieBao, Mint) and the
+extinct-mobile OSes (Bada, MeeGo, Maemo, Sailfish, Brew).  Anything
+still missing is a one-off UA string, and adding it is one dict in
+the right layer (the compiler in functions/scalar.py consumes them
+unchanged; regexes must stay in the Java∩RE2-safe subset — no
+lookbehind).
 """
 
 from __future__ import annotations
@@ -117,6 +124,24 @@ USER_AGENT_PARSERS: list[dict[str, str]] = [
     {"regex": r"(Sleipnir)"},
     {"regex": r"coc_coc_browser", "family_replacement": "Coc Coc"},
     {"regex": r"(Falkon)/"},
+    # regexes.yaml residue (r11): the Chinese mobile/desktop browser
+    # long tail — every one carries Chrome (and usually Safari) tokens,
+    # so the whole block must precede the mainstream rules; Sogou
+    # desktop additionally rides an MSIE-era "SE 2.X MetaSr" token
+    {
+        "regex": r"SogouMobileBrowser|SE 2\.X MetaSr",
+        "family_replacement": "Sogou Explorer",
+    },
+    {"regex": r"baiduboxapp", "family_replacement": "Baidu App"},
+    {"regex": r"bdbrowser|BaiduBrowser", "family_replacement": "Baidu Browser"},
+    {"regex": r"360SE|360EE|QihooBrowser", "family_replacement": "360 Browser"},
+    {"regex": r"Mb2345Browser|2345Explorer", "family_replacement": "2345 Explorer"},
+    {"regex": r"\b(Quark)/"},
+    {"regex": r"HeyTapBrowser", "family_replacement": "HeyTap"},
+    {"regex": r"OppoBrowser", "family_replacement": "Oppo Browser"},
+    {"regex": r"VivoBrowser", "family_replacement": "Vivo Browser"},
+    {"regex": r"LieBaoFast|LBBROWSER", "family_replacement": "LieBao"},
+    {"regex": r"Mint Browser", "family_replacement": "Mint Browser"},
     # extinct webkit/trident-era shells (own token next to an Apple-
     # WebKit or MSIE one → before the mainstream rules)
     {"regex": r"OmniWeb/", "family_replacement": "OmniWeb"},
@@ -229,6 +254,13 @@ OS_PARSERS: list[dict[str, str]] = [
     {"regex": r"(Fuchsia)"},
     {"regex": r"(Haiku)"},
     {"regex": r"(AmigaOS)"},
+    # extinct-mobile residue (r11): all but Brew can carry a Linux
+    # token, so the block sits before the catch-all
+    {"regex": r"(Bada)"},
+    {"regex": r"(MeeGo)"},
+    {"regex": r"Maemo", "os_replacement": "Maemo"},
+    {"regex": r"Sailfish", "os_replacement": "Sailfish"},
+    {"regex": r"BREW|Brew[ /]", "os_replacement": "Brew"},
     # distro tokens before the generic Linux catch-all, as uap-core does
     {"regex": r"(Ubuntu)"},
     {"regex": r"(Fedora)"},
@@ -393,6 +425,137 @@ DEVICE_PARSERS: list[dict[str, str]] = [
         "device_replacement": "Kindle",
         "brand_replacement": "Amazon",
         "model_replacement": "Kindle",
+    },
+    # --- regexes.yaml residue (r11): regional carrier builds ----------
+    # Japanese feature phones START with the carrier token; the model is
+    # the first token after it (uap-core's docomo/kddi/softbank rows)
+    {
+        "regex": r"^DoCoMo/[0-9.]+[ /]([A-Za-z0-9]+)",
+        "device_replacement": "DoCoMo $1",
+        "brand_replacement": "DoCoMo",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"^KDDI-([A-Z0-9]+)",
+        "device_replacement": "KDDI $1",
+        "brand_replacement": "KDDI",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"^SoftBank/[0-9.]+/([A-Za-z0-9]+)",
+        "device_replacement": "SoftBank $1",
+        "brand_replacement": "SoftBank",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"^Vodafone/[0-9.]+/([A-Za-z0-9]+)",
+        "device_replacement": "Vodafone $1",
+        "brand_replacement": "Vodafone",
+        "model_replacement": "$1",
+    },
+    # --- one-off handset brands (r11): Transsion trio, BBK's Realme,
+    # and the remaining regional Android makers — all before the
+    # generic Build/ catch-all, which would otherwise swallow them as
+    # Generic_Android
+    {
+        "regex": r"TECNO[ _-]([A-Za-z0-9]+)",
+        "device_replacement": "Tecno $1",
+        "brand_replacement": "Tecno",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"Infinix[ _-]([A-Za-z0-9]+)",
+        "device_replacement": "Infinix $1",
+        "brand_replacement": "Infinix",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\bitel[ _-]([A-Za-z0-9]+)",
+        "device_replacement": "itel $1",
+        "brand_replacement": "itel",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(RMX\d{4})",
+        "device_replacement": "Realme $1",
+        "brand_replacement": "Realme",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"ZTE[ _-]([A-Za-z0-9._ ]+?)(?: Build|\))",
+        "device_replacement": "ZTE $1",
+        "brand_replacement": "ZTE",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(Blade[ _][A-Za-z0-9 ]+?)(?: Build|\))",
+        "device_replacement": "ZTE $1",
+        "brand_replacement": "ZTE",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(ASUS_[A-Za-z0-9]+)",
+        "brand_replacement": "Asus",
+    },
+    {
+        "regex": r"(ZenFone[ A-Za-z0-9]*?) Build",
+        "device_replacement": "Asus $1",
+        "brand_replacement": "Asus",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"HTC[ _-]([A-Za-z0-9+ _]+?)(?: Build|\))",
+        "device_replacement": "HTC $1",
+        "brand_replacement": "HTC",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"(?:ALCATEL|Alcatel)[ _-]?(?:ONE[ _-]?TOUCH)?[ _-]([A-Za-z0-9]+)",
+        "device_replacement": "Alcatel $1",
+        "brand_replacement": "Alcatel",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"Lenovo[ _-]([A-Za-z0-9._-]+?)(?: Build|\))",
+        "device_replacement": "Lenovo $1",
+        "brand_replacement": "Lenovo",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"(?:MEIZU|Meizu)[ _-]([A-Za-z0-9 ]+?) Build",
+        "device_replacement": "Meizu $1",
+        "brand_replacement": "Meizu",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(MX\d+(?: Pro)?) Build",
+        "device_replacement": "Meizu $1",
+        "brand_replacement": "Meizu",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"(?:WIKO|Wiko)[ _-]([A-Za-z0-9 ]+?) Build",
+        "device_replacement": "Wiko $1",
+        "brand_replacement": "Wiko",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\bBLU ([A-Za-z0-9 ]+?) Build",
+        "device_replacement": "BLU $1",
+        "brand_replacement": "BLU",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"Micromax[ _-]([A-Za-z0-9 ]+?) Build",
+        "device_replacement": "Micromax $1",
+        "brand_replacement": "Micromax",
+        "model_replacement": "$1",
+    },
+    {
+        "regex": r"\b(SH-\d+[A-Z]?) Build",
+        "device_replacement": "Sharp $1",
+        "brand_replacement": "Sharp",
+        "model_replacement": "$1",
     },
     # --- uap-core's generic Android "... Build/" catch-all, plus the
     # modern no-Build form (Android token required so desktop "(X11;

@@ -231,6 +231,21 @@ _UA_FIXTURE = [
     ("Roku4640X/DVP-7.70 (297.70E04154A)", "Roku/Other"),
     ("Mozilla/5.0 (Fuchsia) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36", "Fuchsia/Chrome"),
     ("Mozilla/5.0 (Haiku; U; Haiku x86_64; en-US; rv:102.0) Gecko/20100101 Firefox/102.0", "Haiku/Firefox"),
+    # r11 residue: Chinese browser long tail (each rides Chrome tokens —
+    # ordering is the assertion) + extinct-mobile OSes
+    ("Mozilla/5.0 (Linux; Android 10; ELE-AL00 Build/HUAWEIELE-AL00) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/70.0.3538.80 Mobile Safari/537.36 SogouMobileBrowser/5.30.8", "Android/Sogou Explorer"),
+    ("Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/63.0.3239.132 Safari/537.36 SE 2.X MetaSr 1.0", "Windows/Sogou Explorer"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 baiduboxapp/13.0.0.10", "iOS/Baidu App"),
+    ("Mozilla/5.0 (Windows NT 10.0; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/86.0.4240.198 Safari/537.36 QIHU 360EE", "Windows/360 Browser"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/69.0.3497.100 Safari/537.36 2345Explorer/10.9.0.21486", "Windows/2345 Explorer"),
+    ("Mozilla/5.0 (Linux; U; Android 12; zh-CN; M2012K11AC Build/SKQ1.211006.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.58 Quark/5.9.3.228 Mobile Safari/537.36", "Android/Quark"),
+    ("Mozilla/5.0 (Linux; Android 13; PGJM10 Build/TP1A.220905.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/102.0.5005.187 Mobile Safari/537.36 HeyTapBrowser/45.10.7.1", "Android/HeyTap"),
+    ("Mozilla/5.0 (Linux; Android 12; V2118 Build/SP1A.210812.003) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/98.0.4758.102 Mobile Safari/537.36 VivoBrowser/8.9.0.0", "Android/Vivo Browser"),
+    ("Mozilla/5.0 (Linux; Android 9; Redmi Note 7 Build/PKQ1.180904.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/71.0.3578.141 Mobile Safari/537.36 XiaoMi/MiuiBrowser/12.5.2 Mint Browser/3.9.3", "Android/Mint Browser"),
+    ("Mozilla/5.0 (SAMSUNG; SAMSUNG-GT-S8500/S8500XXJF4; U; Bada/1.0; fr-fr) AppleWebKit/533.1 (KHTML, like Gecko) Dolfin/2.0 Mobile WVGA SMM-MMS/1.2.0", "Bada/Other"),
+    ("Mozilla/5.0 (MeeGo; NokiaN9) AppleWebKit/534.13 (KHTML, like Gecko) NokiaBrowser/8.5.0 Mobile Safari/534.13", "MeeGo/Safari"),
+    ("Mozilla/5.0 (Linux; U; Sailfish 3.0; Mobile; rv:45.0) Gecko/45.0 Firefox/45.0 SailfishBrowser/1.0", "Sailfish/Firefox Mobile"),
+    ("Mozilla/5.0 (compatible; Teleca Q7; Brew 3.1.5; U; en) 480X800 LGE VX11000", "Brew/Other"),
 ]
 
 def test_ua_data_contract():
@@ -297,6 +312,49 @@ _DEVICE_FIXTURE = [
     # (uap-core's own [Bb]ot case rule; found in review)
     ("Mozilla/5.0 (Linux; Android 10; CUBOT X30 Build/QP1A.190711.020) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/88.0 Mobile Safari/537.36",
      ("CUBOT X30", "Generic_Android", "CUBOT X30")),
+    # r11 residue: regional carrier builds (UA starts with the carrier
+    # token) and one-off handset brands — each must beat the generic
+    # Build/ catch-all's Generic_Android
+    ("DoCoMo/2.0 P906i(c100;TB;W24H15)",
+     ("DoCoMo P906i", "DoCoMo", "P906i")),
+    ("KDDI-CA31 UP.Browser/6.2.0.7.3.129 (GUI) MMP/2.0",
+     ("KDDI CA31", "KDDI", "CA31")),
+    ("SoftBank/1.0/910T/TJ001 Browser/NetFront/3.3 Profile/MIDP-2.0",
+     ("SoftBank 910T", "SoftBank", "910T")),
+    ("Vodafone/1.0/V705SH/SHJ001 Browser/UP.Browser/7.0.2.1",
+     ("Vodafone V705SH", "Vodafone", "V705SH")),
+    ("Mozilla/5.0 (Linux; Android 11; TECNO CH6i) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/88.0.4324.181 Mobile Safari/537.36",
+     ("Tecno CH6i", "Tecno", "CH6i")),
+    ("Mozilla/5.0 (Linux; Android 12; Infinix X669) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 Mobile Safari/537.36",
+     ("Infinix X669", "Infinix", "X669")),
+    ("Mozilla/5.0 (Linux; Android 11; itel A662L) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/94.0.4606.85 Mobile Safari/537.36",
+     ("itel A662L", "itel", "A662L")),
+    ("Mozilla/5.0 (Linux; Android 13; RMX3630 Build/TP1A.220905.001) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Mobile Safari/537.36",
+     ("Realme RMX3630", "Realme", "RMX3630")),
+    ("Mozilla/5.0 (Linux; Android 9; ZTE Blade A7 Build/PPR1.180610.011) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/74.0.3729.157 Mobile Safari/537.36",
+     ("ZTE Blade A7", "ZTE", "Blade A7")),
+    ("Mozilla/5.0 (Linux; Android 11; Blade V30 Build/RP1A.200720.011) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/93.0.4577.82 Mobile Safari/537.36",
+     ("ZTE Blade V30", "ZTE", "Blade V30")),
+    ("Mozilla/5.0 (Linux; Android 8.1.0; ASUS_X00TD Build/OPM1.171019.011) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/69.0.3497.100 Mobile Safari/537.36",
+     ("ASUS_X00TD", "Asus", "ASUS_X00TD")),
+    ("Mozilla/5.0 (Linux; Android 9; HTC U12+ Build/PQ2A.190205.003) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/74.0.3729.157 Mobile Safari/537.36",
+     ("HTC U12+", "HTC", "U12+")),
+    ("Mozilla/5.0 (Linux; Android 4.4.2; ALCATEL ONE TOUCH 7041X Build/KOT49H) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/33.0.1750.136 Mobile Safari/537.36",
+     ("Alcatel 7041X", "Alcatel", "7041X")),
+    ("Mozilla/5.0 (Linux; Android 10; Lenovo TB-X606F Build/QP1A.190711.020) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/83.0.4103.101 Safari/537.36",
+     ("Lenovo TB-X606F", "Lenovo", "TB-X606F")),
+    ("Mozilla/5.0 (Linux; Android 7.1.1; MEIZU M6 Build/NMF26O) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/55.0.2883.91 Mobile Safari/537.36",
+     ("Meizu M6", "Meizu", "M6")),
+    ("Mozilla/5.0 (Linux; Android 5.1; MX4 Pro Build/LMY47D) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/50.0.2661.86 Mobile Safari/537.36",
+     ("Meizu MX4 Pro", "Meizu", "MX4 Pro")),
+    ("Mozilla/5.0 (Linux; Android 7.0; WIKO U FEEL Build/NRD90M) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/58.0.3029.83 Mobile Safari/537.36",
+     ("Wiko U FEEL", "Wiko", "U FEEL")),
+    ("Mozilla/5.0 (Linux; Android 11; BLU G91 Build/RP1A.200720.011) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/94.0.4606.85 Mobile Safari/537.36",
+     ("BLU G91", "BLU", "G91")),
+    ("Mozilla/5.0 (Linux; Android 10; Micromax IN 1b Build/QP1A.190711.020) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/88.0.4324.181 Mobile Safari/537.36",
+     ("Micromax IN 1b", "Micromax", "IN 1b")),
+    ("Mozilla/5.0 (Linux; Android 10; SH-01L Build/S2026) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/87.0.4280.141 Mobile Safari/537.36",
+     ("Sharp SH-01L", "Sharp", "SH-01L")),
     ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
      ("Mac", "Apple", "Mac")),
     ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
