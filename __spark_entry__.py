@@ -3438,11 +3438,11 @@ def oracle_sql() -> dict[str, str]:
           FROM bands l JOIN bands r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
         mh_pairs AS (
           SELECT id_a, id_b,
-                 ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                       / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6) AS jaccard
+                 floor((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE))*1e6 + 0.5)/1e6 AS jaccard
           FROM cand
-          WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.3)"""
+          WHERE floor((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE))*1e6 + 0.5)/1e6 >= 0.3)"""
 
     # 'full' + 'incr' tagged union (merged r10, funding neardup_ann):
     # incremental = the full LSH pair set restricted to pairs touching
@@ -3486,18 +3486,18 @@ def oracle_sql() -> dict[str, str]:
           FROM exc l JOIN exc r ON l.s = r.s AND l.id < r.id
           GROUP BY 1, 2)
         SELECT 'uncapped' AS part, id_a, id_b,
-               ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) AS jaccard
+               floor((CAST(i AS DOUBLE) / (n_a + n_b - i))*1e6 + 0.5)/1e6 AS jaccard
         FROM pairs
         -- filter on the ROUNDED value like the engine (F.round(jac,6)
         -- >= t): a raw-value filter would drop round-up boundary pairs
-        WHERE ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) >= 0.3
+        WHERE floor((CAST(i AS DOUBLE) / (n_a + n_b - i))*1e6 + 0.5)/1e6 >= 0.3
         UNION ALL
         SELECT 'capped' AS part, p.id_a, p.id_b,
-               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+               floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i))*1e6 + 0.5)/1e6 AS jaccard
         FROM cpairs p
         JOIN csz sa ON p.id_a = sa.id
         JOIN csz sb ON p.id_b = sb.id
-        WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
+        WHERE floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i))*1e6 + 0.5)/1e6 >= 0.3
     """
 
     # neardup_ann: IVF multi-probe candidates + exact verify, both parts
@@ -3983,19 +3983,19 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN n_tok > 0 THEN CAST(tok_chars AS DOUBLE)/n_tok ELSE 0.0 END AS atl
           FROM feat)
         SELECT doc_id, CAST(n_tok AS INT) AS n_tok, CAST(n_lines AS INT) AS n_lines,
-               ROUND(swr, 6) AS symbol_word_ratio,
-               ROUND(awf, 6) AS alpha_word_frac,
+               floor((swr)*1e6 + 0.5)/1e6 AS symbol_word_ratio,
+               floor((awf)*1e6 + 0.5)/1e6 AS alpha_word_frac,
                CAST(stop_distinct AS INT) AS stop_distinct,
-               ROUND(bf, 6) AS bullet_frac,
-               ROUND(ef, 6) AS ellipsis_frac,
-               ROUND(dlf, 6) AS dup_line_frac,
-               ROUND(dlcf, 6) AS dup_line_char_frac,
-               ROUND(dpf, 6) AS dup_para_frac,
-               ROUND(dpcf, 6) AS dup_para_char_frac,
+               floor((bf)*1e6 + 0.5)/1e6 AS bullet_frac,
+               floor((ef)*1e6 + 0.5)/1e6 AS ellipsis_frac,
+               floor((dlf)*1e6 + 0.5)/1e6 AS dup_line_frac,
+               floor((dlcf)*1e6 + 0.5)/1e6 AS dup_line_char_frac,
+               floor((dpf)*1e6 + 0.5)/1e6 AS dup_para_frac,
+               floor((dpcf)*1e6 + 0.5)/1e6 AS dup_para_char_frac,
                top_bigram,
-               ROUND(tbf, 6) AS top2gram_char_frac,
-               ROUND(t3f, 6) AS top3gram_char_frac,
-               ROUND(t4f, 6) AS top4gram_char_frac,
+               floor((tbf)*1e6 + 0.5)/1e6 AS top2gram_char_frac,
+               floor((t3f)*1e6 + 0.5)/1e6 AS top3gram_char_frac,
+               floor((t4f)*1e6 + 0.5)/1e6 AS top4gram_char_frac,
                (n_tok >= 50 AND n_tok <= 100000
                 AND atl >= 3.0 AND atl <= 10.0
                 AND swr < 0.1 AND bf < 0.9 AND ef < 0.3
@@ -4030,12 +4030,12 @@ def oracle_sql() -> dict[str, str]:
                  len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains([{markers['pt']}], x))) AS s_pt
           FROM t)
         SELECT doc_id, n_tokens,
-               ROUND(atl, 6) AS avg_token_len,
-               ROUND(pr, 6) AS punct_ratio,
-               ROUND(sr, 6) AS stopword_ratio,
-               ROUND((LEAST(CAST(n_tokens AS DOUBLE)/50.0, 1.0)
+               floor((atl)*1e6 + 0.5)/1e6 AS avg_token_len,
+               floor((pr)*1e6 + 0.5)/1e6 AS punct_ratio,
+               floor((sr)*1e6 + 0.5)/1e6 AS stopword_ratio,
+               floor(((LEAST(CAST(n_tokens AS DOUBLE)/50.0, 1.0)
                       + CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END
-                      + (1.0 - LEAST(pr*5.0, 1.0))) / 3.0, 6) AS quality,
+                      + (1.0 - LEAST(pr*5.0, 1.0))) / 3.0)*1e6 + 0.5)/1e6 AS quality,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
                CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_pt) = 0 THEN 'und'
                     WHEN s_de >= GREATEST(s_en,s_es,s_fr,s_pt) THEN 'de'
@@ -4269,9 +4269,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["interleave_mix"] = """
         SELECT doc_id, source,
-               ROUND(CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE)
+               floor((CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE)
                      / (CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
-                                    WHEN 'src2' THEN 1.0 ELSE 0.5 END), 6) AS mix_pos
+                                    WHEN 'src2' THEN 1.0 ELSE 0.5 END))*1e6 + 0.5)/1e6 AS mix_pos
         FROM documents
     """
 

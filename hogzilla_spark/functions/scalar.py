@@ -16,6 +16,28 @@ from pyspark.sql import functions as F
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
+def round6u(c: Column, digits: int = 6) -> Column:
+    """Engine-portable half-up rounding for NONNEGATIVE doubles:
+    floor(x·10^d + 0.5) / 10^d.
+
+    Why not F.round: Spark's round is BigDecimal HALF_UP over the
+    double's EXACT decimal expansion, while DuckDB's ROUND goes through
+    float math — at a value whose decimal expansion sits at an exact
+    half (e.g. 19/640 = 0.0296875, whose nearest double is just BELOW
+    the half while ×1e6 rounds to exactly 29687.5) the two engines
+    round to DIFFERENT 6-digit values.  Found by the sf100 doc_quality
+    digest (r11): 1 026 of 5 M docs diverged, all small-integer ratios.
+    floor(x·1e6 + 0.5)/1e6 is the same IEEE multiply/add/floor/divide
+    in both engines — bit-identical at any scale — and matches the
+    convention the numpy kernels already use (_round6_select).  Use it
+    for any oracle-compared column whose value is a ratio of small
+    integers; the SQL twin must spell floor(x*1e6 + 0.5)/1e6.
+    Half-up (toward +inf), so for NONNEGATIVE inputs only — negative
+    inputs would round toward zero at halves, unlike ROUND's
+    half-away."""
+    p = float(10 ** digits)
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
 # --- F1: humanBytes (HogSFlow.scala:744-752) --------------------------------
 
 _UNITS = ["b", "K", "M", "G", "T", "P"]

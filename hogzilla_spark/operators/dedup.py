@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hogzilla_spark.functions.scalar import round6u
 from hogzilla_spark.operators.text import fingerprint
 
 # --- exact dedup ------------------------------------------------------------
@@ -232,7 +233,7 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     out = pairs.select(
-        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        "id_a", "id_b", round6u(inter / union).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
     # Materialize the (small) verified pair set eagerly so the O(corpus)
     # shingle cache can be released before returning — otherwise repeated
@@ -351,7 +352,7 @@ def minhash_lsh_pairs_incremental(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return pairs.select(
-        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        "id_a", "id_b", round6u(inter / union).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
 
 def decontaminate(
@@ -418,7 +419,7 @@ def decontaminate(
     inter = F.size(F.array_intersect("sh_c", "sh_h")).cast("double")
     union = F.size(F.array_union("sh_c", "sh_h")).cast("double")
     return pairs.select(
-        "corpus_id", "heldout_id", F.round(inter / union, 6).alias("jaccard")
+        "corpus_id", "heldout_id", round6u(inter / union).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
 
 def ngram_jaccard_pairs(
@@ -514,7 +515,7 @@ def ngram_jaccard_pairs(
         F.col("n_a") + F.col("n_b") - F.col("inter")
     ).cast("double")
     out = inter.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        "id_a", "id_b", round6u(jac).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
     if eager:
         out = out.localCheckpoint(eager=True)

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hogzilla_spark.functions.scalar import round6u
+
 from .text import tokens
 
 # Gopher App. A1.1 requires >= 2 distinct hits from this stopword set.
@@ -355,23 +357,27 @@ def doc_quality_signals(
         & (F.col("__top3gram_char_frac") < MAX_TOP3GRAM_CHAR_FRAC)
         & (F.col("__top4gram_char_frac") < MAX_TOP4GRAM_CHAR_FRAC)
     )
+    # round6u, not F.round: these are small-integer ratios, the value
+    # class where Spark's BigDecimal rounding and DuckDB's float ROUND
+    # diverge at exact decimal halves (the sf100 doc_quality digest
+    # found 1 026 such rows — see functions/scalar.round6u)
     return s3.select(
         id_col,
         "n_tok",
         "n_lines",
-        F.round(F.col("__symbol_word_ratio"), 6).alias("symbol_word_ratio"),
-        F.round(F.col("__alpha_word_frac"), 6).alias("alpha_word_frac"),
+        round6u(F.col("__symbol_word_ratio")).alias("symbol_word_ratio"),
+        round6u(F.col("__alpha_word_frac")).alias("alpha_word_frac"),
         "stop_distinct",
-        F.round(F.col("__bullet_frac"), 6).alias("bullet_frac"),
-        F.round(F.col("__ellipsis_frac"), 6).alias("ellipsis_frac"),
-        F.round(F.col("__dup_line_frac"), 6).alias("dup_line_frac"),
-        F.round(F.col("__dup_line_char_frac"), 6).alias("dup_line_char_frac"),
-        F.round(F.col("__dup_para_frac"), 6).alias("dup_para_frac"),
-        F.round(F.col("__dup_para_char_frac"), 6).alias("dup_para_char_frac"),
+        round6u(F.col("__bullet_frac")).alias("bullet_frac"),
+        round6u(F.col("__ellipsis_frac")).alias("ellipsis_frac"),
+        round6u(F.col("__dup_line_frac")).alias("dup_line_frac"),
+        round6u(F.col("__dup_line_char_frac")).alias("dup_line_char_frac"),
+        round6u(F.col("__dup_para_frac")).alias("dup_para_frac"),
+        round6u(F.col("__dup_para_char_frac")).alias("dup_para_char_frac"),
         "top_bigram",
-        F.round(F.col("__top2gram_char_frac"), 6).alias("top2gram_char_frac"),
-        F.round(F.col("__top3gram_char_frac"), 6).alias("top3gram_char_frac"),
-        F.round(F.col("__top4gram_char_frac"), 6).alias("top4gram_char_frac"),
+        round6u(F.col("__top2gram_char_frac")).alias("top2gram_char_frac"),
+        round6u(F.col("__top3gram_char_frac")).alias("top3gram_char_frac"),
+        round6u(F.col("__top4gram_char_frac")).alias("top4gram_char_frac"),
         gopher_pass.alias("gopher_pass"),
     )
 

@@ -17,7 +17,10 @@ here is oracle-checkable bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
 from pyspark.sql import functions as F
+
+from hogzilla_spark.functions.scalar import round6u
 
 def portable_hash_unit(col: Column) -> Column:
     """Deterministic uniform [0,1) from any column: first 8 md5 hex
@@ -142,10 +145,11 @@ def interleave_mix(
         .withColumn("__w", F.coalesce("__w", F.lit(default_weight)))
         .withColumn(
             "mix_pos",
-            F.round(
+            # round6u: int/weight ratio — the engine-divergent value
+            # class at exact decimal halves (functions/scalar.round6u)
+            round6u(
                 (F.col("__off") + F.row_number().over(w_in_bucket))
-                / F.col("__w"),
-                6,
+                / F.col("__w")
             ),
         )
         .drop("__src", "__b", "__off", "__w")

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hogzilla_spark.functions.scalar import round6u
+
 # A small multilingual stopword table for the n-gram/stopword heuristics.
 STOPWORDS_EN = [
     "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
@@ -62,7 +64,9 @@ def quality_score(text: Column | str) -> Column:
     wl = avg_token_len(text)
     wordlen_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
-    return F.round((length_score + wordlen_score + punct_score) / 3.0, 6)
+    # round6u: engine-portable at exact decimal halves (ratio-of-ints
+    # inputs; see functions/scalar.round6u)
+    return round6u((length_score + wordlen_score + punct_score) / 3.0)
 
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
@@ -131,10 +135,10 @@ def _profile_from_tokens(tok: Column, text: Column) -> list[Column]:
         best_score = F.when(improved, s).otherwise(best_score)
     return [
         n.alias("n_tokens"),
-        F.round(atl, 6).alias("avg_token_len"),
-        F.round(pr, 6).alias("punct_ratio"),
-        F.round(sr, 6).alias("stopword_ratio"),
-        F.round((length_score + wordlen_score + punct_score) / 3.0, 6).alias("quality"),
+        round6u(atl).alias("avg_token_len"),
+        round6u(pr).alias("punct_ratio"),
+        round6u(sr).alias("stopword_ratio"),
+        round6u((length_score + wordlen_score + punct_score) / 3.0).alias("quality"),
         F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")).alias("fp"),
         best_lang.alias("lang_pred"),
     ]
@@ -266,10 +270,10 @@ def text_profile(
     return joined.select(
         "*",
         n.alias("n_tokens"),
-        F.round(atl, 6).alias("avg_token_len"),
-        F.round(pr, 6).alias("punct_ratio"),
-        F.round(sr, 6).alias("stopword_ratio"),
-        F.round((length_score + wordlen_score + punct_score) / 3.0, 6).alias("quality"),
+        round6u(atl).alias("avg_token_len"),
+        round6u(pr).alias("punct_ratio"),
+        round6u(sr).alias("stopword_ratio"),
+        round6u((length_score + wordlen_score + punct_score) / 3.0).alias("quality"),
         F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")).alias("fp"),
         best_lang.alias("lang_pred"),
     ).drop(*internal)

@@ -210,3 +210,44 @@ def test_dup_ngram_char_fractions_hand_computed(spark):
     assert not got[1].repetition_pass
     assert got[2].dup_5gram_char_frac == 0.0
     assert got[2].repetition_pass
+
+
+def test_round6u_engine_parity_at_decimal_half(spark):
+    """Regression for the sf100 doc_quality digest mismatch (r11): at a
+    ratio whose exact decimal expansion ends in ...5 at digit 7 (e.g.
+    19/640 = 0.0296875, stored as a double just BELOW the half while
+    x*1e6 rounds to exactly 29687.5), Spark's BigDecimal F.round gave
+    0.029687 but DuckDB's float ROUND gave 0.029688 — 1 026 of 5 M sf100
+    docs diverged.  round6u (floor(x*1e6+0.5)/1e6) is the same IEEE op
+    sequence in both engines; this pins the exact boundary value and
+    the DuckDB twin expression byte-agreement on a sweep of dangerous
+    small-integer ratios."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hogzilla_spark.functions.scalar import round6u
+
+    # the evidenced boundary value plus a sweep of small-int ratios
+    # whose decimal expansions terminate at or near digit 7
+    cases = [(19, 640)] + [
+        (a, b)
+        for b in (640, 1280, 320, 64000, 16000, 2048, 12800)
+        for a in (1, 3, 7, 19, 21, 333)
+        if a < b
+    ]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r.a, r.b): r.v
+        for r in df.select(
+            "a", "b", round6u(F.col("a").cast("double") / F.col("b")).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for (a, b), v in got.items():
+        dk = con.execute(
+            "select floor((?::double / ?::double)*1e6 + 0.5)/1e6", [a, b]
+        ).fetchone()[0]
+        assert dk == v, (a, b, dk, v)
+    # the evidenced value lands on the DuckDB side of the old divergence
+    assert got[(19, 640)] == 0.029688
