@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,12 +109,33 @@ def prepare_corpus(
             f"shard_partition_cols {missing} not in corpus columns "
             f"{raw.columns}; stage 5 would fail after stages 1-4 ran"
         )
+    # Per-stage observability (VERDICT r10 task 3): every stage boundary
+    # is already an action (eager localCheckpoint + count), so wall-clock
+    # per stage is well-defined — `stages` records rows in/out,
+    # selectivity, and seconds alongside the flat count keys the callers
+    # and tests already consume.
+    stages: list[dict] = []
+    _t0 = time.time()
+    _mark = [_t0]
+
+    def _stage(name: str, rows_out: int, rows_in: int | None = None) -> None:
+        now = time.time()
+        rec: dict = {"stage": name, "rows_out": rows_out,
+                     "seconds": round(now - _mark[0], 2)}
+        if rows_in is not None:
+            rec["rows_in"] = rows_in
+            rec["selectivity"] = round(rows_out / rows_in, 6) if rows_in else None
+        stages.append(rec)
+        _mark[0] = now
+
     docs = spread_small_scan(raw).localCheckpoint(eager=True)
-    report: dict[str, int] = {"input_docs": docs.count()}
+    report: dict = {"input_docs": docs.count()}
+    _stage("input_scan", report["input_docs"])
 
     # 1. exact dedup
     docs = DD.dedup_exact(docs).localCheckpoint(eager=True)
     report["after_exact_dedup"] = docs.count()
+    _stage("exact_dedup", report["after_exact_dedup"], report["input_docs"])
 
     # 2. cross-document line dedup (rewrites text)
     lines = DD.dedup_lines(docs)
@@ -124,6 +146,8 @@ def prepare_corpus(
         .localCheckpoint(eager=True)
     )
     report["lines_removed"] = docs.agg(F.sum("n_removed")).collect()[0][0] or 0
+    _stage("line_dedup", report["after_exact_dedup"])
+    stages[-1]["lines_removed"] = int(report["lines_removed"])
 
     # 3. quality flags on the cleaned text: rule signals + the two
     # kernel signals (repetition battery tail, compression ratio)
@@ -143,9 +167,14 @@ def prepare_corpus(
     )
     report["gopher_pass"] = docs.filter("gopher_pass").count()
     report["repetition_pass"] = docs.filter("repetition_pass").count()
+    _stage("quality_signals", report["after_exact_dedup"])
+    stages[-1]["gopher_pass"] = report["gopher_pass"]
+    stages[-1]["repetition_pass"] = report["repetition_pass"]
     if drop_low_quality:
         docs = docs.filter("gopher_pass").localCheckpoint(eager=True)
         report["after_quality_drop"] = docs.count()
+        _stage("quality_drop", report["after_quality_drop"],
+               report["after_exact_dedup"])
 
     # 3b. optional CCNet-style LM-perplexity filter: self-train the
     # add-k bigram LM on the (deduped, line-cleaned) survivors, score
@@ -161,10 +190,16 @@ def prepare_corpus(
         )
         docs = docs.join(lm, "doc_id", "left").localCheckpoint(eager=True)
         report["lm_scored"] = docs.filter(F.col("ppl").isNotNull()).count()
+        rows_in = (
+            report["after_quality_drop"] if drop_low_quality
+            else report["after_exact_dedup"]
+        )
         docs = docs.filter(
             F.col("ppl").isNull() | (F.col("ppl") <= lm_ppl_max)
         ).localCheckpoint(eager=True)
         report["after_lm_filter"] = docs.count()
+        _stage("lm_perplexity_filter", report["after_lm_filter"], rows_in)
+        stages[-1]["lm_scored"] = report["lm_scored"]
 
     # 3c. optional DSIR selection: keep the dsir_keep_frac of survivors
     # whose hashed n-gram distribution best matches the target corpus.
@@ -186,6 +221,7 @@ def prepare_corpus(
         )
         docs = docs.join(sel, "doc_id").localCheckpoint(eager=True)
         report["after_dsir_select"] = docs.count()
+        _stage("dsir_select", report["after_dsir_select"], n_now)
 
     # 4. near-dup clusters → keep canonical member per component
     pairs = DD.minhash_lsh_pairs(docs, min_jaccard=min_jaccard)
@@ -195,6 +231,11 @@ def prepare_corpus(
     )
     docs = docs.join(losers, "doc_id", "left_anti").localCheckpoint(eager=True)
     report["after_neardup_dedup"] = docs.count()
+    _stage(
+        "lsh_component_dedup",
+        report["after_neardup_dedup"],
+        stages[-1]["rows_out"],
+    )
 
     # 5. shard packing at document grain, then chunking
     packed = pack_token_shards(
@@ -202,12 +243,16 @@ def prepare_corpus(
         partition_cols=shard_partition_cols,
     )
     packed.write.mode("overwrite").parquet(f"{out_dir}/clean_docs.parquet")
+    _stage("shard_pack_write", report["after_neardup_dedup"])
     chunks = chunk_documents(docs, chunk_tokens=chunk_tokens, stride=stride)
     chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks.parquet")
     report["output_docs"] = report["after_neardup_dedup"]
     report["output_chunks"] = spark.read.parquet(
         f"{out_dir}/chunks.parquet"
     ).count()
+    _stage("chunk_write", report["output_chunks"], report["output_docs"])
+    report["stages"] = stages
+    report["total_seconds"] = round(time.time() - _t0, 2)
     return report
 
 def main() -> None:
@@ -246,6 +291,13 @@ def main() -> None:
     )
     ap.add_argument("--shard-budget", type=int, default=65_536)
     ap.add_argument(
+        "--report-out",
+        default=None,
+        help="also write the run report (per-stage wall-clock, rows "
+        "in/out, selectivity) as JSON to this path, with the run "
+        "config attached — the CORPUS_E2E.json recorder",
+    )
+    ap.add_argument(
         "--shard-partition-cols",
         default=None,
         help="comma-separated group-by keys for shard packing "
@@ -272,6 +324,32 @@ def main() -> None:
         ),
     )
     print(json.dumps(report))
+    if args.report_out:
+        import os
+
+        doc = {
+            "_note": (
+                "End-to-end corpus-pipeline record (plans/corpus.py): one "
+                "run, per-stage wall-clock + rows in/out + selectivity. "
+                "Stage seconds include the eager localCheckpoint that "
+                "materializes the stage, so they sum to ~total_seconds. "
+                "chunk_write's 'selectivity' is chunks-per-doc expansion."
+            ),
+            "src": args.src,
+            "config": {
+                "min_jaccard": args.min_jaccard,
+                "drop_low_quality": args.drop_low_quality,
+                "lm_ppl_max": args.lm_ppl_max,
+                "dsir_target": args.dsir_target,
+                "dsir_keep_frac": args.dsir_keep_frac,
+                "dsir_buckets": args.dsir_buckets,
+                "shard_budget": args.shard_budget,
+            },
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "report": report,
+        }
+        with open(args.report_out, "w") as f:
+            json.dump(doc, f, indent=1)
     spark.stop()
 
 if __name__ == "__main__":
