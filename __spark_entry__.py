@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hogzilla_spark.functions import scalar as HF
+from hogzilla_spark.functions.scalar import round6u
 from hogzilla_spark.operators import aggregates as AGG
 from hogzilla_spark.operators import dedup as DD
 from hogzilla_spark.operators import histogram as H
@@ -231,9 +232,12 @@ def q_a7_a8_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = F.col("ss").cast("double")
     return agg.select(
         "n",
-        F.round(s / n / 100.0, 6).alias("mean_price"),
-        F.round(
-            F.sqrt(ss / n - (s / n) * (s / n)) / 100.0, 6
+        # round6u, not F.round: rational sums/counts are the value class
+        # where Spark/DuckDB rounding diverges at exact decimal halves
+        # (functions/scalar.round6u; the sf100 doc_quality lesson)
+        round6u(s / n / 100.0).alias("mean_price"),
+        round6u(
+            F.sqrt(ss / n - (s / n) * (s / n)) / 100.0
         ).alias("stdev_price"),
         F.col("s").cast("long").alias("sum_price_c"),
         F.floor(F.col("ss") / 10000).cast("long").alias("sumsq_price"),
@@ -274,7 +278,7 @@ def q_a14_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = ev.select("user_id", _ev_ms().alias("t_ms"), "event_id")
     stats = W.interarrival_stats(ms, ["user_id"], "t_ms", "event_id", drop_largest=4)
     return stats.select(
-        "user_id", "n_gaps", F.round(F.col("mean_interarrival"), 4).alias("mean_gap_ms")
+        "user_id", "n_gaps", round6u(F.col("mean_interarrival"), digits=4).alias("mean_gap_ms")
     )
 
 # ---------------------------------------------------------------------------
@@ -287,7 +291,7 @@ def q_w1_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     share = W.group_share(cnt, ["user_id"], "n")
-    return cnt.select("user_id", "event_type", "n", F.round(share, 6).alias("share"))
+    return cnt.select("user_id", "event_type", "n", round6u(share).alias("share"))
 
 def q_w2_w4_topn_groupmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 top-N per group with deterministic tiebreak + W4
@@ -3019,9 +3023,9 @@ def oracle_sql() -> dict[str, str]:
                  SUM(CAST(ROUND(l_quantity*100) AS BIGINT)*CAST(ROUND(l_quantity*100) AS BIGINT)) AS ssq
           FROM lineitem)
         SELECT n,
-               ROUND(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/100.0, 6) AS mean_price,
-               ROUND(SQRT(CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
-                     - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)))/100.0, 6) AS stdev_price,
+               floor((CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/100.0)*1e6 + 0.5)/1e6 AS mean_price,
+               floor((SQRT(CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
+                     - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)))/100.0)*1e6 + 0.5)/1e6 AS stdev_price,
                CAST(s AS BIGINT) AS sum_price_c,
                CAST(ss // 10000 AS BIGINT) AS sumsq_price,
                CAST(sq AS BIGINT) AS sum_qty_c,
@@ -3038,7 +3042,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, gap,
                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap DESC) AS rk
           FROM diffs WHERE gap IS NOT NULL)
-        SELECT user_id, COUNT(*) AS n_gaps, ROUND(AVG(CAST(gap AS DOUBLE)), 4) AS mean_gap_ms
+        SELECT user_id, COUNT(*) AS n_gaps, floor(AVG(CAST(gap AS DOUBLE))*1e4 + 0.5)/1e4 AS mean_gap_ms
         FROM ranked WHERE rk > 4 GROUP BY user_id
     """
 
@@ -3054,7 +3058,7 @@ def oracle_sql() -> dict[str, str]:
           FROM orders)
         SELECT 'w1' AS part, CAST(user_id AS BIGINT) AS key1, event_type AS key2,
                CAST(n AS BIGINT) AS n,
-               ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY user_id), 6) AS x,
+               floor((CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY user_id))*1e6 + 0.5)/1e6 AS x,
                CAST(NULL AS BIGINT) AS m, CAST(NULL AS BIGINT) AS flag
         FROM cnt
         UNION ALL
@@ -3488,7 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'uncapped' AS part, id_a, id_b,
                floor((CAST(i AS DOUBLE) / (n_a + n_b - i))*1e6 + 0.5)/1e6 AS jaccard
         FROM pairs
-        -- filter on the ROUNDED value like the engine (F.round(jac,6)
+        -- filter on the ROUNDED value like the engine (round6u(jac)
         -- >= t): a raw-value filter would drop round-up boundary pairs
         WHERE floor((CAST(i AS DOUBLE) / (n_a + n_b - i))*1e6 + 0.5)/1e6 >= 0.3
         UNION ALL
