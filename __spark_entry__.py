@@ -771,14 +771,22 @@ def q_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probe-pass sharing (VERDICT r10 task 4): for n >= 40 000 the two
     adaptive K rules coincide (ceil(n/2500) clears both floors), so
     'pairs' and 'sem' share ONE probe + score pass — candidates are
-    generated once at the looser 0.35 threshold, localCheckpointed,
+    generated once at the looser 0.35 threshold, persisted DISK_ONLY,
     filtered to >= 0.4 for 'pairs' and handed to semantic_dedup as
     `candidate_pairs` for 'sem'.  The candidate set is
     threshold-independent, so both parts are row-identical to their
     own-pass form — pinned by tests/test_ann_swap.py
     test_shared_probe_pass_matches_two_runs.  Below 40 000 (every
     oracle gate scale) the codebooks differ (K=8/9 vs 16) and each
-    part runs its own pass, exactly as before."""
+    part runs its own pass, exactly as before.
+
+    DISK_ONLY, not localCheckpoint: the 0.35 candidate set at sf100 is
+    hundreds of millions of rows, and localCheckpoint's
+    MEMORY_AND_DISK blocks are re-CACHED as deserialized rows when the
+    second consumer reads them (BlockManager
+    maybeCacheDiskValuesInMemory) — a 30+ GB heap spike that OOMed the
+    first sf100 run.  DISK_ONLY reads stream from disk on every
+    consumer; the scoring pass is still computed exactly once."""
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
     cent_ids = SIM.adaptive_centroid_ids(n)
@@ -792,9 +800,11 @@ def q_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine = [rows[i] for i in fine_ids]
     coarse = [rows[i] for i in sorted(IVF_CENTROID_IDS)]
     if cent_ids == fine_ids:
+        from pyspark.storagelevel import StorageLevel
+
         cand = SIM.ann_candidate_pairs(
             emb, cents, nprobe=3, min_cosine=0.35
-        ).localCheckpoint()
+        ).persist(StorageLevel.DISK_ONLY)
         raw_pairs = cand.filter(F.col("cosine") >= 0.4)
         sem_raw = SIM.semantic_dedup(
             emb, coarse, threshold=0.35, strategy="ann", candidate_pairs=cand
