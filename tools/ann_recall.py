@@ -219,10 +219,10 @@ def main():
         entries = [
             e
             for e in doc.get("planted_band_recall", [])
-            if e["sf_dir"] != rec["sf_dir"]
+            if (e["sf_dir"], e["nprobe"]) != (rec["sf_dir"], rec["nprobe"])
         ]
         entries.append(rec)
-        entries.sort(key=lambda e: e["n_vectors"])
+        entries.sort(key=lambda e: (e["n_vectors"], e["nprobe"]))
         doc["planted_band_recall"] = entries
         doc.setdefault(
             "_planted_note",
