@@ -255,7 +255,26 @@ if not os.environ.get("DUCKDB_MEMORY_LIMIT"):
     os.environ["DUCKDB_MEMORY_LIMIT"] = f"{gb}GB"
 con = duck_con(sf_dir)
 sql = open(sql_path).read()
-if shards > 1:
+shard_input = os.environ.get("DUCKDB_SHARD_INPUT")  # "table:key_col"
+if shards > 1 and shard_input:
+    # INPUT sharding (opt-in): re-create the named table's view filtered
+    # to hash(key) % K BEFORE the query runs, so each shard scans and
+    # aggregates 1/K of the DATA, not just 1/K of the result.  Output
+    # sharding (below) cannot push its hash predicate through a
+    # per-row pipeline over a huge fact table, so every shard repays
+    # the full intermediate spill — doc_quality at sf100 spilled ~44 GB
+    # PER SHARD and died on disk.  Valid only when the query emits
+    # exactly one row-group per input key row (row-per-doc queries
+    # keyed by the shard key): the shard union then covers every
+    # result row exactly once and the commutative digest fold is
+    # unchanged — same partition the output filter would have made.
+    tbl, key = shard_input.split(":")
+    con.execute(
+        f'CREATE OR REPLACE VIEW "{tbl}" AS SELECT * FROM '
+        f"read_parquet('{sf_dir}/{tbl}.parquet') "
+        f'WHERE COALESCE(hash("{key}"), 0) % {shards} = {shard_idx}'
+    )
+elif shards > 1:
     # hash-partition the RESULT by its first column: this run holds
     # 1/K of the final aggregate/sort state, and a predicate on an
     # output column pushes through trailing group-bys/joins on it.
