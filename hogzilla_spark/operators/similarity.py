@@ -284,6 +284,9 @@ def adaptive_centroid_ids(n: int, target_list_rows: int = 2500, min_k: int = 8) 
         )
     return ids
 
+def _maybe_broadcast(df: DataFrame, do: bool) -> DataFrame:
+    return F.broadcast(df) if do else df
+
 def adaptive_nprobe(k: int) -> int:
     """Recall-targeted probe count paired with the adaptive codebook:
     nprobe = max(3, floor(k/135 + 0.5)) — the half-up linear rule
@@ -322,10 +325,18 @@ def ann_candidate_pairs(
     Every vector fans out to its `nprobe` nearest lists (round-6 L2,
     ties on list id — identical to ann_ivf_topk's probe rule); each
     list's matrix scores itself with the slab-bounded BLAS kernel; a
-    pair is emitted when round-6 cosine >= min_cosine, and the final
-    distinct collapses pairs that co-reside in several probed lists
-    (their cosine is bit-identical across lists — same kernel, same op
-    order).  Output ⊆ the exact operator's output by construction —
+    pair is emitted when round-6 cosine >= min_cosine — EXACTLY ONCE,
+    in the lowest list id the two sides co-probe (each row carries its
+    probe array, so the canonical list is decidable inside the scoring
+    task; the cosine is bit-identical across co-probed lists — same
+    kernel, same op order — so which list emits cannot change the
+    value).  Emit-once replaced a global ``distinct()`` in r12: at
+    sf100/nprobe=6 the pre-distinct pair stream is ~4x the nprobe=3
+    volume and the distinct's exchange (every emitted pair shuffled
+    once more) pushed the run past the machine's disk budget — the
+    canonical-list rule produces the identical pair set with zero
+    post-scoring shuffle.  Output ⊆ the exact operator's output by
+    construction —
     up to one round-6 ulp at an exact half boundary, because this
     kernel shares the SQL oracle's op order (dot/(na·nb)) while
     embedding_neardup normalizes rows before the matmul; the recall
@@ -358,10 +369,8 @@ def ann_candidate_pairs(
         probed = v.select(
             "id",
             "v",
-            F.explode(
-                nearest_lists_expr(F.col("v"), centroids, nprobe)
-            ).alias("list_id"),
-        )
+            nearest_lists_expr(F.col("v"), centroids, nprobe).alias("probes"),
+        ).select("id", "v", "probes", F.explode("probes").alias("list_id"))
     else:
         cmat = np.array(centroids, dtype=np.float64)
         bc = v.sparkSession.sparkContext.broadcast(cmat)
@@ -396,22 +405,46 @@ def ann_candidate_pairs(
                 d = np.round(d, 6)
                 order = np.argsort(d, axis=1, kind="stable")[:, :np_probe]
                 n_rows = len(pdf)
+                probes = [row.tolist() for row in order]
                 yield pd.DataFrame(
                     {
                         "id": pdf["id"].to_numpy().repeat(np_probe),
                         "v": [row for row in pdf["v"] for _ in range(np_probe)],
+                        "probes": [p for p in probes for _ in range(np_probe)],
                         "list_id": order.reshape(n_rows * np_probe),
                     }
                 )
 
-        probed = v.mapInPandas(assign, "id long, v array<double>, list_id int")
+        probed = v.mapInPandas(
+            assign, "id long, v array<double>, probes array<int>, list_id int"
+        )
 
     slab_budget = _SIMS_SLAB_BYTES  # captured at plan build
+
+    def _canonical_mask(pa, pb, cur):
+        """True where `cur` is the LOWEST list id probed by both sides.
+        Fast path: if cur is already the minimum of either side's probe
+        array, no common list below cur can exist (the common set is a
+        subset of both arrays).  The remainder — both sides probe
+        something below cur — takes the full p×p intersection check,
+        chunked so the (m, p, p) temporary stays bounded."""
+        fast = (pa.min(axis=1) == cur) | (pb.min(axis=1) == cur)
+        out = fast.copy()
+        rest = np.nonzero(~fast)[0]
+        big = np.iinfo(np.int64).max
+        for lo in range(0, len(rest), 1_000_000):
+            idx = rest[lo : lo + 1_000_000]
+            a, b = pa[idx], pb[idx]
+            common = np.where(a[:, :, None] == b[:, None, :], a[:, :, None], big)
+            out[idx] = common.min(axis=(1, 2)) == cur
+        return out
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
         ids = pdf["id"].to_numpy()[order]
         m = np.array(list(pdf["v"]), dtype=np.float64)[order]
+        probes = np.array(list(pdf["probes"]), dtype=np.int64)[order]
+        cur = int(pdf["list_id"].iloc[0])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         nsafe = np.where(norms == 0, 1.0, norms)
         out_a, out_b, out_c = [], [], []
@@ -431,9 +464,12 @@ def ann_candidate_pairs(
             np.divide(sims, nsafe[lo:hi] * nsafe.T, out=sims)
             ii, jj, s = _round6_select(sims, min_cosine)
             keep = ids[jj] > ids[lo + ii]  # emit id_a < id_b once
-            out_a.append(ids[lo + ii[keep]])
-            out_b.append(ids[jj[keep]])
-            out_c.append(s[keep])
+            ii, jj, s = ii[keep], jj[keep], s[keep]
+            # emit-once: only the lowest co-probed list emits the pair
+            emit = _canonical_mask(probes[lo + ii], probes[jj], cur)
+            out_a.append(ids[lo + ii[emit]])
+            out_b.append(ids[jj[emit]])
+            out_c.append(s[emit])
         if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
@@ -446,10 +482,12 @@ def ann_candidate_pairs(
             }
         )
 
-    pairs = probed.groupBy("list_id").applyInPandas(
+    # no distinct: the canonical-list rule already makes every pair
+    # unique — the scoring stage's output flows straight to the
+    # consumer (or its persist) with zero additional exchange
+    return probed.groupBy("list_id").applyInPandas(
         score, "id_a long, id_b long, cosine double"
     )
-    return pairs.distinct()
 
 def semantic_dedup(
     emb: DataFrame,
@@ -462,6 +500,7 @@ def semantic_dedup(
     fine_centroids: list[list[float]] | None = None,
     nprobe: int = 3,
     candidate_pairs: DataFrame | None = None,
+    broadcast_clusters: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
@@ -541,16 +580,33 @@ def semantic_dedup(
                 emb, fine_centroids, nprobe, threshold, id_col, vec_col
             )
         clusters = assigned.select(id_col, "cluster_id")
+        # The candidate set is the BIG side (pairs >> vectors, always);
+        # a shuffle join would move every candidate pair TWICE (once
+        # per id side) — at sf100/nprobe=6 those two exchanges helped
+        # blow the disk budget (r12).  The cluster map is (id, int32)
+        # rows — ~30 MB at 2 M vectors — so broadcast it and keep the
+        # pair stream entirely map-side.  Auto rule: broadcast up to
+        # 4 M vectors (~64 MB plan-side); beyond that the caller
+        # decides (on a real cluster the executor count, not this
+        # bound, sets the broadcast economics).
+        if broadcast_clusters is None:
+            broadcast_clusters = emb.count() <= 4_000_000
         dropped = (
             pairs.join(
-                clusters.withColumnRenamed(id_col, "id_a").withColumnRenamed(
-                    "cluster_id", "ca"
+                _maybe_broadcast(
+                    clusters.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                        "cluster_id", "ca"
+                    ),
+                    broadcast_clusters,
                 ),
                 "id_a",
             )
             .join(
-                clusters.withColumnRenamed(id_col, "id_b").withColumnRenamed(
-                    "cluster_id", "cb"
+                _maybe_broadcast(
+                    clusters.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                        "cluster_id", "cb"
+                    ),
+                    broadcast_clusters,
                 ),
                 "id_b",
             )

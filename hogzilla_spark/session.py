@@ -81,6 +81,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # serialized persist blocks (DISK_ONLY candidate sets, any
+        # MEMORY_AND_DISK spillover) compress with lz4: the r12 sf100
+        # neardup_ann run persists a billion-row candidate frame to
+        # local disk, and uncompressed 24-byte rows are ~3x the
+        # footprint for zero read-back benefit.  Shuffle/spill streams
+        # were already compressed (spark.shuffle.compress default);
+        # this aligns cached blocks with them.
+        .config("spark.rdd.compress", "true")
     )
     # Verification harnesses (oracle comparisons) collect whole result
     # sets and opt in to a larger cap via SPARK_MAX_RESULT_SIZE; library

@@ -322,3 +322,19 @@ def test_adaptive_nprobe_pairs_with_codebook():
     ).fetchall()
     for k, sql_v in got:
         assert sql_v == SIM.adaptive_nprobe(k), k
+
+
+def test_emit_once_no_duplicate_pairs(spark):
+    """r12: the global distinct() is gone — each pair must be emitted
+    exactly once, in the lowest list id both sides co-probe.  (At
+    sf100/nprobe=6 the distinct's exchange reshuffled a ~4x candidate
+    stream and blew the disk budget; the canonical-list rule removes
+    that exchange while keeping the pair set identical — the gate
+    oracle pins set equality against the DISTINCT SQL twin.)"""
+    emb = _emb(spark)
+    cents = _centroids(emb, SIM.adaptive_centroid_ids(emb.count()))
+    rows = SIM.ann_candidate_pairs(
+        emb, cents, nprobe=3, min_cosine=0.35
+    ).collect()
+    keys = [(r.id_a, r.id_b) for r in rows]
+    assert len(keys) == len(set(keys)) > 0
