@@ -296,6 +296,53 @@ if cols is None:
 print(json.dumps({"rows": rows, "cols": cols, "kinds": kinds, "digest": digest}))
 """
 
+_DUCK_COUNT_PROG = """
+import json, os, sys
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+from oracle_check import duck_con
+sf_dir, sql_path = sys.argv[1], sys.argv[2]
+os.environ.setdefault("DUCKDB_THREADS", "16")
+os.environ.setdefault("DUCKDB_MEMORY_LIMIT", "40GB")
+con = duck_con(sf_dir)
+sql = open(sql_path).read()
+n = con.execute(f'SELECT COUNT(*) FROM ({sql}) __t').fetchone()[0]
+print(json.dumps({"count": int(n)}))
+"""
+
+def _duck_unsharded_count(sf_dir: str, sql: str) -> int:
+    """COUNT(*) of the UNSHARDED oracle query in a fresh process.
+    Guards the INPUT-sharding foot-gun: ``DUCKDB_SHARD_INPUT`` is only
+    valid for queries whose output decomposes row-for-row by the shard
+    key; a misapplied key makes each shard answer a different (partial)
+    query, and since the digest fold is commutative the K partial
+    digests would silently sum into a "verified" total.  The total
+    count of the sharded union, however, then disagrees with the real
+    query's count (K partial aggregates ≠ 1 global one), so one cheap
+    unsharded COUNT(*) — which drops the giant result materialization
+    that forces sharding in the first place — catches the misuse."""
+    import json as _json
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".sql", delete=False) as f:
+        f.write(sql)
+        sql_path = f.name
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _DUCK_COUNT_PROG, sf_dir, sql_path],
+            capture_output=True, text=True, check=True,
+        )
+    except subprocess.CalledProcessError as ex:
+        raise RuntimeError(
+            "input-shard guard: unsharded COUNT(*) subprocess failed: "
+            f"{(ex.stderr or '').strip()[-500:]}"
+        )
+    finally:
+        os.unlink(sql_path)
+    line = [l for l in out.stdout.splitlines() if "{" in l][-1]
+    return _json.loads(line[line.index("{"):])["count"]
+
 def _duck_digest_subprocess(
     sf_dir: str, sql: str, shards: int = 1
 ) -> tuple[int, list, dict, int]:
@@ -370,6 +417,17 @@ def _duck_digest_subprocess(
             if r["cols"] is not None:
                 cols, kinds = r["cols"], r["kinds"]
             digest = (digest + r["digest"]) % (1 << 64)
+        if shards > 1 and os.environ.get("DUCKDB_SHARD_INPUT"):
+            expected = _duck_unsharded_count(sf_dir, sql)
+            if expected != rows:
+                raise RuntimeError(
+                    f"input-shard guard: sharded union has {rows} rows but the "
+                    f"unsharded query has {expected} — DUCKDB_SHARD_INPUT="
+                    f"{os.environ['DUCKDB_SHARD_INPUT']!r} does not decompose "
+                    "this query's output by the shard key (each shard answered "
+                    "a different partial query); unset it or pick the key the "
+                    "output is row-per-key in"
+                )
         return rows, cols, kinds, digest
     finally:
         os.unlink(sql_path)

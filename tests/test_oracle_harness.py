@@ -111,3 +111,37 @@ def test_digest_null_not_conflated_with_none_string():
     a = pd.DataFrame({"s": [None]})
     b = pd.DataFrame({"s": ["None"]})
     assert _digest_chunks(iter([a]))[3] != _digest_chunks(iter([b]))[3]
+
+
+def test_input_shard_guard_catches_misapplied_key(monkeypatch):
+    """DUCKDB_SHARD_INPUT is only valid when the query output is
+    row-per-shard-key.  A global aggregate sharded on input answers K
+    partial queries whose commutative digests would silently sum into a
+    'verified' total — the unsharded-COUNT(*) guard must refuse it."""
+    import pytest
+
+    from oracle_check import _duck_digest_subprocess
+
+    monkeypatch.setenv("DUCKDB_SHARD_INPUT", "documents:doc_id")
+    with pytest.raises(RuntimeError, match="input-shard guard"):
+        _duck_digest_subprocess(
+            "/root/testdata/sf0.001",
+            "SELECT COUNT(*) AS n FROM documents",
+            shards=4,
+        )
+
+
+def test_input_shard_guard_passes_row_per_key(monkeypatch):
+    """A genuinely row-per-key query sharded on its key must still pass
+    the guard, and the sharded digest must equal the unsharded one."""
+    from oracle_check import _duck_digest_subprocess
+
+    sql = "SELECT doc_id, length(text) AS n FROM documents"
+    rows_u, cols_u, _, dig_u = _duck_digest_subprocess(
+        "/root/testdata/sf0.001", sql
+    )
+    monkeypatch.setenv("DUCKDB_SHARD_INPUT", "documents:doc_id")
+    rows_s, cols_s, _, dig_s = _duck_digest_subprocess(
+        "/root/testdata/sf0.001", sql, shards=4
+    )
+    assert (rows_s, cols_s, dig_s) == (rows_u, cols_u, dig_u)
