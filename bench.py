@@ -30,6 +30,20 @@ import os
 import sys
 import time
 
+def _drifted(t: float, p: float, floor: float) -> bool:
+    """Should a query at in-suite time ``t`` with committed prior ``p``
+    be re-measured?  Tier 1: the classic >1.5x regression above the
+    env floor.  Tier 2: sub-2s queries sit in ambient-noise territory
+    where host variance alone produces 1.2-1.3x drifts the 1.5x trigger
+    never catches (r11: m5_taint 1.27x, a_rollups 1.21x read as
+    unexplained) — retry those at a tighter trigger so the record
+    attributes the drift itself; a tier-2 retry costs <2s by definition."""
+    if p <= 0:
+        return False
+    if t > floor and t > 1.5 * p:
+        return True
+    return p <= 2.0 and t > 0.3 and t > 1.2 * p
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
@@ -190,11 +204,7 @@ def main() -> None:
         pass
     remeasure: dict[str, dict] = {}
     outliers = sorted(
-        (
-            n
-            for n, t in timings.items()
-            if t > floor and prior.get(n, 0) > 0 and t > 1.5 * prior[n]
-        ),
+        (n for n, t in timings.items() if _drifted(timings[n], prior.get(n, 0), floor)),
         key=lambda n: timings[n] / prior[n],
         reverse=True,
     )[:8]  # bound the retry budget

@@ -121,3 +121,20 @@ def test_bench_remeasure_and_artifact_isolation(tmp_path):
     # and the prior was not overwritten by the subset run
     prior = json.loads((state / "BENCH_PRIOR_sf0.001.json").read_text())
     assert prior["queries"]["a_rollups"] == 0.001
+
+
+def test_drifted_two_tier():
+    """Tier 1: >1.5x over prior above the floor.  Tier 2 (r11 verdict
+    task 5): sub-2s priors retry at >1.2x so ambient-noise drifts are
+    attributed in the record instead of left for a judge to re-derive."""
+    sys.path.insert(0, REPO)
+    from bench import _drifted
+
+    assert _drifted(3.2, 2.0, 1.0)            # tier 1: 1.6x
+    assert not _drifted(4.0, 3.0, 1.0)        # 1.33x on a big query: no
+    assert _drifted(1.07, 0.84, 1.0)          # tier 2: m5_taint's r11 drift
+    assert _drifted(1.3, 1.0, 1.0)            # tier 2: 1.3x under the floor
+    assert not _drifted(1.1, 1.0, 1.0)        # 1.1x: ambient, ignored
+    assert not _drifted(0.25, 0.1, 1.0)       # below the 0.3s absolute floor
+    assert not _drifted(3.0, 2.5, 1.0)        # prior > 2s: tier 2 off
+    assert not _drifted(5.0, 0.0, 1.0)        # no prior: nothing to compare
