@@ -78,8 +78,26 @@ def test_prepare_corpus_stage_report(spark, tmp_path):
     assert {"_note", "src", "config", "report"} <= set(doc)
     rec = doc["report"]
     assert {"stages", "total_seconds", "input_docs", "output_chunks"} <= set(rec)
-    assert [s["stage"] for s in rec["stages"]] == names
+    rec_names = [s["stage"] for s in rec["stages"]]
+    assert [n for n in rec_names if n != "quality_drop"] == names
     assert all(s["seconds"] >= 0 for s in rec["stages"])
+
+    # r11 verdict task 3: the committed record must demonstrate every
+    # gate actually selecting — strictly inside (0,1), not vacuously 0
+    # or 1 (the r11 record's gopher_pass=0/lines_removed=0 read as
+    # "covered" while demonstrating nothing).  The record is produced on
+    # a --plant-gopher dir (tools/scale_testdata.py) where a planted
+    # subpopulation passes the Gopher bounds, shares boilerplate tail
+    # lines, and carries near-dup pairs.
+    by_name = {s["stage"]: s for s in rec["stages"]}
+    assert doc["config"]["drop_low_quality"] is True
+    assert rec["lines_removed"] > 0
+    assert by_name["line_dedup"]["lines_removed"] > 0
+    assert 0 < rec["gopher_pass"] < rec["after_exact_dedup"]
+    for gate in ("exact_dedup", "quality_drop", "lm_perplexity_filter",
+                 "dsir_select", "lsh_component_dedup"):
+        sel = by_name[gate]["selectivity"]
+        assert 0 < sel < 1, f"{gate} selectivity {sel} is vacuous"
 
 
 def test_prepare_corpus_langless_corpus(spark, tmp_path):
@@ -118,6 +136,55 @@ def test_prepare_corpus_quality_drop(spark, tmp_path):
     assert report["output_docs"] == spark.read.parquet(
         f"{out}/clean_docs.parquet"
     ).count()
+
+def test_prepare_corpus_planted_all_stages_select(spark, tmp_path):
+    """r11 verdict task 3, gate-scale twin of the committed-record
+    assertions: on a --plant-gopher fixture every gate stage selects
+    strictly inside (0,1) — quality drop keeps exactly the planted
+    subpopulation, line dedup strips the shared boilerplate tail, the
+    LM filter splits the Zipf-vocabulary docs at a measured quantile,
+    and the LSH component pass collapses the planted near-dup pairs."""
+    import subprocess
+    import sys as _sys
+
+    src = str(tmp_path / "planted_src")
+    subprocess.run(
+        [_sys.executable, "/root/repo/tools/scale_testdata.py",
+         "/root/testdata/sf0.01", src, "1", "--plant-gopher", "5"],
+        check=True, capture_output=True,
+    )
+    # pass 1: LM stage on but non-selective — its ppl column on the
+    # output gives the threshold that makes pass 2's filter fractional
+    out1 = str(tmp_path / "corpus_p1")
+    r1 = prepare_corpus(
+        spark, src, out1, drop_low_quality=True, lm_ppl_max=1e18,
+        dsir_target=f"{src}/documents.parquet", dsir_keep_frac=0.5,
+        dsir_buckets=256,
+    )
+    assert 0 < r1["gopher_pass"] < r1["after_exact_dedup"]
+    assert r1["lines_removed"] > 0
+    clean1 = spark.read.parquet(f"{out1}/clean_docs.parquet")
+    ppl_med = clean1.approxQuantile("ppl", [0.5], 0.01)[0]
+    assert ppl_med is not None and ppl_med > 0
+
+    out2 = str(tmp_path / "corpus_p2")
+    r2 = prepare_corpus(
+        spark, src, out2, drop_low_quality=True, lm_ppl_max=ppl_med,
+        dsir_target=f"{src}/documents.parquet", dsir_keep_frac=0.5,
+        dsir_buckets=256,
+    )
+    by_name = {s["stage"]: s for s in r2["stages"]}
+    # exact_dedup's fractional selection comes from the BASE corpus's
+    # duplicate clusters (sf0.1-derived dirs have them, sf0.01 has no
+    # exact dups) — the committed-record assertion above pins it; here
+    # we pin the four gates the PLANTING itself provides
+    for gate in ("quality_drop", "lm_perplexity_filter",
+                 "dsir_select", "lsh_component_dedup"):
+        sel = by_name[gate]["selectivity"]
+        assert sel is not None and 0 < sel < 1, f"{gate}: {sel}"
+    assert by_name["line_dedup"]["lines_removed"] > 0
+    assert r2["output_docs"] > 0 and r2["output_chunks"] > 0
+
 
 def _lm_test_corpus(spark):
     """20 docs sharing bigram structure + 1 gibberish doc of unique

@@ -224,17 +224,21 @@ def main():
         entries.append(rec)
         entries.sort(key=lambda e: (e["n_vectors"], e["nprobe"]))
         doc["planted_band_recall"] = entries
-        doc.setdefault(
-            "_planted_note",
+        doc["_planted_note"] = (
             "planted_band_recall: perturbed near-duplicates at exact target "
             "cosines (v = c*u_hat + sqrt(1-c^2)*w_hat, w orthogonal, scaled "
             "to |u|; seed 20260816) appended to the corpus, adaptive codebook "
             "rebuilt over the augmented corpus, ann_candidate_pairs at "
-            "min_cosine 0.8 / nprobe 3. Ground truth is by construction - no "
+            "min_cosine 0.8. Ground truth is by construction - no "
             "exact twin needed, so the measurement scales to sf100. Bands "
             "verified within ~1e-7 of target after float32 storage "
-            "(max_f32_deviation). CI pin: tests/test_ann_swap.py "
-            "test_planted_band_recall_production.",
+            "(max_f32_deviation). The SHIPPED configuration pairs nprobe "
+            "with the codebook (similarity.adaptive_nprobe: max(3, "
+            "floor(K/135+0.5)) = 3 up to K~200, 6 at sf100's K=808); rows "
+            "at other nprobe values document the recall/cost knob. CI pins: "
+            "tests/test_ann_swap.py test_planted_band_recall_production "
+            "(recall) and test_adaptive_nprobe_pairs_with_codebook "
+            "(config pairing)."
         )
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)

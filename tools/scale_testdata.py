@@ -26,6 +26,19 @@ and whatever physical ts type the source vintage uses (the schema is
 passed through unchanged; parquet format version 2.6).
 
 Usage: python tools/scale_testdata.py /root/testdata/sf0.1 /tmp/sf1 10
+
+``--plant-gopher N`` (opt-in; default off so the default output stays
+byte-identical to every committed correctness/bench record) rewrites
+every Nth document — by FINAL tiled doc_id, after replica salting — into
+a deterministic document that passes all Gopher A1.1 quality bounds
+(≥50 words, 3–10 mean token length, ≥2 distinct stopwords, no symbol/
+bullet/ellipsis/repetition excess) and ends with two boilerplate lines
+shared across ALL planted docs.  This gives corpus-pipeline e2e runs a
+fixture where the quality gate and the cross-doc line dedup both select
+strictly inside (0,1): the synthetic base corpus fails MIN_WORDS
+wholesale, so without planting those two stages demonstrate nothing.
+Use a SEPARATE output dir for planted runs — planted text changes every
+document-derived digest.
 """
 
 from __future__ import annotations
@@ -117,8 +130,115 @@ def replica(
             cols[cname] = col
     return pa.table(cols, schema=tab.schema)
 
+# Shared tail lines for planted Gopher docs: web boilerplate that
+# cross-doc line dedup (C4) should strip from all but the first doc.
+GOPHER_BOILERPLATE = [
+    "share this page with a friend and subscribe to the weekly letter",
+    "all rights in this page belong to the original author of the text",
+]
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+def _gopher_pool() -> tuple[list[str], np.ndarray]:
+    """A fixed 1000-word vocabulary (deterministic 4-8 letter strings)
+    with Zipf weights.  Shared across planted docs so a self-trained
+    bigram LM has learnable mass and per-doc perplexity VARIES (head-
+    heavy docs score low, tail-heavy high) — the property the corpus
+    pipeline's LM filter needs to select fractionally.  Two docs share
+    a specific 3-token shingle with ~0 probability, so the pool adds no
+    accidental near-dup pairs."""
+    rng = np.random.default_rng(20260817)
+    pool = [
+        "".join(chr(97 + int(c)) for c in rng.integers(0, 26, size=int(rng.integers(4, 9))))
+        for _ in range(1000)
+    ]
+    w = 1.0 / np.arange(1, 1001, dtype=np.float64)
+    return pool, w / w.sum()
+
+def _gopher_body(rng: np.random.Generator, pool: list[str], pw: np.ndarray) -> list[str]:
+    """90 tokens as 3 paragraphs of ONE 30-token line each: every 3rd
+    token a stopword (never adjacent — no dominant n-gram), the rest
+    Zipf draws from the shared pool.  Long lines matter: a near-dup
+    partner mutates one token PER LINE, so no complete line is shared
+    (cross-doc line dedup must not gut a pair member below MIN_WORDS)
+    while 3-shingle jaccard stays ~(30-3)/(30+3) per line ~ 0.8, inside
+    the 4-row/4-band MinHash catch band.  Returns the flat token list;
+    the caller formats lines/paragraphs."""
+    fillers = rng.choice(len(pool), size=60, p=pw)
+    stops = rng.integers(len(_GOPHER_STOPS), size=30)
+    toks, fi, si = [], 0, 0
+    for p in range(90):
+        if p % 3 == 2:
+            toks.append(_GOPHER_STOPS[int(stops[si])])
+            si += 1
+        else:
+            toks.append(pool[int(fillers[fi])])
+            fi += 1
+    return toks
+
+def _fmt_gopher(toks: list[str]) -> str:
+    paras = [" ".join(toks[i : i + 30]) for i in range(0, 90, 30)]
+    # fixed prefix guarantees >= 2 distinct stopwords deterministically
+    return "the of " + "\n\n".join(paras) + "\n" + "\n".join(GOPHER_BOILERPLATE)
+
+def plant_gopher_docs(tab: pa.Table, every: int) -> pa.Table:
+    """Rewrite every ``every``-th doc (by doc_id) into a Gopher-passing
+    document: 92 words > MIN_WORDS, ~1/3 stopwords, Zipf pool fillers
+    (see `_gopher_pool`), mean token length ~5 in [3,10], zero symbols/
+    bullets/ellipses, all lines and paragraphs distinct within the doc,
+    plus the shared GOPHER_BOILERPLATE tail.  The body passes the
+    quality bounds on its own, so docs still pass after line dedup
+    strips the boilerplate.
+
+    Every 2nd planted doc (doc_id % (2*every) == 0) is a NEAR-DUP of
+    the planted doc at doc_id+every: same body with 3 filler tokens
+    re-drawn (3-shingle jaccard ~0.82, so a 4-row/4-band MinHash
+    catches the pair w.p. ~0.9) — so an LSH component pass over ONLY
+    the planted subpopulation still has >0 pairs to collapse even
+    after the LM/DSIR stages thin the pair population, which is what
+    lets a drop_low_quality corpus run show fractional selectivity at
+    the near-dup stage too."""
+    pool, pw = _gopher_pool()
+    ids = tab["doc_id"].to_pylist()
+    texts = tab["text"].to_pylist()
+    for i, (did, t) in enumerate(zip(ids, texts)):
+        if t is None or did % every:
+            continue
+        if did % (2 * every) == 0:
+            # near-dup of the doc seeded by did+every: re-draw ONE
+            # filler token in EACH 30-token line (see _gopher_body)
+            base = np.random.default_rng(did + every)
+            toks = _gopher_body(base, pool, pw)
+            mut = np.random.default_rng(did)
+            repl = mut.choice(len(pool), size=3, p=pw)
+            for line in range(3):
+                fillers_in_line = [
+                    p for p in range(line * 30, line * 30 + 30) if p % 3 != 2
+                ]
+                pos = fillers_in_line[int(mut.integers(len(fillers_in_line)))]
+                toks[pos] = pool[int(repl[line])]
+            texts[i] = _fmt_gopher(toks)
+        else:
+            rng = np.random.default_rng(did)
+            texts[i] = _fmt_gopher(_gopher_body(rng, pool, pw))
+    cols = {
+        c: (pa.array(texts, type=pa.string()) if c == "text" else tab[c])
+        for c in tab.column_names
+    }
+    return pa.table(cols, schema=tab.schema)
+
 def main() -> None:
-    src, dst, n = Path(sys.argv[1]), Path(sys.argv[2]), int(sys.argv[3])
+    argv = list(sys.argv[1:])
+    plant_every = 0
+    for a in list(argv):
+        if a.startswith("--plant-gopher"):
+            plant_every = int(a.split("=", 1)[1]) if "=" in a else int(
+                argv[argv.index(a) + 1]
+            )
+            if "=" not in a:
+                argv.remove(argv[argv.index(a) + 1])
+            argv.remove(a)
+    src, dst, n = Path(argv[0]), Path(argv[1]), int(argv[2])
     dst.mkdir(parents=True, exist_ok=True)
     tables = {
         p.stem: pq.read_table(p) for p in sorted(src.glob("*.parquet"))
@@ -135,6 +255,8 @@ def main() -> None:
         tiled = pa.concat_tables(
             [replica(name, tab, r, strides) for r in range(n)]
         )
+        if name == "documents" and plant_every:
+            tiled = plant_gopher_docs(tiled, plant_every)
         # bounded row groups: pyarrow's default can emit the whole tile
         # as ONE row group, which Spark cannot split — every scan of the
         # scaled table would run on one core and the benchmark would
