@@ -3562,40 +3562,45 @@ def oracle_sql() -> dict[str, str]:
             AND (v.vec_id - 3) % GREATEST(1, prm.n // prm.k) = 0
             AND (v.vec_id - 3) // GREATEST(1, prm.n // prm.k) < prm.k),
         adist AS (
-          SELECT v.vec_id, v.e, c.list_id,
+          SELECT v.vec_id, c.list_id,
                  ROUND(list_dot_product(
                      list_transform(range(1, 65), i -> v.e[i] - c.ce[i]),
                      list_transform(range(1, 65), i -> v.e[i] - c.ce[i])), 6) AS d
           FROM v CROSS JOIN acent c),
-        aprobes AS (
-          SELECT vec_id, e, list_id FROM (
-            SELECT vec_id, e, list_id,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
-            FROM adist)
-          WHERE rn <= (SELECT GREATEST(3, CAST(FLOOR(k/135.0 + 0.5) AS BIGINT))
-                       FROM prm)),
+        aprobes AS MATERIALIZED (
+          -- window over scalars only, vectors re-joined after: sorting
+          -- 64-double payloads through ROW_NUMBER spilled ~17 GB at
+          -- sf10 where the scalar sort stays in memory.  nrm is
+          -- SQRT(self-dot) hoisted out of the pair expression — the
+          -- same op sequence (sqrt, sqrt, *, /), so round-6 identical.
+          SELECT p.vec_id, w.e, SQRT(list_dot_product(w.e, w.e)) AS nrm,
+                 p.list_id
+          FROM (
+            SELECT vec_id, list_id FROM (
+              SELECT vec_id, list_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+              FROM adist)
+            WHERE rn <= (SELECT GREATEST(3, CAST(FLOOR(k/135.0 + 0.5) AS BIGINT))
+                         FROM prm)) p
+          JOIN v w ON p.vec_id = w.vec_id),
         apairs AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-                 ROUND(list_dot_product(a.e, b.e)
-                       / (SQRT(list_dot_product(a.e, a.e))
-                          * SQRT(list_dot_product(b.e, b.e))), 6) AS c
+                 ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS c
           FROM aprobes a JOIN aprobes b
             ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-          WHERE ROUND(list_dot_product(a.e, b.e)
-                      / (SQRT(list_dot_product(a.e, a.e))
-                         * SQRT(list_dot_product(b.e, b.e))), 6) >= 0.4),
+          WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.4),
         ccent AS (
           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, e AS ce
           FROM v WHERE vec_id IN (3, 67, 131, 195, 259, 323, 387, 451)),
         cdist AS (
-          SELECT v.vec_id, v.e, c.list_id,
+          SELECT v.vec_id, c.list_id,
                  ROUND(list_dot_product(
                      list_transform(range(1, 65), i -> v.e[i] - c.ce[i]),
                      list_transform(range(1, 65), i -> v.e[i] - c.ce[i])), 6) AS d
           FROM v CROSS JOIN ccent c),
-        cassign AS (
-          SELECT vec_id, e, list_id AS cluster_id FROM (
-            SELECT vec_id, e, list_id,
+        cassign AS MATERIALIZED (
+          SELECT vec_id, list_id AS cluster_id FROM (
+            SELECT vec_id, list_id,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
             FROM cdist)
           WHERE rn = 1),
@@ -3610,25 +3615,27 @@ def oracle_sql() -> dict[str, str]:
             AND (v.vec_id - 3) % GREATEST(1, fprm.n // fprm.k) = 0
             AND (v.vec_id - 3) // GREATEST(1, fprm.n // fprm.k) < fprm.k),
         fdist AS (
-          SELECT v.vec_id, v.e, c.list_id,
+          SELECT v.vec_id, c.list_id,
                  ROUND(list_dot_product(
                      list_transform(range(1, 65), i -> v.e[i] - c.ce[i]),
                      list_transform(range(1, 65), i -> v.e[i] - c.ce[i])), 6) AS d
           FROM v CROSS JOIN fcent c),
-        fprobes AS (
-          SELECT vec_id, e, list_id FROM (
-            SELECT vec_id, e, list_id,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
-            FROM fdist)
-          WHERE rn <= (SELECT GREATEST(3, CAST(FLOOR(k/135.0 + 0.5) AS BIGINT))
-                       FROM fprm)),
+        fprobes AS MATERIALIZED (
+          SELECT p.vec_id, w.e, SQRT(list_dot_product(w.e, w.e)) AS nrm,
+                 p.list_id
+          FROM (
+            SELECT vec_id, list_id FROM (
+              SELECT vec_id, list_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+              FROM fdist)
+            WHERE rn <= (SELECT GREATEST(3, CAST(FLOOR(k/135.0 + 0.5) AS BIGINT))
+                         FROM fprm)) p
+          JOIN v w ON p.vec_id = w.vec_id),
         fpairs AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM fprobes a JOIN fprobes b
             ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-          WHERE ROUND(list_dot_product(a.e, b.e)
-                      / (SQRT(list_dot_product(a.e, a.e))
-                         * SQRT(list_dot_product(b.e, b.e))), 6) >= 0.35),
+          WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35),
         sdropped AS (
           SELECT DISTINCT p.id_b AS vec_id
           FROM fpairs p
