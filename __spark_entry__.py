@@ -866,25 +866,30 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs (word 3-gram shingles,
     jaccard >= 0.3) via the relational intersection-count plan — the
-    recall-1 companion to the LSH approximation.  Tagged union so BOTH
-    code paths are driver-evidenced:
+    recall-1 companion to the LSH approximation.  Tagged union of both
+    variants:
 
-    - part 'uncapped' (max_shingle_freq=None): Jaccard over the full
-      shingle universe, mirroring the plain SQL formulation.
-    - part 'capped' (max_shingle_freq=5): the PRODUCTION m²-guard path —
-      shingles with doc-freq > cap are dropped and per-doc sizes are
-      corrected to the surviving universe (the hot-shingle n-correction
-      join in operators/dedup.ngram_jaccard_pairs).  The cap of 5 is
+    - part 'uncapped': Jaccard over the full shingle universe,
+      mirroring the plain SQL formulation.
+    - part 'capped' (max_shingle_freq=5): the PRODUCTION m²-guard
+      semantics — shingles with doc-freq > cap are dropped and per-doc
+      sizes are corrected to the surviving universe.  The cap of 5 is
       chosen BELOW the testdata's max shingle doc-freq (9 at sf0.001,
       7 at sf0.01), so the guard demonstrably fires at every gate scale
       and the oracle replays the same drop + size recomputation in SQL.
+
+    Since r12 the two parts are computed by ONE fused pass
+    (operators/dedup.ngram_jaccard_pairs_dual: one shingle scan, one
+    self-join counting both intersections), row-identical to two
+    separate `ngram_jaccard_pairs` runs — the single-variant operator
+    (with its production m² guard) remains the unit-tested scale path.
     """
     docs = _t(spark, sf_dir, "documents")
-    un = DD.ngram_jaccard_pairs(docs, min_jaccard=0.3, max_shingle_freq=None)
-    cap = DD.ngram_jaccard_pairs(docs, min_jaccard=0.3, max_shingle_freq=5)
-    return un.select(F.lit("uncapped").alias("part"), "id_a", "id_b", "jaccard").unionByName(
-        cap.select(F.lit("capped").alias("part"), "id_a", "id_b", "jaccard")
-    )
+    # r12: both variants from ONE shingle scan + ONE self-join — the
+    # fused form is row-identical to two separate operator runs (pinned
+    # by test_ngram_jaccard_dual_matches_two_runs); valid here because
+    # this declared-quadratic member pays the uncapped join anyway.
+    return DD.ngram_jaccard_pairs_dual(docs, min_jaccard=0.3, max_shingle_freq=5)
 
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-document line dedup (Raffel et al. 2020 §2.2):

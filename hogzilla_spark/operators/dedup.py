@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from hogzilla_spark.functions.scalar import round6u
 from hogzilla_spark.operators.text import fingerprint
+from hogzilla_spark.sources.catalog import spread_small_scan
 
 # --- exact dedup ------------------------------------------------------------
 
@@ -186,11 +187,13 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min_jaccard.
     """
     rows = num_hashes // num_bands
+    # the regex shingle kernel is the heavy per-row stage: floor its
+    # parallelism when the corpus arrives as an unsplittable small scan
+    # (r12: 4.5 s single-core at sf0.1 with 31 cores idle; structural
+    # no-op at scale — see spread_small_scan)
     base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(text_col, shingle_k).alias("sh"),
-        )
+        spread_small_scan(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", word_shingles(text_col, shingle_k).alias("sh"))
         .filter(F.size("sh") > 0)
         # shingling feeds three consumers (signatures, and both sides of
         # the verify join); persist so the scan+shingle work runs once
@@ -259,10 +262,11 @@ def minhash_band_index(
     joins its own (tiny) band rows against it — no corpus re-shingle,
     no full self-join."""
     rows = num_hashes // num_bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_k).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    base = (
+        spread_small_scan(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", word_shingles(text_col, shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     sig = _minhash_sig_table(base, num_hashes)
     band_structs = F.array(
         *[
@@ -454,10 +458,8 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min_jaccard.
     """
     sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(text_col, shingle_k).alias("sh"),
-        )
+        spread_small_scan(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", word_shingles(text_col, shingle_k).alias("sh"))
         .filter(F.size("sh") > 0)
         .select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     )
@@ -520,6 +522,90 @@ def ngram_jaccard_pairs(
     if eager:
         out = out.localCheckpoint(eager=True)
         sh.unpersist()
+    return out
+
+def ngram_jaccard_pairs_dual(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_freq: int = 10_000,
+) -> DataFrame:
+    """Both `ngram_jaccard_pairs` variants — uncapped AND
+    freq-capped — from ONE shingle scan and ONE self-join (r12
+    optimization; guide §2.3 "don't compute things twice").
+
+    The capped variant's join universe (2 <= f <= cap) is a subset of
+    the uncapped one's (f >= 2), so a single self-join on the uncapped
+    universe can count both intersections per pair: `inter` over all
+    matched shingles and `inter_c` over only the <= cap ones, with the
+    capped per-doc size correction (n − hot occurrences) carried
+    alongside.  Row-identical to two separate calls, pinned by
+    tests/test_pipeline_ops.py::test_ngram_jaccard_dual_matches_two_runs:
+    pairs whose capped intersection is empty produce jaccard 0 (or
+    null when a doc's whole shingle set is hot) and fall to the same
+    >= min_jaccard filter that excludes them from the capped run.
+
+    Only valid when the caller ALREADY pays the uncapped join (the
+    declared-quadratic bench member): the m² hot-shingle guard that
+    motivates the capped variant in production is the single-variant
+    `ngram_jaccard_pairs(max_shingle_freq=...)`, not this fusion.
+
+    Returns (part 'uncapped'|'capped', id_a, id_b, jaccard).
+    """
+    sh = (
+        spread_small_scan(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", word_shingles(text_col, shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+        .persist()
+    )
+    counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
+    pair_shingles = counts.filter(F.col("__f") >= 2)
+    joinable = sh.join(pair_shingles, "s")
+    hot = counts.filter(F.col("__f") > max_shingle_freq).select("s")
+    n_drop = (
+        sh.join(hot, "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__n_drop"))
+    )
+    joinable = joinable.join(n_drop, "id", "left").withColumn(
+        "n_c", F.col("n") - F.coalesce(F.col("__n_drop"), F.lit(0))
+    )
+    l = joinable.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+        F.col("n_c").alias("n_ca"), "s", "__f",
+    )
+    r = joinable.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+        F.col("n_c").alias("n_cb"), "s",
+    )
+    inter = (
+        l.join(r, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b", "n_ca", "n_cb")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.count(F.when(F.col("__f") <= max_shingle_freq, 1)).alias("inter_c"),
+        )
+    )
+    jac_un = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    jac_c = F.col("inter_c").cast("double") / (
+        F.col("n_ca") + F.col("n_cb") - F.col("inter_c")
+    ).cast("double")
+    un = inter.select(
+        F.lit("uncapped").alias("part"), "id_a", "id_b",
+        round6u(jac_un).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
+    cap = inter.filter(F.col("inter_c") > 0).select(
+        F.lit("capped").alias("part"), "id_a", "id_b",
+        round6u(jac_c).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
+    out = un.unionByName(cap).localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 # --- SimHash ----------------------------------------------------------------

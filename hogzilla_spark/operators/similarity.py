@@ -316,7 +316,7 @@ def ann_candidate_pairs(
     min_cosine: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    expr_max_k: int = 32,
+    expr_max_k: int = 0,
 ) -> DataFrame:
     """ANN near-dup pairs: IVF multi-probe candidate generation composed
     with EXACT cosine verification (the runnable form of the "ANN is
@@ -349,11 +349,15 @@ def ann_candidate_pairs(
     candidate counts per list stay constant while total work stays
     ~linear · nprobe².  A hot list is the skew knob: raise K.
 
-    Centroid assignment is a Column expression over the broadcast
-    codebook for K <= 32 (bit-identical to the DuckDB twin); above
-    that the same argmin runs as an Arrow-batched kernel (an 800×64
-    codebook at sf100 would be a ~50k-literal expression) — used only
-    at scales where no SQL twin runs anyway.
+    Centroid assignment runs as an Arrow-batched kernel by default
+    (expr_max_k=0, r12): the Column-expression twin folds K×64
+    interpreted higher-order ops per row (2.1 s vs 0.8 s at sf0.1's
+    K=8), while the kernel accumulates the SAME sequential per-dim op
+    order — bit-identical, pinned by
+    test_kernel_assignment_matches_expression_path.  Pass
+    expr_max_k>=K to force the pure-expression path (UDF-free
+    environments; it remains the semantic reference the DuckDB twin
+    replays).
     """
     import numpy as np
     import pandas as pd
@@ -363,8 +367,14 @@ def ann_candidate_pairs(
         _round6_select,
         _slab_rows,
     )
+    from hogzilla_spark.sources.catalog import spread_small_scan
 
-    v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    # probe assignment + per-list scoring are the heavy per-row stages;
+    # floor parallelism when the corpus arrives as one small split
+    # (no-op at scale)
+    v = spread_small_scan(
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    )
     if len(centroids) <= expr_max_k:
         probed = v.select(
             "id",
@@ -565,7 +575,12 @@ def semantic_dedup(
             "candidate_pairs is only consumed by strategy='ann'; the "
             f"'{strategy}' path would silently ignore it"
         )
-    assigned = emb.select(
+    from hogzilla_spark.sources.catalog import spread_small_scan
+
+    # the K×64-op interpreted assignment fold is the heavy per-row
+    # stage; floor parallelism on small single-split scans (no-op at
+    # scale)
+    assigned = spread_small_scan(emb.select(id_col, vec_col)).select(
         F.col(id_col),
         _as_double(vec_col).alias("v"),
         assign_lists(centroids, _as_double(vec_col)).alias("cluster_id"),

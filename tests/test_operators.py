@@ -541,6 +541,34 @@ def test_decontaminate_planted(spark):
     empty = heldout.filter(F.col("doc_id") < 0)
     assert DD.decontaminate(corpus, empty, min_jaccard=0.1).count() == 0
 
+def test_ngram_jaccard_dual_matches_two_runs(spark):
+    """r12 fusion guard: ngram_jaccard_pairs_dual (one shingle scan +
+    one self-join counting both intersections) must be row-identical —
+    including round-6 jaccards — to two separate ngram_jaccard_pairs
+    runs, on a corpus where the cap demonstrably fires (sf0.001 max
+    shingle doc-freq is 9 > cap 5)."""
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dual = {
+        (r.part, r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs_dual(
+            full, min_jaccard=0.3, max_shingle_freq=5
+        ).collect()
+    }
+    un = {
+        ("uncapped", r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(
+            full, min_jaccard=0.3, max_shingle_freq=None
+        ).collect()
+    }
+    cap = {
+        ("capped", r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(
+            full, min_jaccard=0.3, max_shingle_freq=5
+        ).collect()
+    }
+    assert dual == un | cap
+    assert un and cap  # both variants non-trivially exercised
+
 def test_ngram_jaccard_freq_cap_unbiased(spark):
     """Capped jaccard must be exact over the FILTERED shingle universe:
     for a pair whose overlap survives the cap, capped == uncapped once

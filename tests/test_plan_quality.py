@@ -36,6 +36,23 @@ def test_s6_filter_pushdown_and_pruning(spark):
         "o_comment" not in s and "o_totalprice" not in s for s in orders_schemas
     )
 
+def test_stateful_detectors_bounded_plan_fanout(spark):
+    """r12 optimization guard: each stateful detector materializes its
+    small decision aggregates once (`stateful._decision`), so the
+    returned alert/update union must NOT re-derive the flows→aggregate
+    chain per branch.  Before the cut, hz_atypical_alien's plan carried
+    86 Exchanges and 132 re-scans of the checkpointed summary (2,293
+    plan lines); after, 13.  A regression that drops the
+    materialization re-inflates the plan well past these bounds."""
+    plan = plan_of(spark, "hz_atypical_alien")
+    assert plan.count("Exchange") <= 30, plan.count("Exchange")
+    assert plan.count("\n") <= 400
+    for q, bound in [("hz_atypical_port", 20), ("hz_atypical_volume", 12),
+                     ("hz_alien_profile", 25), ("hz_portscan", 10),
+                     ("hz_vportscan", 10)]:
+        p = plan_of(spark, q)
+        assert p.count("Exchange") <= bound, (q, p.count("Exchange"))
+
 def test_stratified_sample_broadcasts_fractions(spark):
     plan = plan_of(spark, "stratified_sample")
     assert "BroadcastHashJoin" in plan
