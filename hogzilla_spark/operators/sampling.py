@@ -220,9 +220,15 @@ def _hashed_grams(
     of the lowercased whitespace tokenization (the text family's shared
     convention), bucketed by md5-first-8-hex % n_buckets."""
     from hogzilla_spark.operators.text import tokens
+    from hogzilla_spark.sources.catalog import spread_small_scan
 
     toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    d = df.select(F.col(id_col), toks.alias("__w"))
+    # tokenize+bigram explode is the heavy per-row stage and this frame
+    # is built three times per dsir_select call — floor parallelism on
+    # small single-split scans (no-op at scale)
+    d = spread_small_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), toks.alias("__w")
+    )
     # ONE explode over unigrams ++ bigrams: a union of two explodes
     # tokenizes every document twice, and this frame is built three
     # times per dsir_select call (fit target, fit raw, score raw)

@@ -427,8 +427,16 @@ def _bigram_frame(
 ) -> DataFrame:
     """(id, prev, cur) — one row per adjacent lowercase-token pair.
     Docs with fewer than two tokens contribute nothing."""
+    from hogzilla_spark.sources.catalog import spread_small_scan
+
     toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    d = df.select(F.col(id_col), toks.alias("__w")).filter(F.size("__w") >= 2)
+    # tokenize+pair explode is the heavy per-row stage; floor
+    # parallelism on small single-split scans (no-op at scale)
+    d = (
+        spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("__w"))
+        .filter(F.size("__w") >= 2)
+    )
     pairs = F.transform(
         F.sequence(F.lit(0), F.size("__w") - 2),
         lambda i: F.struct(
