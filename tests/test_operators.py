@@ -541,6 +541,32 @@ def test_decontaminate_planted(spark):
     empty = heldout.filter(F.col("doc_id") < 0)
     assert DD.decontaminate(corpus, empty, min_jaccard=0.1).count() == 0
 
+def test_minhash_incremental_is_filtered_full(spark):
+    """r12 fusion guard for q_dedup_minhash: the incremental operator's
+    output on a doc_id%5 split must equal the full self-dedup pair set
+    filtered to pairs touching the new batch — the documented
+    equivalence the registry slot now derives its 'incr' rows by."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incr = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs_incremental(
+            new, corpus, min_jaccard=0.3
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs(docs, min_jaccard=0.3).collect()
+    }
+    filtered = {
+        (a, b, j) for (a, b, j) in full if a % 5 == 0 or b % 5 == 0
+    }
+    assert incr == filtered
+    assert incr and filtered < full  # non-vacuous both ways
+
 def test_ngram_jaccard_dual_matches_two_runs(spark):
     """r12 fusion guard: ngram_jaccard_pairs_dual (one shingle scan +
     one self-join counting both intersections) must be row-identical —
