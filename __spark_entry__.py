@@ -589,10 +589,14 @@ def _user_hists(spark: SparkSession, sf_dir: str):
     ).withColumnsRenamed({"values": "new_values", "size": "new_size"})
     return old.join(new, "user_id", "inner")
 
-def q_h1_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h1_kl_divergence(
+    spark: SparkSession, sf_dir: str, joined: DataFrame | None = None
+) -> DataFrame:
     """H1 KL(new‖old) per user via map-expression fold (J7 state join +
-    Histograms.scala:18-36)."""
-    joined = _user_hists(spark, sf_dir)
+    Histograms.scala:18-36).  `joined` (r12): a precomputed
+    `_user_hists` frame, so the suite wrapper derives it once."""
+    if joined is None:
+        joined = _user_hists(spark, sf_dir)
     return joined.select(
         "user_id",
         F.round(H.kl_divergence("new_values", "old_values"), 6).alias("kl"),
@@ -623,11 +627,14 @@ def q_h2_atypical_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(H.atypical_keys("old_values", "new_values")).alias("bucket"),
     )
 
-def q_h1_h2_hist_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h1_h2_hist_scores(
+    spark: SparkSession, sf_dir: str, joined: DataFrame | None = None
+) -> DataFrame:
     """H1 KL divergence + H2 atypical-key extraction in one tagged
     union: 'h1' rows carry kl, 'h2' rows carry the novel bucket (the
-    two halves use different histogram universes by design)."""
-    h1 = q_h1_kl_divergence(spark, sf_dir).select(
+    two halves use different histogram universes by design).  `joined`
+    forwards a shared `_user_hists` frame to h1 (r12)."""
+    h1 = q_h1_kl_divergence(spark, sf_dir, joined=joined).select(
         F.lit("h1").alias("part"),
         "user_id",
         "kl",
@@ -641,14 +648,18 @@ def q_h1_h2_hist_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return h1.unionByName(h2)
 
-def q_h5_h6_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h5_h6_merges(
+    spark: SparkSession, sf_dir: str, joined: DataFrame | None = None
+) -> DataFrame:
     """H5 weighted merge with decay (Histograms.scala:103-138,
     decay_after=100 to exercise the halving on this data) AND H6
     pointwise-max merge (count-valued HIST07 semantics,
     Histograms.scala:141-168), joined on the identical
     (user, event_type-bucket) key universe: (user_id, bucket,
-    share-merge weight, merged size, count-merge max)."""
-    joined = _user_hists(spark, sf_dir)
+    share-merge weight, merged size, count-merge max).  `joined`
+    (r12): a precomputed `_user_hists` frame shared with h1."""
+    if joined is None:
+        joined = _user_hists(spark, sf_dir)
     merged = joined.select(
         "user_id",
         F.explode(
@@ -687,14 +698,19 @@ def q_h_hist_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (h1_h2_hist_scores + h5_h6_merges merged in r9 to fund the
     hz_alien_profile slot): 'h1' rows carry kl, 'h2' rows the novel
     bucket, 'h56' rows the decay-merge weight/size and the
-    pointwise-max count on the shared (user, bucket) key."""
-    h12 = q_h1_h2_hist_scores(spark, sf_dir).select(
+    pointwise-max count on the shared (user, bucket) key.
+
+    r12: h1 and h56 share ONE eagerly-checkpointed `_user_hists`
+    derivation (two event scans + histogram builds + a join, previously
+    executed once per part); h2 keeps its banded-bucket universe."""
+    shared = _user_hists(spark, sf_dir).localCheckpoint(eager=True)
+    h12 = q_h1_h2_hist_scores(spark, sf_dir, joined=shared).select(
         "part", "user_id", "kl", "bucket",
         F.lit(None).cast("double").alias("weight"),
         F.lit(None).cast("long").alias("new_size"),
         F.lit(None).cast("double").alias("max_n"),
     )
-    h56 = q_h5_h6_merges(spark, sf_dir).select(
+    h56 = q_h5_h6_merges(spark, sf_dir, joined=shared).select(
         F.lit("h56").alias("part"),
         "user_id",
         F.lit(None).cast("double").alias("kl"),

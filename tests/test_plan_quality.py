@@ -53,6 +53,17 @@ def test_stateful_detectors_bounded_plan_fanout(spark):
         p = plan_of(spark, q)
         assert p.count("Exchange") <= bound, (q, p.count("Exchange"))
 
+def test_h_hist_suite_shares_user_hists(spark):
+    """r12 optimization guard: h1 and h56 consume ONE eagerly
+    checkpointed `_user_hists` frame (two event scans + histogram
+    builds + a join, previously derived once per part).  Before the
+    share the suite plan carried 42 Exchange mentions over 611 lines;
+    after, 22 over 342.  A regression that re-derives per part
+    re-inflates the plan past these bounds."""
+    plan = plan_of(spark, "h_hist_suite")
+    assert plan.count("Exchange") <= 32, plan.count("Exchange")
+    assert plan.count("\n") <= 480
+
 def test_stratified_sample_broadcasts_fractions(spark):
     plan = plan_of(spark, "stratified_sample")
     assert "BroadcastHashJoin" in plan
