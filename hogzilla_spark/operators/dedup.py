@@ -552,6 +552,13 @@ def ngram_jaccard_pairs_dual(
     motivates the capped variant in production is the single-variant
     `ngram_jaccard_pairs(max_shingle_freq=...)`, not this fusion.
 
+    Shuffle discipline (guide §2.2, r12): the m²-row self-join carries
+    ONLY (id, s) plus a 1-bit in-cap flag — the per-doc sizes n / n_c
+    are functionally dependent on the doc id, so they join back onto
+    the far-smaller aggregated PAIR set instead of riding through every
+    join row (the first fusion draft shuffled n, n_c and the raw __f
+    long per row: 72.5 MiB vs 18.5 MiB for the two-pass form at sf0.1).
+
     Returns (part 'uncapped'|'capped', id_a, id_b, jaccard).
     """
     sh = (
@@ -561,35 +568,73 @@ def ngram_jaccard_pairs_dual(
         .select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
         .persist()
     )
-    counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
-    pair_shingles = counts.filter(F.col("__f") >= 2)
-    joinable = sh.join(pair_shingles, "s")
+    # fill the cache BEFORE the consumers fan out: the broadcast-build
+    # jobs below launch concurrently, and concurrent first readers of a
+    # lazy cache each recompute the partition (measured: six identical
+    # shingle-explode stages, one per broadcast build, at sf0.1)
+    sh.count()
+    # counts feeds pair_shingles AND the size-correction chain, each a
+    # separate broadcast-build job — cached so the groupBy exchange
+    # runs once, not once per build (measured: 4 × 3.7 MiB at sf0.1)
+    counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f")).persist()
+    # per-doc sizes: n from the shingle scan, n_c corrected by the hot
+    # occurrence count — one row per doc; materialized eagerly so the
+    # two per-side joins below don't each recompute the chain (this
+    # serial job also fills the counts cache before the concurrent
+    # broadcast builds of the main job race it)
     hot = counts.filter(F.col("__f") > max_shingle_freq).select("s")
     n_drop = (
         sh.join(hot, "s", "left_semi")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("__n_drop"))
     )
-    joinable = joinable.join(n_drop, "id", "left").withColumn(
-        "n_c", F.col("n") - F.coalesce(F.col("__n_drop"), F.lit(0))
+    sizes = (
+        sh.groupBy("id")
+        .agg(F.max("n").alias("n"))
+        .join(n_drop, "id", "left")
+        .select(
+            "id", "n",
+            (F.col("n") - F.coalesce(F.col("__n_drop"), F.lit(0))).alias("n_c"),
+        )
+        .localCheckpoint(eager=True)
     )
-    l = joinable.select(
-        F.col("id").alias("id_a"), F.col("n").alias("n_a"),
-        F.col("n_c").alias("n_ca"), "s", "__f",
+    # one row per joinable shingle; the flag replaces carrying __f
+    pair_shingles = counts.filter(F.col("__f") >= 2).select(
+        "s", (F.col("__f") <= max_shingle_freq).alias("__in_cap")
     )
-    r = joinable.select(
-        F.col("id").alias("id_b"), F.col("n").alias("n_b"),
-        F.col("n_c").alias("n_cb"), "s",
-    )
-    inter = (
+    joinable = sh.join(pair_shingles, "s").select("id", "s", "__in_cap")
+    # BOTH sides project the same columns so the two shuffle exchanges
+    # canonicalize identically and can share one shuffle write
+    # (ReusedExchange) when the join does shuffle both sides at scale
+    l = joinable.select(F.col("id").alias("id_a"), "s", "__in_cap")
+    r = joinable.select(F.col("id").alias("id_b"), "s", "__in_cap")
+    pairs = (
         l.join(r, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b", "n_ca", "n_cb")
+        .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
-            F.count(F.when(F.col("__f") <= max_shingle_freq, 1)).alias("inter_c"),
+            F.count(F.when(l["__in_cap"], 1)).alias("inter_c"),
         )
     )
+    inter = pairs.join(
+        sizes.select(
+            F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+            F.col("n_c").alias("n_ca"),
+        ),
+        "id_a",
+    ).join(
+        sizes.select(
+            F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+            F.col("n_c").alias("n_cb"),
+        ),
+        "id_b",
+    )
+    # materialize the joined pair set ONCE: the un/cap union branches
+    # are otherwise two full copies of the pairs-aggregate subtree and
+    # the m²-join exchange executes per branch (measured: 2 × ~9 MiB
+    # shuffle writes for one logical aggregation at sf0.1)
+    inter = inter.localCheckpoint(eager=True)
     jac_un = F.col("inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     ).cast("double")
@@ -604,9 +649,11 @@ def ngram_jaccard_pairs_dual(
         F.lit("capped").alias("part"), "id_a", "id_b",
         round6u(jac_c).alias("jaccard"),
     ).filter(F.col("jaccard") >= min_jaccard)
-    out = un.unionByName(cap).localCheckpoint(eager=True)
+    # no final checkpoint: both branches are cheap projections over the
+    # already-checkpointed pair set, safe to recompute after unpersist
+    counts.unpersist()
     sh.unpersist()
-    return out
+    return un.unionByName(cap)
 
 # --- SimHash ----------------------------------------------------------------
 
