@@ -12,6 +12,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _const_array(values) -> Column:
+    """Constant array<double> literal in ONE py4j round trip.
+
+    ``F.array(*[F.lit(float(x)) for x in vec])`` costs one py4j call per
+    element — a 64-dim centroid is ~65 driver round trips, and a K=8
+    codebook unrolled into probe expressions is ~1,000 (measured ~0.4 s
+    of pure DataFrame BUILD time per call site at any scale, r12).
+    ``F.lit`` on a 1-D float64 ndarray takes the NumpyArrayConverter
+    fast path: a single jvm Literal carrying the identical doubles (no
+    string formatting), which constant-folds to exactly what CreateArray
+    of foldable literals folded to.  Build-time only; evaluation and
+    values are unchanged."""
+    import numpy as np
+
+    return F.lit(np.asarray([float(v) for v in values], dtype=np.float64))
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product — same accumulation order as a scalar
     loop, so results are bit-comparable across engines."""
@@ -46,17 +62,34 @@ def knn_brute_force(
     """
     from pyspark.sql import Window
 
+    # norms are per-row properties: compute them once per corpus row /
+    # query row below the join instead of re-folding both 64-dim arrays
+    # inside every pair's cosine (the per-pair interpreted work drops
+    # ~3×; dot/(qn·cn) is the same op order on the same doubles, so the
+    # round-6 value is bit-identical to the inline cosine_expr form)
+    from hogzilla_spark.sources.catalog import spread_small_scan
+
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", norm_expr(F.col("qv")))
+    # floor the corpus side's parallelism BEFORE the per-row norm and
+    # per-pair dot folds (no-op at scale; the r12 pre-hoisting A/B that
+    # rejected spreading no longer holds once norms are hoisted —
+    # interleaved A/B: sf1 1.5→0.45 s, sf0.1 neutral)
+    c = (
+        spread_small_scan(corpus.select(id_col, vec_col))
+        .select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        .withColumn("cn", norm_expr(F.col("cv")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -74,11 +107,21 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature against fixed hyperplanes → int bucket id.
     Planes are deterministic constants (seeded offline) so the plan is
     pure expression — no model state."""
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket + F.when(dot_expr(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    # one transform over the constant plane matrix, not an unrolled
+    # per-plane chain: each zip_with/aggregate lambda costs ~20 ms of
+    # py4j round trips to BUILD (r12 profile), so the unrolled form was
+    # ~0.5 s of driver build time per call site.  Values identical: the
+    # fold per plane and the left-to-right integer sum are unchanged
+    # (0 + b0 + b1 + ..., exact int arithmetic).
+    import numpy as np
+
+    pmat = F.array(*[_const_array(p) for p in planes])
+    weights = F.lit(np.asarray([1 << i for i in range(len(planes))], dtype=np.int32))
+    bits = F.transform(
+        pmat, lambda p: F.when(dot_expr(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    contrib = F.zip_with(bits, weights, lambda b, w: b * w)
+    return F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
 
 def ann_lsh_topk(
     corpus: DataFrame,
@@ -95,18 +138,32 @@ def ann_lsh_topk(
     partition's worth of vectors."""
     from pyspark.sql import Window
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
-    c = c.withColumn("bucket", hyperplane_signature(F.col("cv"), planes))
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("qv")
-    ).withColumn("bucket", hyperplane_signature(F.col("qv"), planes))
+    from hogzilla_spark.sources.catalog import spread_small_scan
+
+    # parallelism floor before the per-row signature/norm folds — same
+    # rationale and A/B as knn_brute_force (no-op at scale)
+    c = spread_small_scan(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    c = c.withColumn("bucket", hyperplane_signature(F.col("cv"), planes)).withColumn(
+        "cn", norm_expr(F.col("cv"))
+    )
+    q = (
+        queries.select(F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("qv"))
+        .withColumn("bucket", hyperplane_signature(F.col("qv"), planes))
+        .withColumn("qn", norm_expr(F.col("qv")))
+    )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            # per-row norms hoisted below the join — same op order as
+            # cosine_expr (dot/(qn·cn)), bit-identical round-6 values
+            F.round(
+                dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -132,18 +189,19 @@ def nearest_lists_expr(vec: Column, centroids: list[list[float]], nprobe: int) -
     driver-side constant (n_lists × dim) baked into the plan — the
     expression-side replacement for per-query driver loops, so the query
     side never funnels through the driver."""
-    entries = F.array(
-        *[
-            F.struct(
-                # round-6 before comparing so the ordering (and its
-                # list-id tie-break) is reproducible across engines
-                F.round(
-                    sqdist_expr(vec, F.array(*[F.lit(float(x)) for x in c])), 6
-                ).alias("d"),
-                F.lit(i).alias("list_id"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # loop over the constant centroid matrix with ONE transform lambda
+    # instead of unrolling K sqdist folds (K×2 lambda constructions ≈
+    # K×45 ms of py4j build time, r12 profile).  Per-element evaluation
+    # is the identical sequential fold; round-6 before comparing so the
+    # ordering (and its list-id tie-break) is reproducible across
+    # engines.  The index var i is the same IntegerType the unrolled
+    # form's F.lit(i) carried.
+    cmat = F.array(*[_const_array(c) for c in centroids])
+    entries = F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            F.round(sqdist_expr(vec, c), 6).alias("d"), i.alias("list_id")
+        ),
     )
     return F.transform(
         F.slice(F.array_sort(entries), 1, nprobe), lambda e: e["list_id"]
@@ -165,6 +223,7 @@ def ann_ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    expr_max_k: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: a coarse quantizer buckets the corpus; each
     query probes its `nprobe` nearest lists and ranks exactly inside
@@ -182,28 +241,43 @@ def ann_ivf_topk(
     if centroids is None:
         model, assigned = ivf_index(corpus, n_lists, id_col, vec_col, seed)
         centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    else:
-        assigned = corpus.select(
-            id_col,
-            vec_col,
-            assign_lists(centroids, _as_double(vec_col)).alias("list_id"),
+        c = assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("cv"),
+            "list_id",
         )
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("qv")
-    ).withColumn(
-        "list_id",
-        F.explode(nearest_lists_expr(F.col("qv"), centroids, nprobe)),
+    else:
+        # fixed-centroid assignment through the shared probe stage
+        # (nprobe=1): Arrow kernel by default, bit-identical to the
+        # assign_lists expression twin (probed_lists docstring)
+        c = probed_lists(
+            corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")),
+            centroids,
+            1,
+            expr_max_k=expr_max_k,
+        ).select(
+            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "list_id"
+        )
+    q = (
+        queries.select(F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("qv"))
+        .withColumn("qn", norm_expr(F.col("qv")))
+        .withColumn(
+            "list_id",
+            F.explode(nearest_lists_expr(F.col("qv"), centroids, nprobe)),
+        )
     )
-    c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"), "list_id"
-    )
+    c = c.withColumn("cn", norm_expr(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            # per-row norms hoisted below the join — same op order as
+            # cosine_expr (dot/(qn·cn)), bit-identical round-6 values
+            F.round(
+                dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -309,6 +383,89 @@ def adaptive_nprobe(k: int) -> int:
         raise ValueError("adaptive_nprobe needs a positive list count")
     return max(3, int(k / 135.0 + 0.5))
 
+def probed_lists(
+    v: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    expr_max_k: int = 0,
+) -> DataFrame:
+    """(id, v) → (id, v, probes array<int>, list_id int): every vector
+    fanned out to its `nprobe` nearest lists (round-6 squared L2, ties
+    on list id) — the shared IVF probe/assignment stage behind
+    `ann_candidate_pairs`, `ann_ivf_topk` and `semantic_dedup`
+    (nprobe=1 = plain assignment).
+
+    Runs as an Arrow-batched kernel by default (expr_max_k=0, r12): the
+    Column-expression twin folds K×64 interpreted higher-order ops per
+    row (2.1 s vs 0.8 s at sf0.1's K=8), while the kernel accumulates
+    the SAME sequential per-dim op order — bit-identical, pinned by
+    test_kernel_assignment_matches_expression_path.  Pass expr_max_k>=K
+    to force the pure-expression path (UDF-free environments; it
+    remains the semantic reference the DuckDB twin replays).  Also
+    floors the input's parallelism (spread_small_scan): the probe fold
+    is the heavy per-row stage and a small single-row-group parquet
+    arrives as ONE split; no-op at scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hogzilla_spark.sources.catalog import spread_small_scan
+
+    v = spread_small_scan(v)
+    if len(centroids) <= expr_max_k:
+        return v.select(
+            "id",
+            "v",
+            nearest_lists_expr(F.col("v"), centroids, nprobe).alias("probes"),
+        ).select("id", "v", "probes", F.explode("probes").alias("list_id"))
+
+    cmat = np.array(centroids, dtype=np.float64)
+    bc = v.sparkSession.sparkContext.broadcast(cmat)
+    np_probe = nprobe
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            # same rule as nearest_lists_expr: round-6 squared L2,
+            # ties broken by list id (argsort is stable on d).
+            # Distance is Σ(v−c)² accumulated as a SEQUENTIAL fold
+            # over the dim axis (acc += (v_k−c_k)², k ascending) —
+            # bit-identical to sqdist_expr's F.aggregate left fold
+            # and the SQL twin's list_dot_product over the diff
+            # list, so a round-6 tie at a probe boundary cannot
+            # flip between paths (ADVICE r11: einsum's SIMD/
+            # pairwise partial sums carried a last-ulp residual the
+            # old comment wrongly called bit-identical).  Not the
+            # expanded |v|²−2v·c+|c|² form either, whose
+            # cancellation changes the value outright.  Slabbed so
+            # the per-dim (rows × K) temporary stays ~64 MB/dim.
+            slab = max(1, (64 * 1024 * 1024) // (cents.shape[0] * cents.shape[1] * 8))
+            d = np.empty((len(m), cents.shape[0]), dtype=np.float64)
+            for lo in range(0, len(m), slab):
+                hi = min(lo + slab, len(m))
+                acc = np.zeros((hi - lo, cents.shape[0]), dtype=np.float64)
+                for k in range(cents.shape[1]):
+                    diff = m[lo:hi, k, None] - cents[None, :, k]
+                    acc += diff * diff
+                d[lo:hi] = acc
+            d = np.round(d, 6)
+            order = np.argsort(d, axis=1, kind="stable")[:, :np_probe]
+            n_rows = len(pdf)
+            probes = [row.tolist() for row in order]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(np_probe),
+                    "v": [row for row in pdf["v"] for _ in range(np_probe)],
+                    "probes": [p for p in probes for _ in range(np_probe)],
+                    "list_id": order.reshape(n_rows * np_probe),
+                }
+            )
+
+    return v.mapInPandas(
+        assign, "id long, v array<double>, probes array<int>, list_id int"
+    )
+
 def ann_candidate_pairs(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -367,67 +524,13 @@ def ann_candidate_pairs(
         _round6_select,
         _slab_rows,
     )
-    from hogzilla_spark.sources.catalog import spread_small_scan
 
-    # probe assignment + per-list scoring are the heavy per-row stages;
-    # floor parallelism when the corpus arrives as one small split
-    # (no-op at scale)
-    v = spread_small_scan(
-        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    probed = probed_lists(
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")),
+        centroids,
+        nprobe,
+        expr_max_k=expr_max_k,
     )
-    if len(centroids) <= expr_max_k:
-        probed = v.select(
-            "id",
-            "v",
-            nearest_lists_expr(F.col("v"), centroids, nprobe).alias("probes"),
-        ).select("id", "v", "probes", F.explode("probes").alias("list_id"))
-    else:
-        cmat = np.array(centroids, dtype=np.float64)
-        bc = v.sparkSession.sparkContext.broadcast(cmat)
-        np_probe = nprobe
-
-        def assign(batches):
-            cents = bc.value
-            for pdf in batches:
-                m = np.array(list(pdf["v"]), dtype=np.float64)
-                # same rule as nearest_lists_expr: round-6 squared L2,
-                # ties broken by list id (argsort is stable on d).
-                # Distance is Σ(v−c)² accumulated as a SEQUENTIAL fold
-                # over the dim axis (acc += (v_k−c_k)², k ascending) —
-                # bit-identical to sqdist_expr's F.aggregate left fold
-                # and the SQL twin's list_dot_product over the diff
-                # list, so a round-6 tie at a probe boundary cannot
-                # flip between paths (ADVICE r11: einsum's SIMD/
-                # pairwise partial sums carried a last-ulp residual the
-                # old comment wrongly called bit-identical).  Not the
-                # expanded |v|²−2v·c+|c|² form either, whose
-                # cancellation changes the value outright.  Slabbed so
-                # the per-dim (rows × K) temporary stays ~64 MB/dim.
-                slab = max(1, (64 * 1024 * 1024) // (cents.shape[0] * cents.shape[1] * 8))
-                d = np.empty((len(m), cents.shape[0]), dtype=np.float64)
-                for lo in range(0, len(m), slab):
-                    hi = min(lo + slab, len(m))
-                    acc = np.zeros((hi - lo, cents.shape[0]), dtype=np.float64)
-                    for k in range(cents.shape[1]):
-                        diff = m[lo:hi, k, None] - cents[None, :, k]
-                        acc += diff * diff
-                    d[lo:hi] = acc
-                d = np.round(d, 6)
-                order = np.argsort(d, axis=1, kind="stable")[:, :np_probe]
-                n_rows = len(pdf)
-                probes = [row.tolist() for row in order]
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy().repeat(np_probe),
-                        "v": [row for row in pdf["v"] for _ in range(np_probe)],
-                        "probes": [p for p in probes for _ in range(np_probe)],
-                        "list_id": order.reshape(n_rows * np_probe),
-                    }
-                )
-
-        probed = v.mapInPandas(
-            assign, "id long, v array<double>, probes array<int>, list_id int"
-        )
 
     slab_budget = _SIMS_SLAB_BYTES  # captured at plan build
 
@@ -528,10 +631,13 @@ def semantic_dedup(
 
     Scale shape — the whole point of SemDeDup's clustering: candidates
     are Σ|cluster|² instead of n², and the intra-cluster scoring is a
-    BLAS matmul, not a per-pair expression.  Centroid assignment is a
-    pure Column expression over the broadcast codebook (`assign_lists`)
-    — the corpus is never collected and the cluster key is available
-    map-side, so each vector shuffles once into its cluster's task.
+    BLAS matmul, not a per-pair expression.  Centroid assignment runs
+    through the shared probe stage (`probed_lists`, nprobe=1): the
+    Arrow kernel by default, the bit-identical `assign_lists` Column
+    expression under strategy='expr' (keeping that path UDF-free end to
+    end) — the corpus is never collected and the cluster key is
+    available map-side, so each vector shuffles once into its cluster's
+    task.
 
     strategy='kernel' (default): applyInPandas per cluster_id — the
     cluster's matrix scores itself in `block_rows`-row blocks (one
@@ -575,16 +681,17 @@ def semantic_dedup(
             "candidate_pairs is only consumed by strategy='ann'; the "
             f"'{strategy}' path would silently ignore it"
         )
-    from hogzilla_spark.sources.catalog import spread_small_scan
-
-    # the K×64-op interpreted assignment fold is the heavy per-row
-    # stage; floor parallelism on small single-split scans (no-op at
-    # scale)
-    assigned = spread_small_scan(emb.select(id_col, vec_col)).select(
-        F.col(id_col),
-        _as_double(vec_col).alias("v"),
-        assign_lists(centroids, _as_double(vec_col)).alias("cluster_id"),
-    )
+    # cluster assignment through the shared probe stage (nprobe=1):
+    # Arrow kernel by default, bit-identical to the assign_lists
+    # expression twin (probed_lists docstring; parallelism floor
+    # included).  strategy='expr' promises a UDF-free plan end to end,
+    # so it keeps the pure-expression assignment too.
+    assigned = probed_lists(
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")),
+        centroids,
+        1,
+        expr_max_k=len(centroids) if strategy == "expr" else 0,
+    ).select(F.col("id").alias(id_col), "v", F.col("list_id").alias("cluster_id"))
     if strategy == "ann":
         if candidate_pairs is not None:
             pairs = candidate_pairs.filter(F.col("cosine") >= threshold)

@@ -211,6 +211,30 @@ def test_kernel_assignment_matches_expression_path(spark):
     assert via_expr  # non-vacuous
 
 
+def test_ivf_topk_kernel_matches_expression_path(spark):
+    """r12: ann_ivf_topk's fixed-centroid corpus assignment runs through
+    the shared Arrow probe kernel (probed_lists, nprobe=1) by default;
+    full result rows (query_id, neighbor_id, cosine, rank) must match
+    the assign_lists expression twin the DuckDB oracle replays."""
+    emb = _emb(spark)
+    cents = _centroids(emb, [3 + 62 * i for i in range(8)])
+    queries = emb.filter(F.col("vec_id") < 10)
+    kern = {
+        tuple(r)
+        for r in SIM.ann_ivf_topk(
+            emb, queries, nprobe=2, k=5, centroids=cents, expr_max_k=0
+        ).collect()
+    }
+    expr = {
+        tuple(r)
+        for r in SIM.ann_ivf_topk(
+            emb, queries, nprobe=2, k=5, centroids=cents, expr_max_k=64
+        ).collect()
+    }
+    assert kern == expr
+    assert kern  # non-vacuous
+
+
 def test_shared_probe_pass_matches_two_runs(spark):
     """VERDICT r10 task 4: q_neardup_ann shares ONE probe/score pass
     between 'pairs' and 'sem' when the adaptive K rules coincide
