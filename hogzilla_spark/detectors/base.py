@@ -85,41 +85,64 @@ def mk_alert(
     `data` carries the detector's event.data key/values as a map column;
     `batch_time` is injected (not wall clock) so outputs are
     deterministic and golden-testable.
-    """
-    from hogzilla_spark.functions.scalar import human_bytes
 
-    entries = []
+    Build shape (r12): the caller's Columns are bound to stable names
+    in one aliased select, then the whole alert projection is parsed
+    from SQL text in one selectExpr.  The old fully-Column form cost
+    ~1,700 py4j driver round trips per call site (~0.4 s of build time
+    each, ×19 call sites across the registry — guide §1's "time the
+    computation" includes plan build, and the driver's bench does
+    too).  The two projections collapse to the identical expression
+    tree (ip_to_bytes/human_bytes SQL twins are value-identical by
+    tests/test_scalar_sql_twins.py; alert goldens and the detector
+    oracles pin the end-to-end values).
+    """
+    from hogzilla_spark.functions.scalar import (
+        human_bytes_sql,
+        ip_to_bytes_sql,
+        sql_quote,
+    )
+
+    binds = [
+        lower_ip.alias("__mk_lo"),
+        upper_ip.alias("__mk_hi"),
+        title.alias("__mk_title"),
+    ]
+    map_args: list[str] = []
     # note text follows the reference's populate* template
     # (HogSFlow.scala:233-452): fixed preamble + behaviour + field lines,
     # byte-valued fields human-formatted
-    note_parts: list[Column] = [
-        F.lit(
+    note_parts: list[str] = [
+        sql_quote(
             "This IP was detected by Hogzilla performing an abnormal "
             "activity. In what follows, you can see more information.\n"
             "Abnormal behaviour: "
         ),
-        title,
+        "`__mk_title`",
     ]
-    for k, v in data.items():
-        entries.append(F.lit(k))
-        entries.append(v.cast("string"))
-        rendered = (
-            human_bytes(v.cast("double"))
-            if k.lower().startswith("bytes")
-            else v.cast("string")
-        )
-        note_parts.append(F.lit(f"\n{k}: "))
-        note_parts.append(F.coalesce(rendered, F.lit("")))
-    return df.select(
-        F.lit(sig.sig_id).alias("signature_id"),
-        F.lit(batch_time).cast("long").alias("time"),
-        ip_to_bytes(lower_ip).alias("lower_ip"),
-        ip_to_bytes(upper_ip).alias("upper_ip"),
-        lower_ip.cast("string").alias("lower_ip_str"),
-        upper_ip.cast("string").alias("upper_ip_str"),
-        title.alias("title"),
-        F.create_map(*entries).alias("data") if entries else F.create_map().alias("data"),
-        F.concat(*note_parts).alias("note"),
+    for i, (k, v) in enumerate(data.items()):
+        s_name = f"__mk_s{i}"
+        binds.append(v.cast("string").alias(s_name))
+        map_args += [sql_quote(k), f"`{s_name}`"]
+        note_parts.append(sql_quote(f"\n{k}: "))
+        if k.lower().startswith("bytes"):
+            b_name = f"__mk_b{i}"
+            binds.append(v.cast("double").alias(b_name))
+            rendered = human_bytes_sql(f"`{b_name}`")
+        else:
+            rendered = f"`{s_name}`"
+        note_parts.append(f"coalesce({rendered}, '')")
+    map_sql = f"map({', '.join(map_args)})" if map_args else "map()"
+    return df.select(*binds).selectExpr(
+        f"{sig.sig_id} AS signature_id",
+        f"CAST({batch_time} AS BIGINT) AS time",
+        f"{ip_to_bytes_sql('`__mk_lo`')} AS lower_ip",
+        f"{ip_to_bytes_sql('`__mk_hi`')} AS upper_ip",
+        "CAST(`__mk_lo` AS STRING) AS lower_ip_str",
+        "CAST(`__mk_hi` AS STRING) AS upper_ip_str",
+        "`__mk_title` AS title",
+        f"{map_sql} AS data",
+        f"concat({', '.join(note_parts)}) AS note",
     )
 
 def flow_struct() -> Column:

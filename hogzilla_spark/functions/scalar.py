@@ -56,6 +56,36 @@ def human_bytes(c: Column | str) -> Column:
     scaled = c / F.pow(F.lit(1024.0), exp.cast("double"))
     return F.concat(F.format_number(scaled, 1), unit)
 
+def sql_quote(s: str) -> str:
+    """Python string → Spark SQL single-quoted literal (default
+    escapedStringLiterals=false backslash escaping)."""
+    return (
+        "'"
+        + s.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n")
+        + "'"
+    )
+
+def human_bytes_sql(x: str) -> str:
+    """SQL-text twin of `human_bytes` over the expression text `x` —
+    same functions on the same doubles, so values are identical.
+
+    Exists because mk_alert builds its whole projection as ONE parsed
+    selectExpr (a Column-API humanBytes chain costs ~50 py4j driver
+    round trips per call site — ~0.1 s of pure build time, r12
+    profile).  `human_bytes` stays the reference the twin test
+    (tests/test_scalar_sql_twins.py) compares against.
+    """
+    c = f"CAST({x} AS DOUBLE)"
+    exp = (
+        f"CAST(least(CASE WHEN {c} < 1024 THEN 0 ELSE "
+        f"floor(ln({c}) / ln(1024.0D)) END, {len(_UNITS) - 1}) AS INT)"
+    )
+    units = "array(" + ", ".join(sql_quote(u) for u in _UNITS) + ")"
+    scaled = f"{c} / power(1024.0D, CAST({exp} AS DOUBLE))"
+    return (
+        f"concat(format_number({scaled}, 1), element_at({units}, {exp} + 1))"
+    )
+
 # --- F2: formatIPtoBytes (HogSFlow.scala:715-722, HogEvent.scala:44-58) -----
 
 def ip_to_bytes(c: Column | str) -> Column:
@@ -83,6 +113,24 @@ def ip_to_bytes(c: Column | str) -> Column:
     v6_sentinel = F.unhex(F.lit("FFFF0606"))
     bogus_sentinel = F.unhex(F.lit("FFFF0101"))
     return F.when(is_v4, v4).when(is_v6, v6_sentinel).otherwise(bogus_sentinel)
+
+def ip_to_bytes_sql(x: str) -> str:
+    """SQL-text twin of `ip_to_bytes` over the expression text `x` —
+    same function tree (rlike gate, per-octet try_cast→conv→lpad,
+    unhex, sentinel branches), so values are identical.  Same
+    build-time rationale as `human_bytes_sql`; twin-tested against the
+    Column form."""
+    octets = ", ".join(
+        f"lpad(conv(CAST(try_cast(get(split({x}, '\\\\.'), {i}) AS INT) "
+        f"AS STRING), 10, 16), 2, '0')"
+        for i in range(4)
+    )
+    v4_pat = sql_quote(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    return (
+        f"CASE WHEN {x} RLIKE {v4_pat} THEN unhex(concat({octets})) "
+        f"WHEN contains({x}, ':') THEN unhex('FFFF0606') "
+        f"ELSE unhex('FFFF0101') END"
+    )
 
 # --- F3: ipSignificantNetwork (HogSFlow.scala:733-742) ----------------------
 
