@@ -80,6 +80,13 @@ def _cents(col, scale: int = 100):
     v = col * F.lit(scale)
     return (v + F.signum(v) * F.lit(0.5)).cast("long")
 
+def _cents_sql(col: str, scale: int = 100) -> str:
+    """SQL-text twin of `_cents` (same multiply/signum/add/cast tree) —
+    for the parsed-selectExpr builders; value-identical by
+    construction, plan-diff-checked per consumer query."""
+    v = f"({col} * {scale})"
+    return f"CAST(({v} + (signum({v}) * 0.5D)) AS BIGINT)"
+
 # ---------------------------------------------------------------------------
 # A-family: aggregations
 # ---------------------------------------------------------------------------
@@ -1650,50 +1657,47 @@ def _synth_sflows(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction heuristic's port branch (srcPort beats dstPort,
         HogSFlow.scala:838-845) stays oracle-observable."""
     ev = _t(spark, sf_dir, "events")
-    internal = F.concat(F.lit("10.1.0."), (F.col("user_id") % 250).cast("string"))
-    slot = (F.expr("event_id div 2") % 10).cast("string")
-    external = F.concat(
-        F.lit("8.8."), slot, F.lit("."), (F.col("user_id") % 250).cast("string")
+    # Built as ONE parsed selectExpr (r12): the Column-chain form cost
+    # ~0.3 s of py4j build time per call, ×9 stateful/sflow consumers.
+    # The parsed text yields the byte-identical physical plan modulo
+    # expression/plan ids for every consumer query (plans/r12 diff = 0
+    # lines), so values are unchanged by construction.
+    internal = "concat('10.1.0.', CAST(user_id % 250 AS STRING))"
+    external = (
+        "concat('8.8.', CAST((event_id div 2) % 10 AS STRING), '.', "
+        "CAST(user_id % 250 AS STRING))"
     )
-    outbound = F.col("event_id") % 2 == 0
+    outb = "(event_id % 2 = 0)"
     svc_port = (
-        F.when(F.col("event_type") == "click", F.lit("53"))
-        .when(F.col("event_type") == "view", F.lit("80"))
-        .when(
-            F.col("event_type") == "error",
-            (F.lit(2000) + (F.expr("event_id div 2") % 5) * 500).cast("string"),
-        )
-        .when(F.col("event_type") == "purchase", F.lit("443"))
-        .otherwise(F.lit("19999"))
+        "CASE WHEN (event_type = 'click') THEN '53' "
+        "WHEN (event_type = 'view') THEN '80' "
+        "WHEN (event_type = 'error') THEN "
+        "CAST(2000 + ((event_id div 2) % 5) * 500 AS STRING) "
+        "WHEN (event_type = 'purchase') THEN '443' ELSE '19999' END"
     )
     flags = (
-        F.when(F.col("event_type") == "error", "0x02")
-        .when(F.col("event_type") == "purchase", "0x12")
-        .when(F.col("event_type") == "view", "0x18")
-        .otherwise("0x00")
+        "CASE WHEN (event_type = 'error') THEN '0x02' "
+        "WHEN (event_type = 'purchase') THEN '0x12' "
+        "WHEN (event_type = 'view') THEN '0x18' ELSE '0x00' END"
     )
     client_port = (
-        F.when(F.col("event_type") == "error", F.lit("4000"))
-        .when(F.col("event_id") % 7 == 0, F.lit("514"))
-        .when(
-            F.col("event_type") == "signup",
-            (F.lit(30000) + (F.expr("event_id div 4") % 2) * 10000).cast("string"),
-        )
-        .otherwise(F.lit("40000"))
+        "CASE WHEN (event_type = 'error') THEN '4000' "
+        "WHEN (event_id % 7 = 0) THEN '514' "
+        "WHEN (event_type = 'signup') THEN "
+        "CAST(30000 + ((event_id div 4) % 2) * 10000 AS STRING) "
+        "ELSE '40000' END"
     )
-    proto = F.when(
-        F.col("event_type").isin("click", "error"), "17"
-    ).otherwise("6")
-    return ev.select(
-        F.when(outbound, internal).otherwise(external).alias("srcIP"),
-        F.when(outbound, client_port).otherwise(svc_port).alias("srcPort"),
-        F.when(outbound, external).otherwise(internal).alias("dstIP"),
-        F.when(outbound, svc_port).otherwise(client_port).alias("dstPort"),
-        proto.alias("IPprotocol"),
-        _cents(F.col("value")).alias("packetSize"),
-        F.lit(1024).cast("long").alias("samplingRate"),
-        flags.alias("tcpFlags"),
-        F.expr("ts div 1000000000").alias("timestamp"),
+    return ev.selectExpr(
+        f"CASE WHEN {outb} THEN {internal} ELSE {external} END AS srcIP",
+        f"CASE WHEN {outb} THEN {client_port} ELSE {svc_port} END AS srcPort",
+        f"CASE WHEN {outb} THEN {external} ELSE {internal} END AS dstIP",
+        f"CASE WHEN {outb} THEN {svc_port} ELSE {client_port} END AS dstPort",
+        "CASE WHEN (event_type IN ('click', 'error')) THEN '17' ELSE '6' END "
+        "AS IPprotocol",
+        f"{_cents_sql('value')} AS packetSize",
+        "CAST(1024 AS BIGINT) AS samplingRate",
+        f"{flags} AS tcpFlags",
+        "ts div 1000000000 AS `timestamp`",
     )
 
 _SYNTH_SQL = """
@@ -2722,91 +2726,95 @@ def _synth_sflows2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("value")).alias("c"),
         F.expr("ts div 1000000000").alias("tss"),
     )
-    lane, k, uid, c = F.col("lane"), F.col("k"), F.col("uid"), F.col("c")
+    # Built as ONE parsed selectExpr (r12, same rationale and
+    # plan-identity proof as _synth_sflows): the unrolled Column-chain
+    # form cost ~0.8 s of py4j build time per call.
+    def s(x: str) -> str:
+        return f"CAST({x} AS STRING)"
 
-    def s(col) -> F.Column:
-        return col.cast("string")
-
-    u0, u1, u2, u3, u4 = uid % 40, uid % 8, uid % 16, uid % 30, uid % 2
-    npairs2 = (u2 % 8) + 1  # media sessions per host, 1..8
-    n_att = F.lit(10) + u4 * 20  # ddos attackers per victim: 10 or 30
-    att = k % n_att
-    pslot = F.expr("(k div (10 + (uid % 2) * 20)) % 7")
-    scanner = k % 5
-    allowed = (uid % 5) <= scanner  # lane-5 scanner reach
+    u0, u1, u2, u3, u4 = "(uid % 40)", "(uid % 8)", "(uid % 16)", "(uid % 30)", "(uid % 2)"
+    npairs2 = f"(({u2} % 8) + 1)"  # media sessions per host, 1..8
+    n_att = "(10 + (uid % 2) * 20)"  # ddos attackers per victim: 10 or 30
+    att = f"(k % {n_att})"
+    pslot = "((k div (10 + (uid % 2) * 20)) % 7)"
+    scanner = "(k % 5)"
+    allowed = f"((uid % 5) <= {scanner})"  # lane-5 scanner reach
 
     myip = (
-        F.when(lane == 0, F.concat(F.lit("10.1.0."), s(u0)))
-        .when(lane == 1, F.concat(F.lit("10.1.1."), s(u1)))
-        .when(lane == 2, F.concat(F.lit("10.1.2."), s(u2)))
-        .when(lane == 3, F.concat(F.lit("10.1.3."), s(u3)))
-        .when(lane == 4, F.concat(F.lit("10.1.4."), s(u4)))
-        .otherwise(F.concat(F.lit("10.1.5."), s(uid)))
+        f"CASE WHEN (lane = 0) THEN concat('10.1.0.', {s(u0)}) "
+        f"WHEN (lane = 1) THEN concat('10.1.1.', {s(u1)}) "
+        f"WHEN (lane = 2) THEN concat('10.1.2.', {s(u2)}) "
+        f"WHEN (lane = 3) THEN concat('10.1.3.', {s(u3)}) "
+        f"WHEN (lane = 4) THEN concat('10.1.4.', {s(u4)}) "
+        f"ELSE concat('10.1.5.', {s('uid')}) END"
     )
     alien = (
-        F.when(lane == 0, F.concat(F.lit("8.9.0."), s(u0)))
-        .when(lane == 1, F.concat(F.lit("7.7.7."), s(u1)))
-        .when(lane == 2, F.concat(F.lit("6.6."), s(k % npairs2), F.lit("."), s(u2)))
-        .when(lane == 3, F.concat(F.lit("5.5.5."), s(u3)))
-        .when(lane == 4, F.concat(F.lit("4.4."), s(F.expr("(k % (10 + (uid % 2) * 20)) div 8")), F.lit("."), s(att % 8)))
-        .otherwise(
-            F.when(allowed, F.concat(F.lit("3.3.3."), s(scanner)))
-            .otherwise(F.concat(F.lit("8.8.8."), s(uid)))
-        )
+        f"CASE WHEN (lane = 0) THEN concat('8.9.0.', {s(u0)}) "
+        f"WHEN (lane = 1) THEN concat('7.7.7.', {s(u1)}) "
+        f"WHEN (lane = 2) THEN concat('6.6.', {s(f'(k % {npairs2})')}, '.', {s(u2)}) "
+        f"WHEN (lane = 3) THEN concat('5.5.5.', {s(u3)}) "
+        f"WHEN (lane = 4) THEN concat('4.4.', "
+        f"{s('((k % (10 + (uid % 2) * 20)) div 8)')}, '.', {s(f'({att} % 8)')}) "
+        f"ELSE CASE WHEN {allowed} THEN concat('3.3.3.', {s(scanner)}) "
+        f"ELSE concat('8.8.8.', {s('uid')}) END END"
     )
     myport = (
-        F.when(lane == 0, F.lit("123"))
-        .when(lane == 1, F.when(k % 2 == 0, "465").otherwise("587"))
-        .when(lane == 2, F.lit("45000"))
-        .when(lane == 3, F.lit("8"))  # ICMP echo-request type
-        .when(lane == 4, F.lit("80"))
-        .otherwise(F.when(allowed, "22").otherwise("40000"))
+        "CASE WHEN (lane = 0) THEN '123' "
+        "WHEN (lane = 1) THEN CASE WHEN (k % 2 = 0) THEN '465' ELSE '587' END "
+        "WHEN (lane = 2) THEN '45000' "
+        "WHEN (lane = 3) THEN '8' "  # ICMP echo-request type
+        "WHEN (lane = 4) THEN '80' "
+        f"ELSE CASE WHEN {allowed} THEN '22' ELSE '40000' END END"
     )
     alienport = (
-        F.when(lane == 0, F.lit("50000"))
-        .when(lane == 1, s(F.lit(51000) + F.expr("k div 2") % (F.lit(20) + (u1 / 4).cast("long") * 15)))
-        .when(lane == 2, F.lit("8000"))
-        .when(lane == 3, F.lit("0"))  # ICMP code
-        .when(lane == 4, s(F.lit(52000) + pslot))
-        .otherwise(F.when(allowed, "60000").otherwise("80"))
+        "CASE WHEN (lane = 0) THEN '50000' "
+        f"WHEN (lane = 1) THEN {s(f'(51000 + ((k div 2) % (20 + (CAST({u1} / 4 AS BIGINT) * 15))))')} "
+        "WHEN (lane = 2) THEN '8000' "
+        "WHEN (lane = 3) THEN '0' "  # ICMP code
+        f"WHEN (lane = 4) THEN {s(f'(52000 + {pslot})')} "
+        f"ELSE CASE WHEN {allowed} THEN '60000' ELSE '80' END END"
     )
-    proto = F.when(lane == 0, "17").when(lane == 3, "1").otherwise("6")
+    proto = (
+        "CASE WHEN (lane = 0) THEN '17' WHEN (lane = 3) THEN '1' "
+        "ELSE '6' END"
+    )
     size = (
-        F.when(lane == 0, c % 400 + (u0 % 2) * 400)
-        .when(lane == 3, c % 300 + (u3 % 2) * 300)
-        .otherwise(c)
+        f"CASE WHEN (lane = 0) THEN ((c % 400) + (({u0} % 2) * 400)) "
+        f"WHEN (lane = 3) THEN ((c % 300) + (({u3} % 2) * 300)) "
+        f"ELSE c END"
     )
     outb = (
-        F.when(lane == 0, k % 2 == 0)
-        .when(lane == 1, F.expr("(k div 2) % 2") == 0)
-        .when(lane == 2, k % 4 == 0)
-        .when(lane == 3, F.lit(True))
-        .when(lane == 4, k % 4 == 0)
-        .otherwise(~allowed)
+        "CASE WHEN (lane = 0) THEN (k % 2 = 0) "
+        "WHEN (lane = 1) THEN ((k div 2) % 2 = 0) "
+        "WHEN (lane = 2) THEN (k % 4 = 0) "
+        "WHEN (lane = 3) THEN true "
+        "WHEN (lane = 4) THEN (k % 4 = 0) "
+        f"ELSE (NOT {allowed}) END"
     )
     flags = (
-        F.when(lane == 1, F.when(outb, "0x02").otherwise("0x12"))  # both vote +1
-        .when(lane == 2, F.lit("0x10"))  # mid ports → vote 0
-        .when(lane == 4, F.when(outb, "0x10").otherwise("0x02"))  # both vote -1
-        .when(lane == 5, F.when(outb, "0x18").otherwise("0x02"))
-        .otherwise(F.lit("0x00"))
+        # lane 1: both vote +1; lane 2 mid ports vote 0; lane 4 both -1
+        f"CASE WHEN (lane = 1) THEN CASE WHEN {outb} THEN '0x02' ELSE '0x12' END "
+        "WHEN (lane = 2) THEN '0x10' "
+        f"WHEN (lane = 4) THEN CASE WHEN {outb} THEN '0x10' ELSE '0x02' END "
+        f"WHEN (lane = 5) THEN CASE WHEN {outb} THEN '0x18' ELSE '0x02' END "
+        "ELSE '0x00' END"
     )
-    ts2 = F.when(
-        lane == 4,
-        F.lit(1704067200)
-        + pslot * (F.lit(30) + F.when(att % 5 == 0, 60).otherwise(0)),
-    ).otherwise(F.col("tss"))
+    ts2 = (
+        f"CASE WHEN (lane = 4) THEN (1704067200 + ({pslot} * "
+        f"(30 + CASE WHEN ({att} % 5 = 0) THEN 60 ELSE 0 END))) "
+        "ELSE tss END"
+    )
 
-    return base.select(
-        F.when(outb, myip).otherwise(alien).alias("srcIP"),
-        F.when(outb, myport).otherwise(alienport).alias("srcPort"),
-        F.when(outb, alien).otherwise(myip).alias("dstIP"),
-        F.when(outb, alienport).otherwise(myport).alias("dstPort"),
-        proto.alias("IPprotocol"),
-        size.alias("packetSize"),
-        F.lit(1024).cast("long").alias("samplingRate"),
-        flags.alias("tcpFlags"),
-        ts2.alias("timestamp"),
+    return base.selectExpr(
+        f"CASE WHEN {outb} THEN {myip} ELSE {alien} END AS srcIP",
+        f"CASE WHEN {outb} THEN {myport} ELSE {alienport} END AS srcPort",
+        f"CASE WHEN {outb} THEN {alien} ELSE {myip} END AS dstIP",
+        f"CASE WHEN {outb} THEN {alienport} ELSE {myport} END AS dstPort",
+        f"{proto} AS IPprotocol",
+        f"{size} AS packetSize",
+        "CAST(1024 AS BIGINT) AS samplingRate",
+        f"{flags} AS tcpFlags",
+        f"{ts2} AS `timestamp`",
     )
 
 def q_hz_stateless_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,10 +22,20 @@ from hogzilla_spark.functions.scalar import (
     TCP_PSHACK,
     TCP_SYN,
     TCP_SYNACK,
-    is_my_ip,
 )
 
 UNKNOWN, LEFTRIGHT, RIGHTLEFT, OCCURRED = 0, 1, -1, 1
+
+def _is_my_ip_sql(col: str, my_nets: list[str]) -> str:
+    """SQL-text twin of `is_my_ip` (same left-folded OR of startswith
+    predicates), parenthesized for safe embedding."""
+    from hogzilla_spark.functions.scalar import sql_quote
+
+    if not my_nets:
+        return "(false)"
+    return "(" + " OR ".join(
+        f"startswith({col}, {sql_quote(p)})" for p in my_nets
+    ) + ")"
 
 def orient_flows(sflows: DataFrame, my_nets: list[str]) -> DataFrame:
     """P7: per-packet direction/status inference + (myIP, alienIP) orientation.
@@ -38,52 +48,48 @@ def orient_flows(sflows: DataFrame, my_nets: list[str]) -> DataFrame:
       - If src is not a my-net IP the tuple is flipped to (dst, src) and
         the direction vote is negated; bytes land on bytesDown.
     """
-    src_mine = is_my_ip("srcIP", my_nets)
-    is_tcp = F.col("IPprotocol") == "6"
-    flags = F.col("tcpFlags")
+    # Built as ONE parsed selectExpr (r12): the Column-chain form cost
+    # ~0.2 s of py4j driver round trips per call, ×14 call sites across
+    # the registry.  The parsed text yields the byte-identical physical
+    # plan modulo expression ids (plans/r12 diff = 0 lines for every
+    # consumer query), so values are unchanged by construction; the old
+    # Column build is kept verbatim as the reference twin in
+    # tests/test_rollup_sql_build.py.
+    sm = _is_my_ip_sql("srcIP", my_nets)
 
-    direction = F.when(
-        is_tcp,
-        F.when(flags == TCP_SYN, F.lit(LEFTRIGHT))
-        .when(flags == TCP_SYNACK, F.lit(RIGHTLEFT))
-        .otherwise(
-            # port heuristic only when flags decided nothing.  The
-            # reference's two sequential `if`s (HogSFlow.scala:838-845)
-            # are last-write-wins: srcPort<1024 overwrites dstPort<1024,
-            # so when BOTH ports are low the answer is RIGHTLEFT.
-            F.when(F.col("srcPort").try_cast("int") < 1024, F.lit(RIGHTLEFT))
-            .when(F.col("dstPort").try_cast("int") < 1024, F.lit(LEFTRIGHT))
-            .otherwise(F.lit(UNKNOWN))
-        ),
-    ).otherwise(F.lit(UNKNOWN))
+    # port heuristic only when flags decided nothing.  The reference's
+    # two sequential `if`s (HogSFlow.scala:838-845) are last-write-wins:
+    # srcPort<1024 overwrites dstPort<1024, so when BOTH ports are low
+    # the answer is RIGHTLEFT.
+    direction = (
+        f"CASE WHEN (IPprotocol = '6') THEN "
+        f"CASE WHEN (tcpFlags = '{TCP_SYN}') THEN {LEFTRIGHT} "
+        f"WHEN (tcpFlags = '{TCP_SYNACK}') THEN {RIGHTLEFT} "
+        f"ELSE CASE WHEN (try_cast(srcPort AS INT) < 1024) THEN {RIGHTLEFT} "
+        f"WHEN (try_cast(dstPort AS INT) < 1024) THEN {LEFTRIGHT} "
+        f"ELSE {UNKNOWN} END END ELSE {UNKNOWN} END"
+    )
+    status = (
+        f"CASE WHEN ((IPprotocol = '6') AND ((tcpFlags = '{TCP_SYNACK}') "
+        f"OR (tcpFlags = '{TCP_PSHACK}') OR ((tcpFlags = '{TCP_ACK}') "
+        f"AND {sm}))) THEN {OCCURRED} ELSE {UNKNOWN} END"
+    )
 
-    status = F.when(
-        is_tcp
-        & (
-            (flags == TCP_SYNACK)
-            | (flags == TCP_PSHACK)
-            | ((flags == TCP_ACK) & src_mine)
-        ),
-        F.lit(OCCURRED),
-    ).otherwise(F.lit(UNKNOWN))
-
-    proto = F.when(is_tcp, F.lit("TCP")).otherwise(F.lit("UDP"))
-
-    return sflows.select(
-        F.when(src_mine, F.col("srcIP")).otherwise(F.col("dstIP")).alias("myIP"),
-        F.when(src_mine, F.col("srcPort")).otherwise(F.col("dstPort")).alias("myPort"),
-        F.when(src_mine, F.col("dstIP")).otherwise(F.col("srcIP")).alias("alienIP"),
-        F.when(src_mine, F.col("dstPort")).otherwise(F.col("srcPort")).alias("alienPort"),
-        proto.alias("proto"),
-        F.when(src_mine, F.col("packetSize")).otherwise(F.lit(0)).cast("long").alias("bytesUp"),
-        F.when(src_mine, F.lit(0)).otherwise(F.col("packetSize")).cast("long").alias("bytesDown"),
-        F.lit(1).cast("long").alias("numberPkts"),
-        F.when(src_mine, direction).otherwise(-direction).alias("direction"),
-        F.col("timestamp").alias("beginTime"),
-        F.col("timestamp").alias("endTime"),
-        F.col("IPprotocol"),
-        F.col("samplingRate").alias("sampleRate"),
-        status.alias("status"),
+    return sflows.selectExpr(
+        f"CASE WHEN {sm} THEN srcIP ELSE dstIP END AS myIP",
+        f"CASE WHEN {sm} THEN srcPort ELSE dstPort END AS myPort",
+        f"CASE WHEN {sm} THEN dstIP ELSE srcIP END AS alienIP",
+        f"CASE WHEN {sm} THEN dstPort ELSE srcPort END AS alienPort",
+        "CASE WHEN (IPprotocol = '6') THEN 'TCP' ELSE 'UDP' END AS proto",
+        f"CAST(CASE WHEN {sm} THEN packetSize ELSE 0 END AS BIGINT) AS bytesUp",
+        f"CAST(CASE WHEN {sm} THEN 0 ELSE packetSize END AS BIGINT) AS bytesDown",
+        "CAST(1 AS BIGINT) AS numberPkts",
+        f"CASE WHEN {sm} THEN {direction} ELSE -({direction}) END AS direction",
+        "`timestamp` AS beginTime",
+        "`timestamp` AS endTime",
+        "IPprotocol",
+        "samplingRate AS sampleRate",
+        f"{status} AS status",
     )
 
 def sflow_summary(sflows: DataFrame, my_nets: list[str]) -> DataFrame:
@@ -111,21 +117,21 @@ def sflow_summary(sflows: DataFrame, my_nets: list[str]) -> DataFrame:
 def icmp_summary(sflows: DataFrame, my_nets: list[str]) -> DataFrame:
     """A2: ICMP/ICMPv6 variant keyed (myIP, icmpType, alienIP, icmpCode,
     proto); srcPort/dstPort carry type/code (HogSFlow.scala:885-939)."""
-    src_mine = is_my_ip("srcIP", my_nets)
-    proto = F.when(F.col("IPprotocol") == "1", F.lit("ICMP")).otherwise(F.lit("ICMPv6"))
-    oriented = sflows.filter(F.col("IPprotocol").isin("1", "58")).select(
-        F.when(src_mine, F.col("srcIP")).otherwise(F.col("dstIP")).alias("myIP"),
-        F.when(src_mine, F.col("srcPort")).otherwise(F.col("dstPort")).alias("icmpType"),
-        F.when(src_mine, F.col("dstIP")).otherwise(F.col("srcIP")).alias("alienIP"),
-        F.when(src_mine, F.col("dstPort")).otherwise(F.col("srcPort")).alias("icmpCode"),
-        proto.alias("proto"),
-        F.when(src_mine, F.col("packetSize")).otherwise(F.lit(0)).cast("long").alias("bytesUp"),
-        F.when(src_mine, F.lit(0)).otherwise(F.col("packetSize")).cast("long").alias("bytesDown"),
-        F.lit(1).cast("long").alias("numberPkts"),
-        F.when(src_mine, F.lit(1)).otherwise(F.lit(-1)).alias("direction"),
-        F.col("timestamp").alias("beginTime"),
-        F.col("timestamp").alias("endTime"),
-        F.col("samplingRate").alias("sampleRate"),
+    # same parsed-selectExpr build shape (and twin test) as orient_flows
+    sm = _is_my_ip_sql("srcIP", my_nets)
+    oriented = sflows.filter(F.col("IPprotocol").isin("1", "58")).selectExpr(
+        f"CASE WHEN {sm} THEN srcIP ELSE dstIP END AS myIP",
+        f"CASE WHEN {sm} THEN srcPort ELSE dstPort END AS icmpType",
+        f"CASE WHEN {sm} THEN dstIP ELSE srcIP END AS alienIP",
+        f"CASE WHEN {sm} THEN dstPort ELSE srcPort END AS icmpCode",
+        "CASE WHEN (IPprotocol = '1') THEN 'ICMP' ELSE 'ICMPv6' END AS proto",
+        f"CAST(CASE WHEN {sm} THEN packetSize ELSE 0 END AS BIGINT) AS bytesUp",
+        f"CAST(CASE WHEN {sm} THEN 0 ELSE packetSize END AS BIGINT) AS bytesDown",
+        "CAST(1 AS BIGINT) AS numberPkts",
+        f"CASE WHEN {sm} THEN 1 ELSE -1 END AS direction",
+        "`timestamp` AS beginTime",
+        "`timestamp` AS endTime",
+        "samplingRate AS sampleRate",
     )
     return oriented.groupBy("myIP", "icmpType", "alienIP", "icmpCode", "proto").agg(
         F.sum("bytesUp").alias("bytesUp"),
