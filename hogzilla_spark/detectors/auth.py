@@ -26,7 +26,7 @@ from hogzilla_spark.detectors.base import SIGNATURES, mk_alert
 from hogzilla_spark.functions.scalar import (
     haversine_from_coords,
     strip_accents,
-    ua_family,
+    ua_family_sql,
 )
 from hogzilla_spark.operators.histogram import EPSILON
 from hogzilla_spark.state.store import EMPTY_MAP_D, mk_update
@@ -75,10 +75,14 @@ def prepare_auth(auth: DataFrame, ua_count_hint: int | None = None) -> DataFrame
     shuffle is already queued."""
     raw_ua = F.coalesce("userAgent", F.lit(""))
     auth = auth.withColumn("__ua_raw", raw_ua)
+    # parsed-SQL twin of ua_family (one round trip vs ~1,700 for the
+    # 171-rule Column chain — 1.12 s of build time per call, r12);
+    # plan/value-identical, twin-tested on the vendored uap-core
+    # vectors (tests/test_scalar_sql_twins.py)
     fams = (
         auth.select("__ua_raw")
         .distinct()
-        .withColumn("__ua_fam", ua_family(F.col("__ua_raw")))
+        .withColumn("__ua_fam", F.expr(ua_family_sql("__ua_raw")))
     )
     n_ua = (
         ua_count_hint

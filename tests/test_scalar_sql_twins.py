@@ -154,6 +154,37 @@ def test_mk_alert_sql_build_matches_column_reference(spark, with_data):
     assert g  # non-vacuous
 
 
+def test_ua_family_sql_twin_matches_column_form(spark):
+    """The 171-rule nested-CASE text twin must reproduce ua_family
+    exactly on the vendored uap-core-style vectors (regex literals
+    survive SQL quoting) plus null/empty/exotic strings."""
+    import importlib.util
+
+    from hogzilla_spark.functions.scalar import ua_family, ua_family_sql
+
+    spec = importlib.util.spec_from_file_location(
+        "_test_auth_mod", "/root/repo/tests/test_auth.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    vals = [ua for ua, _ in mod._UA_FIXTURE] + [
+        None,
+        "",
+        "quote ' backslash \\ in UA",
+        "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36",
+        "curl/7.79.1",
+        "random text",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "ua string")
+    rows = df.select(
+        ua_family(F.col("ua")).alias("col_form"),
+        F.expr(ua_family_sql("ua")).alias("sql_form"),
+    ).collect()
+    assert len(rows) == len(vals)
+    for r in rows:
+        assert r.col_form == r.sql_form, r
+
+
 def test_sql_quote_roundtrips_specials(spark):
     for s in ["plain", "a'b", "back\\slash", "line\nbreak", "'; DROP--"]:
         got = spark.range(1).select(F.expr(sql_quote(s))).collect()[0][0]
