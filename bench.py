@@ -16,11 +16,22 @@ suite, so the first registry slot doesn't absorb it (r9: the first
 query read 8.75 s in-suite vs ~3 s warm).
 
 Variance attribution (r9 verdict task 3): after the suite, any query
-whose in-suite time exceeds its committed prior (BENCH_PRIOR_sf*.json,
-written by the previous full-suite run at the same sf) by >1.5× is
-re-measured in the same process; both numbers and both IO deltas go
-into the "remeasure" key of the IO line, so a host-variance episode
-carries its own evidence instead of needing a hand-assembled case.
+whose in-suite time exceeds its committed prior (BENCH_PRIOR_sf*.json)
+by >1.5× is re-measured in the same process; both numbers and both IO
+deltas go into the "remeasure" key of the IO line, so a host-variance
+episode carries its own evidence instead of needing a hand-assembled
+case.
+
+Prior semantics (r12 verdict task 6): BENCH_PRIOR_sf*.json is a
+per-query MINIMUM ENVELOPE — each full-suite run folds its timings in
+element-wise (new = min(old, this run)), so the file converges on the
+quietest observed time per query.  This host shows bursty co-tenant
+CPU steal (r12 measured ~2.4 s of steal over a 2.4 s idle interval),
+and a single-run prior recorded inside a steal window would suppress
+the very drift attribution the prior exists for.  A too-low prior only
+costs bounded cheap retries; reported timings are never replaced.
+bench.py itself maintains the envelope (metric
+"bench_prior_min_envelope"); tests/test_bench_contract.py pins it.
 """
 
 from __future__ import annotations
@@ -29,6 +40,25 @@ import json
 import os
 import sys
 import time
+
+def _fold_envelope(
+    prior: dict[str, float],
+    timings: dict[str, float],
+    remeasure: dict[str, dict] | None = None,
+) -> dict[str, float]:
+    """Element-wise minimum of the committed prior, this run's in-suite
+    timings, and any remeasure retries (each a valid observation of the
+    same query in the same process).  Non-positive timings (errored
+    queries) never fold in."""
+    envelope = dict(prior)
+    def fold(name: str, t: float) -> None:
+        if t and t > 0 and (envelope.get(name, 0) <= 0 or t < envelope[name]):
+            envelope[name] = t
+    for name, t in timings.items():
+        fold(name, t)
+    for name, entry in (remeasure or {}).items():
+        fold(name, entry.get("retry", -1.0))
+    return envelope
 
 def _drifted(t: float, p: float, floor: float) -> bool:
     """Should a query at in-suite time ``t`` with committed prior ``p``
@@ -235,13 +265,21 @@ def main() -> None:
         before = after
         remeasure[name] = entry
     spark.stop()
-    # persist this run's timings as the next run's prior (full suite
-    # only — a subset sweep would record misleadingly warm numbers)
+    # fold this run into the min-envelope prior (full suite only — a
+    # subset sweep would record misleadingly warm numbers).  Retry
+    # timings from the remeasure pass fold in too: a retry is a valid
+    # observation of the same query in the same process.
     if not only:
+        envelope = _fold_envelope(prior, timings, remeasure)
         try:
             with open(prior_path, "w") as f:
                 json.dump(
-                    {"metric": "bench_prior", "sf": sf, "queries": timings}, f
+                    {
+                        "metric": "bench_prior_min_envelope",
+                        "sf": sf,
+                        "queries": envelope,
+                    },
+                    f,
                 )
                 f.write("\n")
         except OSError:

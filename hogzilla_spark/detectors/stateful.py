@@ -48,7 +48,9 @@ def _saved_get(values: Column, key: Column) -> Column:
     return F.coalesce(F.element_at(values, key), F.lit(0.0))
 
 def _decision(df: DataFrame) -> DataFrame:
-    """Materialize a small decision-stage aggregate once.
+    """Materialize a small decision-stage aggregate once — IF the input
+    is big enough that re-executing the chain per consumer would cost
+    more than a serialized materialization job.
 
     Every stateful detector fans its flows→aggregate chain into several
     consumers (alert rows, one or more state-update branches), and the
@@ -58,10 +60,24 @@ def _decision(df: DataFrame) -> DataFrame:
     exchanges with 132 re-scans of the checkpointed summary).  The
     frames cut here are bounded by entity cardinality (per-IP or
     per-(IP,port) rows after selective gates), never by input size, so
-    an eager localCheckpoint is scale-safe: it is the guide's
-    "decide with small rows" shape — the big flow table is aggregated
-    once and every downstream decision reads the small result."""
-    return df.localCheckpoint(eager=True)
+    materializing is scale-safe: it is the guide's "decide with small
+    rows" shape — the big flow table is aggregated once and every
+    downstream decision reads the small result.
+
+    r13 (VERDICT r12 tasks 1+2): the cut is GATED on estimated input
+    bytes — at the driver's sf0.1/local[32] config the unconditional
+    eager checkpoint serialized three build actions and regressed
+    hz_atypical_port 0.646×, while at 100 TB every duplicated branch
+    re-runs a full flows pass.  When it fires, the materialization is
+    fault-tolerant (reliable checkpoint / lineage-keeping persist — a
+    lost executor must not kill the run the cut exists for); see
+    sources.catalog.materialize_cut for the gate and storage choice.
+    Tests force the gate with HZ_CUT_MIN_INPUT_BYTES=0 to pin the
+    fired-path plan bounds, or monkeypatch _decision off to assert
+    pre-cut plan properties."""
+    from hogzilla_spark.sources.catalog import materialize_cut
+
+    return materialize_cut(df)
 
 def _scalar(df: DataFrame, expr_map: dict[str, Column]) -> DataFrame:
     """1-row aggregate for the reference's driver-side .stats() values."""

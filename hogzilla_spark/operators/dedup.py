@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from hogzilla_spark.functions.scalar import round6u
 from hogzilla_spark.operators.text import fingerprint
-from hogzilla_spark.sources.catalog import spread_small_scan
+from hogzilla_spark.sources.catalog import materialize_cut, spread_small_scan
 
 # --- exact dedup ------------------------------------------------------------
 
@@ -241,10 +241,13 @@ def minhash_lsh_pairs(
     # Materialize the (small) verified pair set eagerly so the O(corpus)
     # shingle cache can be released before returning — otherwise repeated
     # invocations in a long-lived session accumulate cached partitions.
-    # Trade-off: severed lineage means an executor loss re-runs the query
-    # instead of recomputing blocks; fine for a result-sized DataFrame.
+    # r13 (VERDICT r12 task 2): the cut fires at every size (the pair
+    # set funnels the whole query), but big inputs go through a RELIABLE
+    # checkpoint instead of localCheckpoint — severed executor-local
+    # lineage would let one lost executor kill the 100 TB run this
+    # operator is shaped for (sources.catalog.materialize_cut).
     if eager:
-        out = out.localCheckpoint(eager=True)
+        out = materialize_cut(out, always=True)
         base.unpersist()
     return out
 
@@ -336,7 +339,7 @@ def minhash_lsh_pairs_incremental(
         .dropDuplicates(["id_a", "id_b"])
     )
     if eager:
-        cand = cand.localCheckpoint(eager=True)
+        cand = materialize_cut(cand, always=True)
     docs = corpus.select(id_col, text_col).unionByName(new_docs.select(id_col, text_col))
     cand_ids = cand.select(F.col("id_a").alias("id")).unionByName(
         cand.select(F.col("id_b").alias("id"))
@@ -520,7 +523,7 @@ def ngram_jaccard_pairs(
         "id_a", "id_b", round6u(jac).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
     if eager:
-        out = out.localCheckpoint(eager=True)
+        out = materialize_cut(out, always=True)
         sh.unpersist()
     return out
 
@@ -596,8 +599,9 @@ def ngram_jaccard_pairs_dual(
             "id", "n",
             (F.col("n") - F.coalesce(F.col("__n_drop"), F.lit(0))).alias("n_c"),
         )
-        .localCheckpoint(eager=True)
     )
+    # fault-tolerant at scale, localCheckpoint below the gate (task 2)
+    sizes = materialize_cut(sizes, always=True)
     # one row per joinable shingle; the flag replaces carrying __f
     pair_shingles = counts.filter(F.col("__f") >= 2).select(
         "s", (F.col("__f") <= max_shingle_freq).alias("__in_cap")
@@ -633,8 +637,9 @@ def ngram_jaccard_pairs_dual(
     # materialize the joined pair set ONCE: the un/cap union branches
     # are otherwise two full copies of the pairs-aggregate subtree and
     # the m²-join exchange executes per branch (measured: 2 × ~9 MiB
-    # shuffle writes for one logical aggregation at sf0.1)
-    inter = inter.localCheckpoint(eager=True)
+    # shuffle writes for one logical aggregation at sf0.1); reliable
+    # above the size gate (task 2), localCheckpoint below
+    inter = materialize_cut(inter, always=True)
     jac_un = F.col("inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     ).cast("double")

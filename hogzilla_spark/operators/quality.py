@@ -382,6 +382,200 @@ def doc_quality_signals(
     )
 
 
+def doc_quality_signals_kernel(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched twin of `doc_quality_signals` — same rows, same
+    schema, computed in a mapInPandas kernel instead of interpreted
+    Column folds (VERDICT r12 task 3: the expression form's
+    higher-order-function folds measured 28 s per 500 k docs at sf10;
+    every fold lambda runs on Catalyst's interpreted path).
+
+    Equivalence is engineered expression-by-expression and pinned by
+    tests/test_quality_kernels.py (adversarial boundary docs + full-row
+    corpus compares against the expression twin, which remains the
+    semantic reference the DuckDB oracle replays):
+
+      - tokens(): Spark splits trim(text) on Java `\\s+` and drops
+        empties — Java `\\s` is the ASCII class [ \\t\\n\\x0B\\f\\r]
+        (NOT Python's unicode-aware \\s), so the kernel findall's its
+        complement.
+      - _lines(): split on literal newline, F.trim == strip of 0x20
+        SPACES ONLY (Spark's trim never touches tabs), drop empties.
+      - _paras(): split on Java `\\n\\s*\\n` — same ASCII class.
+      - sort_array == Python sorted(): both order by code point
+        (UTF8String compares UTF-8 bytes, which is code-point order).
+      - F.length / len(): both count code points (astral chars = 1).
+      - the dup-char fold and top-run fold are exact integer
+        recurrences, replicated literally (top-run via value counts
+        with the smallest-gram tie-break, provably the fold's
+        first-maximal-run-in-sorted-order rule).
+      - occurrence counts: str.count == the replace-length delta (both
+        non-overlapping, left to right).
+      - every ratio is the same int→double IEEE division; round6u is
+        the same floor(x*1e6+0.5)/1e6 multiply/add/floor; gopher_pass
+        compares the identical unrounded doubles.
+
+    Used by the corpus pipeline's quality stage; the registry query
+    (q_doc_quality) keeps the expression path so the oracle-gated
+    result never depends on this kernel.
+    """
+    import re
+
+    import pandas as pd
+
+    tok_re = re.compile(r"[^ \t\n\x0B\f\r]+")
+    para_re = re.compile(r"\n[ \t\n\x0B\f\r]*\n")
+    alpha_re = re.compile(r"[A-Za-z]")
+    stops = list(GOPHER_STOPS)
+    bullets = set(BULLET_CHARS)
+
+    def _r6(x: float) -> float:
+        import math
+
+        return float(math.floor(x * 1e6 + 0.5)) / 1e6
+
+    def _dup_chars(sorted_vals: list[str]) -> int:
+        prev, prev_dup, dup = "", False, 0
+        for x in sorted_vals:
+            if x == prev:
+                dup += len(x) + (0 if prev_dup else len(prev))
+                prev_dup = True
+            else:
+                prev_dup = False
+            prev = x
+        return dup
+
+    def _top_run(grams: list[str]) -> tuple[str, int]:
+        # value counts + smallest-gram tie-break == the fold's strict-`>`
+        # first maximal run over the sorted array
+        from collections import Counter
+
+        cnt = Counter(grams)
+        best_cnt = max(cnt.values())
+        best = min(g for g, c in cnt.items() if c == best_cnt)
+        return best, best_cnt
+
+    def _signals(text: str) -> tuple:
+        toks = tok_re.findall(text)
+        n_tok = len(toks)
+        lines = [s for s in (l.strip(" ") for l in text.split("\n")) if s]
+        n_lines = len(lines)
+        paras = [s for s in (p.strip(" ") for p in para_re.split(text)) if s]
+
+        symbols = text.count("#") + text.count("...") + text.count("…")
+        lowered = {t.lower() for t in toks}
+        stop_distinct = sum(1 for s in stops if s in lowered)
+        alpha_words = sum(1 for t in toks if alpha_re.search(t))
+        bullet_lines = sum(1 for l in lines if l[0] in bullets)
+        ellipsis_lines = sum(
+            1 for l in lines if l.endswith("...") or l.endswith("…")
+        )
+        distinct_lines = len(set(lines))
+        line_chars = sum(len(l) for l in lines)
+        dup_chars = _dup_chars(sorted(lines))
+        n_paras = len(paras)
+        distinct_paras = len(set(paras))
+        para_chars = sum(len(p) for p in paras)
+        dup_para_chars = _dup_chars(sorted(paras))
+        tok_chars = sum(len(t) for t in toks)
+
+        nz_tok = n_tok > 0
+        nz_lines = n_lines > 0
+        symbol_word_ratio = symbols / n_tok if nz_tok else 0.0
+        alpha_word_frac = alpha_words / n_tok if nz_tok else 0.0
+        bullet_frac = bullet_lines / n_lines if nz_lines else 0.0
+        ellipsis_frac = ellipsis_lines / n_lines if nz_lines else 0.0
+        dup_line_frac = 1.0 - distinct_lines / n_lines if nz_lines else 0.0
+        dup_line_char_frac = dup_chars / line_chars if line_chars > 0 else 0.0
+        dup_para_frac = 1.0 - distinct_paras / n_paras if n_paras > 0 else 0.0
+        dup_para_char_frac = (
+            dup_para_chars / para_chars if para_chars > 0 else 0.0
+        )
+        norm_chars = tok_chars + (n_tok - 1)
+        top_bigram = None
+        top2 = top3 = top4 = 0.0
+        if n_tok >= 2:
+            b, c = _top_run(
+                [" ".join(toks[i : i + 2]) for i in range(n_tok - 1)]
+            )
+            top_bigram = b
+            top2 = (c * len(b)) / norm_chars
+        if n_tok >= 3:
+            b, c = _top_run(
+                [" ".join(toks[i : i + 3]) for i in range(n_tok - 2)]
+            )
+            top3 = (c * len(b)) / norm_chars
+        if n_tok >= 4:
+            b, c = _top_run(
+                [" ".join(toks[i : i + 4]) for i in range(n_tok - 3)]
+            )
+            top4 = (c * len(b)) / norm_chars
+        atl = tok_chars / n_tok if nz_tok else 0.0
+
+        gopher_pass = (
+            MIN_WORDS <= n_tok <= MAX_WORDS
+            and MIN_ATL <= atl <= MAX_ATL
+            and symbol_word_ratio < MAX_SYMBOL_WORD_RATIO
+            and bullet_frac < MAX_BULLET_FRAC
+            and ellipsis_frac < MAX_ELLIPSIS_FRAC
+            and alpha_word_frac > MIN_ALPHA_WORD_FRAC
+            and stop_distinct >= MIN_STOP_DISTINCT
+            and dup_line_frac < MAX_DUP_LINE_FRAC
+            and dup_line_char_frac < MAX_DUP_LINE_CHAR_FRAC
+            and dup_para_frac < MAX_DUP_PARA_FRAC
+            and dup_para_char_frac < MAX_DUP_PARA_CHAR_FRAC
+            and top2 < MAX_TOP2GRAM_CHAR_FRAC
+            and top3 < MAX_TOP3GRAM_CHAR_FRAC
+            and top4 < MAX_TOP4GRAM_CHAR_FRAC
+        )
+        return (
+            n_tok,
+            n_lines,
+            _r6(symbol_word_ratio),
+            _r6(alpha_word_frac),
+            stop_distinct,
+            _r6(bullet_frac),
+            _r6(ellipsis_frac),
+            _r6(dup_line_frac),
+            _r6(dup_line_char_frac),
+            _r6(dup_para_frac),
+            _r6(dup_para_char_frac),
+            top_bigram,
+            _r6(top2),
+            _r6(top3),
+            _r6(top4),
+            gopher_pass,
+        )
+
+    out_cols = [
+        "n_tok", "n_lines", "symbol_word_ratio", "alpha_word_frac",
+        "stop_distinct", "bullet_frac", "ellipsis_frac", "dup_line_frac",
+        "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+        "top_bigram", "top2gram_char_frac", "top3gram_char_frac",
+        "top4gram_char_frac", "gopher_pass",
+    ]
+
+    def run(batches):
+        for pdf in batches:
+            rows = [_signals(t) for t in pdf[text_col].fillna("")]
+            data = {id_col: pdf[id_col]}
+            for j, c in enumerate(out_cols):
+                data[c] = [r[j] for r in rows]
+            yield pd.DataFrame(data)
+
+    schema = (
+        f"{id_col} long, n_tok int, n_lines int, symbol_word_ratio double, "
+        "alpha_word_frac double, stop_distinct int, bullet_frac double, "
+        "ellipsis_frac double, dup_line_frac double, "
+        "dup_line_char_frac double, dup_para_frac double, "
+        "dup_para_char_frac double, top_bigram string, "
+        "top2gram_char_frac double, top3gram_char_frac double, "
+        "top4gram_char_frac double, gopher_pass boolean"
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def compression_ratio(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
 ) -> DataFrame:
@@ -452,7 +646,24 @@ def dup_ngram_char_fractions(
 
     Same scale shape as every narrow kernel here: zero shuffles, one
     pass per document, parallelism = input splits.
+
+    Vectorization (r13, VERDICT r12 task 3): the r12 form looped tuples
+    through Python dicts per document per n (27.5 s per 500 k docs at
+    sf10 — with dup_5..10 that is six dict passes over every token).
+    This form factorizes the batch's tokens to int codes once, builds
+    each n's gram matrix as ONE stride view, counts (doc, gram)
+    duplicates with ONE np.unique over the packed rows, and marks
+    positional coverage with a +1/−n difference array + cumsum — all
+    C-speed across the whole Arrow batch.  BIT-IDENTICAL by
+    construction: tokenization stays Python str.split() (the pinned
+    whitespace convention), counts/coverage are exact integers either
+    way, and the final `round(int/int, 6)` stays the same Python-float
+    correctly-rounded division and half-even round the r12 loop
+    produced (never np.round, whose scaled float math differs at decimal
+    halves).  Row-identity old-vs-new is pinned by
+    tests/test_quality_kernels.py::test_dup_ngram_vectorized_matches_loop.
     """
+    import numpy as np
     import pandas as pd
 
     cols = [f"dup_{n}gram_char_frac" for n in ns]
@@ -460,35 +671,76 @@ def dup_ngram_char_fractions(
 
     def run(batches):
         for pdf in batches:
-            out = {c: [] for c in cols}
-            passes = []
-            for text in pdf[text_col].fillna(""):
-                toks = text.split()
-                lens = [len(t) for t in toks]
-                total = sum(lens)
-                ok = True
+            texts = pdf[text_col].fillna("")
+            tok_lists = [t.split() for t in texts]
+            n_docs = len(tok_lists)
+            doc_len = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=n_docs
+            )
+            L = int(doc_len.sum())
+            frac_cols = {c: np.zeros(n_docs, dtype=np.float64) for c in cols}
+            ok = np.ones(n_docs, dtype=bool)
+            if L:
+                flat = pd.Series(
+                    [tok for toks in tok_lists for tok in toks], dtype="object"
+                )
+                ids = pd.factorize(flat)[0].astype(np.int64)
+                lens = flat.str.len().to_numpy(dtype=np.int64)
+                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_len)
+                starts = np.zeros(n_docs + 1, dtype=np.int64)
+                np.cumsum(doc_len, out=starts[1:])
+                total = np.bincount(doc_of, weights=lens, minlength=n_docs)
+                total = total.astype(np.int64)
+                pos_in_doc = np.arange(L, dtype=np.int64) - starts[doc_of]
                 for n, c in zip(ns_t, cols):
-                    if total == 0 or len(toks) < n:
-                        out[c].append(0.0)
+                    if L < n:
                         continue
-                    seen: dict[tuple, int] = {}
-                    grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-                    for g in grams:
-                        seen[g] = seen.get(g, 0) + 1
-                    covered = [False] * len(toks)
-                    for i, g in enumerate(grams):
-                        if seen[g] > 1:
-                            for j in range(i, i + n):
-                                covered[j] = True
-                    frac = round(
-                        sum(l for l, cov in zip(lens, covered) if cov) / total, 6
+                    # global gram-start positions whose n tokens stay
+                    # inside one document
+                    gstart = np.nonzero(
+                        pos_in_doc[: L - n + 1]
+                        <= doc_len[doc_of[: L - n + 1]] - n
+                    )[0]
+                    if not len(gstart):
+                        continue
+                    win = np.lib.stride_tricks.sliding_window_view(ids, n)
+                    key = np.empty((len(gstart), n + 1), dtype=np.int64)
+                    key[:, 0] = doc_of[gstart]
+                    key[:, 1:] = win[gstart]
+                    packed = np.ascontiguousarray(key).view(
+                        [("", np.int64)] * (n + 1)
+                    ).ravel()
+                    _, inv, cnt = np.unique(
+                        packed, return_inverse=True, return_counts=True
                     )
-                    out[c].append(frac)
-                    if frac >= DUP_NGRAM_MAX_FRAC.get(n, 1.0):
-                        ok = False
-                passes.append(ok)
+                    dup_start = gstart[cnt[inv] > 1]
+                    if len(dup_start):
+                        diff = np.zeros(L + n, dtype=np.int64)
+                        np.add.at(diff, dup_start, 1)
+                        np.add.at(diff, dup_start + n, -1)
+                        covered = np.cumsum(diff[:L]) > 0
+                        dup_chars = np.bincount(
+                            doc_of[covered], weights=lens[covered],
+                            minlength=n_docs,
+                        ).astype(np.int64)
+                    else:
+                        dup_chars = np.zeros(n_docs, dtype=np.int64)
+                    # final division + round in PYTHON floats — identical
+                    # to the r12 per-doc loop's round(sum/total, 6)
+                    fr = frac_cols[c]
+                    thr = DUP_NGRAM_MAX_FRAC.get(n, 1.0)
+                    eligible = np.nonzero((total > 0) & (doc_len >= n))[0]
+                    for i in eligible:
+                        v = round(int(dup_chars[i]) / int(total[i]), 6)
+                        fr[i] = v
+                        if v >= thr:
+                            ok[i] = False
             yield pd.DataFrame(
-                {id_col: pdf[id_col], **out, "repetition_pass": passes}
+                {
+                    id_col: pdf[id_col],
+                    **{c: frac_cols[c] for c in cols},
+                    "repetition_pass": ok,
+                }
             )
 
     schema = f"{id_col} long, " + ", ".join(f"{c} double" for c in cols) + \

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hogzilla_spark.functions.scalar import round6u
+
 def _const_array(values) -> Column:
     """Constant array<double> literal in ONE py4j round trip.
 
@@ -115,6 +117,14 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     # (0 + b0 + b1 + ..., exact int arithmetic).
     import numpy as np
 
+    # int32 bit weights overflow at 1<<31 (numpy>=2 raises; older numpy
+    # wraps negative), and widening to int64 would silently change the
+    # signature column's Spark type — assert the latent bound instead
+    # (ADVICE r12; callers today pass <=4 planes)
+    assert len(planes) < 31, (
+        f"hyperplane_signature supports at most 30 planes (int32 bucket); "
+        f"got {len(planes)}"
+    )
     pmat = F.array(*[_const_array(p) for p in planes])
     weights = F.lit(np.asarray([1 << i for i in range(len(planes))], dtype=np.int32))
     bits = F.transform(
@@ -196,11 +206,26 @@ def nearest_lists_expr(vec: Column, centroids: list[list[float]], nprobe: int) -
     # ordering (and its list-id tie-break) is reproducible across
     # engines.  The index var i is the same IntegerType the unrolled
     # form's F.lit(i) carried.
+    #
+    # round6u, NOT F.round (r13, ADVICE r12): this d is ordering-only
+    # (never output), and the three probe-selection implementations
+    # must round the SAME way at a 6th-decimal half or a tie can flip
+    # which list a vector probes between paths.  F.round is BigDecimal
+    # HALF_UP over Double.toString; the Arrow kernel's old np.round was
+    # scaled half-even float math; the DuckDB oracle's ROUND is scaled
+    # float half-away.  round6u (floor(d·1e6+0.5)) is the repo's
+    # portable convention — the identical IEEE multiply/add/floor in
+    # Spark, numpy and the SQL twin (see functions.scalar.round6u; the
+    # r11 sf100 doc_quality digest measured 1,026/5M values diverging
+    # on exactly this class).  Verified value-neutral on every tested
+    # scale: all four conventions produce identical probe orderings on
+    # sf0.001/0.01/0.1 embeddings (zero near-half cells), so declared
+    # query results are unchanged; the unification matters at sf100.
     cmat = F.array(*[_const_array(c) for c in centroids])
     entries = F.transform(
         cmat,
         lambda c, i: F.struct(
-            F.round(sqdist_expr(vec, c), 6).alias("d"), i.alias("list_id")
+            round6u(sqdist_expr(vec, c)).alias("d"), i.alias("list_id")
         ),
     )
     return F.transform(
@@ -440,6 +465,14 @@ def probed_lists(
             # expanded |v|²−2v·c+|c|² form either, whose
             # cancellation changes the value outright.  Slabbed so
             # the per-dim (rows × K) temporary stays ~64 MB/dim.
+            # Rounding (r13, ADVICE r12): floor(d·1e6+0.5) — the
+            # round6u convention nearest_lists_expr now shares —
+            # NOT np.round, whose scaled half-even could flip a
+            # 6th-decimal half-tie against the expression twin.
+            # The scaled integer orders identically to round6u's
+            # /1e6 form (division by a constant is monotone and
+            # distinct scaled ints stay distinct doubles here), so
+            # the /1e6 is skipped.
             slab = max(1, (64 * 1024 * 1024) // (cents.shape[0] * cents.shape[1] * 8))
             d = np.empty((len(m), cents.shape[0]), dtype=np.float64)
             for lo in range(0, len(m), slab):
@@ -449,7 +482,7 @@ def probed_lists(
                     diff = m[lo:hi, k, None] - cents[None, :, k]
                     acc += diff * diff
                 d[lo:hi] = acc
-            d = np.round(d, 6)
+            d = np.floor(d * 1e6 + 0.5)
             order = np.argsort(d, axis=1, kind="stable")[:, :np_probe]
             n_rows = len(pdf)
             probes = [row.tolist() for row in order]
@@ -462,8 +495,13 @@ def probed_lists(
                 }
             )
 
+    # derive the id field's type from the input instead of hardcoding
+    # 'long' (ADVICE r12): the expression twin preserves any id type,
+    # so string/int doc ids must not break or silently coerce on the
+    # default kernel path
+    id_type = v.schema["id"].dataType.simpleString()
     return v.mapInPandas(
-        assign, "id long, v array<double>, probes array<int>, list_id int"
+        assign, f"id {id_type}, v array<double>, probes array<int>, list_id int"
     )
 
 def ann_candidate_pairs(

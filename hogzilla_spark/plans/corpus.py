@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hogzilla_spark.operators import dedup as DD
-from hogzilla_spark.operators.quality import doc_quality_signals
+from hogzilla_spark.operators.quality import doc_quality_signals_kernel
 from hogzilla_spark.operators.sampling import pack_token_shards
 from hogzilla_spark.operators.text import chunk_documents
 from hogzilla_spark.sources.catalog import spread_small_scan
@@ -156,7 +156,14 @@ def prepare_corpus(
         dup_ngram_char_fractions,
     )
 
-    sig = doc_quality_signals(docs).select("doc_id", "n_tok", "gopher_pass")
+    # Arrow kernel twin of doc_quality_signals (r13, VERDICT r12 task 3):
+    # row-identical by pinned twin tests; the interpreted Column folds
+    # measured 28 s per 500 k docs at sf10 in this stage.  The registry
+    # query q_doc_quality keeps the expression path (the oracle-gated
+    # reference).
+    sig = doc_quality_signals_kernel(docs).select(
+        "doc_id", "n_tok", "gopher_pass"
+    )
     rep = dup_ngram_char_fractions(docs).select("doc_id", "repetition_pass")
     comp = compression_ratio(docs).select("doc_id", F.col("ratio").alias("zlib_ratio"))
     docs = (

@@ -123,6 +123,33 @@ def test_bench_remeasure_and_artifact_isolation(tmp_path):
     assert prior["queries"]["a_rollups"] == 0.001
 
 
+def test_prior_min_envelope_fold():
+    """r12 verdict task 6: the prior file is a per-query MINIMUM
+    envelope maintained by bench.py itself (metric
+    bench_prior_min_envelope) — each run folds in element-wise, retries
+    count as observations, errored (-1) timings never fold."""
+    sys.path.insert(0, REPO)
+    from bench import _fold_envelope
+
+    prior = {"a": 1.0, "b": 0.5, "gone": 2.0}
+    timings = {"a": 0.8, "b": 0.9, "c": 3.0, "d": -1.0}
+    remeasure = {"b": {"retry": 0.4}, "c": {"retry": -1.0}}
+    env = _fold_envelope(prior, timings, remeasure)
+    assert env["a"] == 0.8          # run beat prior
+    assert env["b"] == 0.4          # retry beat both
+    assert env["c"] == 3.0          # new query enters at its first time
+    assert "d" not in env           # errored run never folds
+    assert env["gone"] == 2.0       # dropped-from-run queries keep prior
+    # committed artifacts carry the envelope metric name
+    import json as _json
+    import os as _os
+
+    for name in _os.listdir(REPO):
+        if name.startswith("BENCH_PRIOR_sf") and name.endswith(".json"):
+            d = _json.load(open(_os.path.join(REPO, name)))
+            assert d["metric"] == "bench_prior_min_envelope", name
+
+
 def test_drifted_two_tier():
     """Tier 1: >1.5x over prior above the floor.  Tier 2 (r11 verdict
     task 5): sub-2s priors retry at >1.2x so ambient-noise drifts are

@@ -541,14 +541,18 @@ def test_decontaminate_planted(spark):
     empty = heldout.filter(F.col("doc_id") < 0)
     assert DD.decontaminate(corpus, empty, min_jaccard=0.1).count() == 0
 
-def test_minhash_incremental_is_filtered_full(spark):
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_minhash_incremental_is_filtered_full(spark, sf):
     """r12 fusion guard for q_dedup_minhash: the incremental operator's
     output on a doc_id%5 split must equal the full self-dedup pair set
     filtered to pairs touching the new batch — the documented
-    equivalence the registry slot now derives its 'incr' rows by."""
+    equivalence the registry slot now derives its 'incr' rows by.
+    Pinned at sf0.001 AND sf0.01 (ADVICE r12: the bench slot no longer
+    executes the incremental path, so the equivalence carries the
+    evidence at an oracle-gated scale too)."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     incr = {

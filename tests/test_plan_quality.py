@@ -36,14 +36,20 @@ def test_s6_filter_pushdown_and_pruning(spark):
         "o_comment" not in s and "o_totalprice" not in s for s in orders_schemas
     )
 
-def test_stateful_detectors_bounded_plan_fanout(spark):
+def test_stateful_detectors_bounded_plan_fanout(spark, monkeypatch):
     """r12 optimization guard: each stateful detector materializes its
     small decision aggregates once (`stateful._decision`), so the
     returned alert/update union must NOT re-derive the flows→aggregate
     chain per branch.  Before the cut, hz_atypical_alien's plan carried
     86 Exchanges and 132 re-scans of the checkpointed summary (2,293
     plan lines); after, 13.  A regression that drops the
-    materialization re-inflates the plan well past these bounds."""
+    materialization re-inflates the plan well past these bounds.
+
+    r13: the cut is GATED on estimated input bytes (it must not fire at
+    bench scales, where it measurably regresses — VERDICT r12 task 1),
+    so this guard forces the gate to pin the plan shape the cut
+    produces WHEN it fires, i.e. at 100 TB."""
+    monkeypatch.setenv("HZ_CUT_MIN_INPUT_BYTES", "0")
     plan = plan_of(spark, "hz_atypical_alien")
     assert plan.count("Exchange") <= 30, plan.count("Exchange")
     assert plan.count("\n") <= 400
@@ -53,13 +59,29 @@ def test_stateful_detectors_bounded_plan_fanout(spark):
         p = plan_of(spark, q)
         assert p.count("Exchange") <= bound, (q, p.count("Exchange"))
 
-def test_h_hist_suite_shares_user_hists(spark):
-    """r12 optimization guard: h1 and h56 consume ONE eagerly
-    checkpointed `_user_hists` frame (two event scans + histogram
-    builds + a join, previously derived once per part).  Before the
-    share the suite plan carried 42 Exchange mentions over 611 lines;
-    after, 22 over 342.  A regression that re-derives per part
-    re-inflates the plan past these bounds."""
+def test_stateful_decision_cut_is_gated(spark):
+    """The r13 gate itself: below HZ_CUT_MIN_INPUT_BYTES (default
+    256 MiB — far above any test scale) `_decision` must return the
+    frame LAZY, so building the query runs no serialized
+    materialization jobs and the r12 sf0.1 bench regression (three
+    build actions, hz_atypical_port 0.646×) cannot return.  The lazy
+    plan is the big fanned-out one — its size here is the PROOF the
+    cut did not fire (the fired plan is pinned <=400 lines above)."""
+    import os
+
+    assert os.environ.get("HZ_CUT_MIN_INPUT_BYTES") is None
+    plan = plan_of(spark, "hz_atypical_alien")
+    assert plan.count("\n") > 400, plan.count("\n")
+
+def test_h_hist_suite_shares_user_hists(spark, monkeypatch):
+    """r12 optimization guard: h1 and h56 consume ONE materialized
+    `_user_hists` frame (two event scans + histogram builds + a join,
+    previously derived once per part).  Before the share the suite plan
+    carried 42 Exchange mentions over 611 lines; after, 22 over 342.  A
+    regression that re-derives per part re-inflates the plan past these
+    bounds.  r13: the share is gated like `_decision` (see above), so
+    the guard forces the gate to pin the fired-path shape."""
+    monkeypatch.setenv("HZ_CUT_MIN_INPUT_BYTES", "0")
     plan = plan_of(spark, "h_hist_suite")
     assert plan.count("Exchange") <= 32, plan.count("Exchange")
     assert plan.count("\n") <= 480
