@@ -647,23 +647,17 @@ def dup_ngram_char_fractions(
     Same scale shape as every narrow kernel here: zero shuffles, one
     pass per document, parallelism = input splits.
 
-    Vectorization (r13, VERDICT r12 task 3): the r12 form looped tuples
-    through Python dicts per document per n (27.5 s per 500 k docs at
-    sf10 — with dup_5..10 that is six dict passes over every token).
-    This form factorizes the batch's tokens to int codes once, builds
-    each n's gram matrix as ONE stride view, counts (doc, gram)
-    duplicates with ONE np.unique over the packed rows, and marks
-    positional coverage with a +1/−n difference array + cumsum — all
-    C-speed across the whole Arrow batch.  BIT-IDENTICAL by
-    construction: tokenization stays Python str.split() (the pinned
-    whitespace convention), counts/coverage are exact integers either
-    way, and the final `round(int/int, 6)` stays the same Python-float
-    correctly-rounded division and half-even round the r12 loop
-    produced (never np.round, whose scaled float math differs at decimal
-    halves).  Row-identity old-vs-new is pinned by
-    tests/test_quality_kernels.py::test_dup_ngram_vectorized_matches_loop.
+    NEGATIVE RESULT, kept for the record (r13, VERDICT r12 task 3):
+    two batch-vectorized rewrites of this loop were measured at the
+    planted sf10 corpus (500 k short docs) and BOTH lost to this dict
+    loop — np.unique over packed void gram rows (memcmp sorts per n) +
+    np.add.at coverage: 48.6 s vs 5.5 s; incremental
+    pd.factorize-coded grams + bincount coverage: 10.7 s vs 5.5 s
+    (interleaved minima, same session).  For short-document corpora
+    the per-batch numpy machinery costs more than CPython dict passes
+    over ~100-token docs; the loop stays.  Details in
+    OPTIMIZATION_r13.md §3.
     """
-    import numpy as np
     import pandas as pd
 
     cols = [f"dup_{n}gram_char_frac" for n in ns]
@@ -671,76 +665,35 @@ def dup_ngram_char_fractions(
 
     def run(batches):
         for pdf in batches:
-            texts = pdf[text_col].fillna("")
-            tok_lists = [t.split() for t in texts]
-            n_docs = len(tok_lists)
-            doc_len = np.fromiter(
-                (len(t) for t in tok_lists), dtype=np.int64, count=n_docs
-            )
-            L = int(doc_len.sum())
-            frac_cols = {c: np.zeros(n_docs, dtype=np.float64) for c in cols}
-            ok = np.ones(n_docs, dtype=bool)
-            if L:
-                flat = pd.Series(
-                    [tok for toks in tok_lists for tok in toks], dtype="object"
-                )
-                ids = pd.factorize(flat)[0].astype(np.int64)
-                lens = flat.str.len().to_numpy(dtype=np.int64)
-                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_len)
-                starts = np.zeros(n_docs + 1, dtype=np.int64)
-                np.cumsum(doc_len, out=starts[1:])
-                total = np.bincount(doc_of, weights=lens, minlength=n_docs)
-                total = total.astype(np.int64)
-                pos_in_doc = np.arange(L, dtype=np.int64) - starts[doc_of]
+            out = {c: [] for c in cols}
+            passes = []
+            for text in pdf[text_col].fillna(""):
+                toks = text.split()
+                lens = [len(t) for t in toks]
+                total = sum(lens)
+                ok = True
                 for n, c in zip(ns_t, cols):
-                    if L < n:
+                    if total == 0 or len(toks) < n:
+                        out[c].append(0.0)
                         continue
-                    # global gram-start positions whose n tokens stay
-                    # inside one document
-                    gstart = np.nonzero(
-                        pos_in_doc[: L - n + 1]
-                        <= doc_len[doc_of[: L - n + 1]] - n
-                    )[0]
-                    if not len(gstart):
-                        continue
-                    win = np.lib.stride_tricks.sliding_window_view(ids, n)
-                    key = np.empty((len(gstart), n + 1), dtype=np.int64)
-                    key[:, 0] = doc_of[gstart]
-                    key[:, 1:] = win[gstart]
-                    packed = np.ascontiguousarray(key).view(
-                        [("", np.int64)] * (n + 1)
-                    ).ravel()
-                    _, inv, cnt = np.unique(
-                        packed, return_inverse=True, return_counts=True
+                    seen: dict[tuple, int] = {}
+                    grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                    for g in grams:
+                        seen[g] = seen.get(g, 0) + 1
+                    covered = [False] * len(toks)
+                    for i, g in enumerate(grams):
+                        if seen[g] > 1:
+                            for j in range(i, i + n):
+                                covered[j] = True
+                    frac = round(
+                        sum(l for l, cov in zip(lens, covered) if cov) / total, 6
                     )
-                    dup_start = gstart[cnt[inv] > 1]
-                    if len(dup_start):
-                        diff = np.zeros(L + n, dtype=np.int64)
-                        np.add.at(diff, dup_start, 1)
-                        np.add.at(diff, dup_start + n, -1)
-                        covered = np.cumsum(diff[:L]) > 0
-                        dup_chars = np.bincount(
-                            doc_of[covered], weights=lens[covered],
-                            minlength=n_docs,
-                        ).astype(np.int64)
-                    else:
-                        dup_chars = np.zeros(n_docs, dtype=np.int64)
-                    # final division + round in PYTHON floats — identical
-                    # to the r12 per-doc loop's round(sum/total, 6)
-                    fr = frac_cols[c]
-                    thr = DUP_NGRAM_MAX_FRAC.get(n, 1.0)
-                    eligible = np.nonzero((total > 0) & (doc_len >= n))[0]
-                    for i in eligible:
-                        v = round(int(dup_chars[i]) / int(total[i]), 6)
-                        fr[i] = v
-                        if v >= thr:
-                            ok[i] = False
+                    out[c].append(frac)
+                    if frac >= DUP_NGRAM_MAX_FRAC.get(n, 1.0):
+                        ok = False
+                passes.append(ok)
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    **{c: frac_cols[c] for c in cols},
-                    "repetition_pass": ok,
-                }
+                {id_col: pdf[id_col], **out, "repetition_pass": passes}
             )
 
     schema = f"{id_col} long, " + ", ".join(f"{c} double" for c in cols) + \

@@ -1,7 +1,15 @@
-"""r13 kernel-optimization guards (VERDICT r12 task 3): the vectorized
-dup_ngram_char_fractions must be row-identical — including every
-round-6 float — to the r12 pure-Python loop (kept verbatim below as the
-reference), on real corpus data AND on adversarial boundary documents."""
+"""r13 kernel-optimization guards (VERDICT r12 task 3).
+
+doc_quality_signals_kernel (the Arrow twin the corpus pipeline runs)
+must be row-identical — every round-6 float, the top-bigram tie-break,
+the pass flag — to the doc_quality_signals expression battery, on real
+corpus data AND on adversarial boundary documents.
+
+dup_ngram_char_fractions keeps its r12 dict-loop implementation (two
+vectorized rewrites measured SLOWER at sf10 — negative result recorded
+in the operator docstring and OPTIMIZATION_r13.md); the reference-copy
+tests below still pin the loop against an independent verbatim copy so
+any future rewrite inherits the same row-identity gate."""
 
 import numpy as np
 import pandas as pd
